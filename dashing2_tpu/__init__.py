@@ -1,0 +1,45 @@
+"""dashing2_tpu: a TPU-native genomic sketching + comparison framework.
+
+A ground-up rebuild of the capabilities of dnbaker/dashing2 (reference:
+/root/reference) designed for TPU hardware: JAX/XLA/Pallas device kernels for
+k-mer hashing, sketch register updates, and tiled all-pairs register
+comparisons; jax.sharding meshes for multi-chip scaling; a host layer for
+FASTX/BED/BigWig ingest and the reference's on-disk formats.
+
+64-bit integer semantics are required throughout (k-mer codes, hash values),
+so importing this package enables jax x64 mode. Hot device kernels
+nevertheless operate on u32 limb pairs so nothing depends on TPU f64/u64
+emulation being fast.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from . import enums  # noqa: E402
+from .enums import (  # noqa: E402
+    DataType,
+    SketchSpace,
+    CountingType,
+    KmerSketchResultType,
+    OutputKind,
+    OutputFormat,
+    Measure,
+)
+from .config import Dashing2Options, Dashing2DistOptions  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "enums",
+    "DataType",
+    "SketchSpace",
+    "CountingType",
+    "KmerSketchResultType",
+    "OutputKind",
+    "OutputFormat",
+    "Measure",
+    "Dashing2Options",
+    "Dashing2DistOptions",
+    "__version__",
+]
