@@ -1,0 +1,261 @@
+"""Sketch register-update kernels, redesigned for SPMD execution.
+
+Reference semantics being reproduced:
+
+* One-Permutation SetSketch (src/oph.h:95-281): per k-mer hash h,
+  ``id = DHasher(h)``, bucket ``idx = id % m``, register = running min of
+  ids in the bucket, count = multiplicity of the current min. Here this is
+  a batched ``segment_min`` over (sequence, bucket) segments — one scatter
+  pass for an entire batch of sequences, no serial loop.
+
+* CSetSketch (src/setsketch.h:276-602): the reference streams items through
+  a sequential early-exit loop (exponential spacings + lazy Fisher-Yates +
+  max-tree). The TPU formulation exploits the distributional identity:
+  randomly permuting the ascending exponential spacings of one item gives
+  m i.i.d. Exp(1) values, so an item's register draws are i.i.d. Exp(1)
+  with minimum x1 ~ Exp(m) at a uniform register. We therefore
+    1) compute each item's x1 from its first RNG value (matching the
+       reference's ev_1 = -log(u)/m exactly),
+    2) keep only items with x1 <= T (everything else provably cannot beat
+       any final register), and
+    3) for the <= S survivors, place x1 at a uniform register and
+       x1 + Exp(1) everywhere else (memorylessness), then min-reduce.
+  The result is verified against the effective threshold and recomputed
+  with a larger T on the (rare) failure, so the output distribution is
+  exactly CSetSketch's while the work is O(n) filter + O(S·m) dense math.
+
+* Exact counting (src/counter.h:79-117): device sort + run-length
+  segmentation replaces the hash table; emits (unique hash, count) pairs
+  in sorted-hash order, which is also the FULL_MMER_SET/COUNTDICT
+  representation (sorted hash sets, src/fastxsketch.cpp:429-459).
+
+* Bottom-k (src/fastxsketch.cpp:24-47): k smallest distinct hashes via
+  sort of the deduplicated stream.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import hashing as H
+from . import hashes as DH
+
+U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_GOLD = 0x9E3779B97F4A7C15  # 2^64 / golden ratio, register-stride salt
+
+
+# ----------------------------------------------------------------------
+# One-Permutation SetSketch
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nseqs", "m", "seed"))
+def oph_sketch_segments(hashed: jnp.ndarray, valid: jnp.ndarray,
+                        seq_ids: jnp.ndarray, *, nseqs: int, m: int,
+                        seed: int = H.OPH_DEFAULT_SEED
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched OPH over a flat stream of hashed k-mers.
+
+    hashed: (n,) u64 maskfn'd k-mer hashes; valid: (n,) bool;
+    seq_ids: (n,) int32 owning-sequence index in [0, nseqs).
+    Returns (registers u64 (nseqs, m), counts u32 (nseqs, m)).
+    Empty registers hold u64::max (oph.h:147 T(-1) init).
+    """
+    ids = DH.oph_hash(hashed, seed)
+    idx = (ids % jnp.uint64(m)).astype(jnp.int32)
+    seg = seq_ids.astype(jnp.int32) * m + idx
+    seg = jnp.where(valid, seg, nseqs * m)
+    regs = jax.ops.segment_min(ids, seg, num_segments=nseqs * m + 1)
+    regs = regs[:nseqs * m]
+    minval_at_item = regs[jnp.where(valid, seg, 0)]
+    ismin = valid & (ids == minval_at_item)
+    counts = jax.ops.segment_sum(ismin.astype(jnp.uint32), seg,
+                                 num_segments=nseqs * m + 1)[:nseqs * m]
+    return regs.reshape(nseqs, m), counts.reshape(nseqs, m)
+
+
+def oph_to_sigs(regs: np.ndarray) -> np.ndarray:
+    """LazyOnePermSetSketch::data() (oph.h:248-263): log-transform raw u64
+    registers to f64 signatures; empty (max) and zero registers -> 0.
+
+    sig = (-1 / (m - n_empty)) * log(2^-64 * (max - x + 1)).
+    Order-preserving in x, so gt/lt/eq on sigs == on raw registers.
+    """
+    regs = np.asarray(regs, dtype=np.uint64)
+    m = regs.shape[-1]
+    out = np.zeros(regs.shape, dtype=np.float64)
+    empty = regs == U64MAX
+    nempty = empty.sum(axis=-1, keepdims=True)
+    mul = -1.0 / np.maximum(m - nempty, 1)
+    zero = regs == 0
+    live = ~(empty | zero)
+    with np.errstate(over="ignore", invalid="ignore"):
+        delta = (U64MAX - regs) + np.uint64(1)  # max - x + 1 (wraps iff x==0)
+        vals = mul * np.log(delta.astype(np.float64) * 2.0 ** -64)
+    out[live] = np.broadcast_to(vals, out.shape)[live]
+    return out
+
+
+def oph_cardinality(regs: np.ndarray) -> np.ndarray:
+    """getcard() (oph.h:240-247): m^2 / sum(x * 2^-64)."""
+    regs = np.asarray(regs, dtype=np.uint64)
+    m = regs.shape[-1]
+    s = (regs.astype(np.float64) * 2.0 ** -64).sum(axis=-1)
+    with np.errstate(divide="ignore"):
+        return np.where(s > 0, m * (m / s), np.inf)
+
+
+def oph_densify(regs: np.ndarray, kmers: np.ndarray | None = None,
+                empty_value=None) -> tuple[np.ndarray, int]:
+    """Optimal densification by rotation with hashed re-draw
+    (cmp_core.cpp:578-613). Operates on one sketch row in place-semantics
+    (returns new array). `empty_value` defaults to 0 for float sigs (the
+    reference densifies the already-log-transformed signatures with
+    empty=0) and u64::max for raw registers.
+    """
+    regs = np.array(regs)
+    m = len(regs)
+    if empty_value is None:
+        empty_value = np.uint64(U64MAX) if regs.dtype == np.uint64 else regs.dtype.type(0)
+    isempty = regs == empty_value
+    ne = int(isempty.sum())
+    if ne == 0 or ne == m:
+        return regs, (m if ne == m else 0)
+    out = regs.copy()
+    for i in np.nonzero(isempty)[0]:
+        rng_i = np.uint64((int(i) + H.DENSIFY_OFFSET) & 0xFFFFFFFFFFFFFFFF)
+        while True:
+            rng_i, draw = H.wyhash64_step(rng_i)
+            j = int(draw % np.uint64(m))
+            if regs[j] != empty_value:
+                break
+        out[i] = regs[j]
+        if kmers is not None:
+            kmers[i] = kmers[j]
+    return out, ne
+
+
+# ----------------------------------------------------------------------
+# CSetSketch
+# ----------------------------------------------------------------------
+
+def _css_x1(hashed: jnp.ndarray, m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-item first order statistic and its RNG value.
+
+    rv = CEHasher(h ^ CSS_XOR) (setsketch.h:375); x1 = -log(rv * 2^-64)/m
+    (the reference's ev_1). rv == 0 -> x1 = +inf (item never updates).
+    """
+    rv = DH.css_item_hash(hashed)
+    u = DH.u64_to_unit_float(rv)
+    x1 = jnp.where(rv == 0, jnp.inf, -jnp.log(jnp.maximum(u, 1e-300)) / m)
+    return x1, rv
+
+
+@functools.partial(jax.jit, static_argnames=("m", "cap"))
+def _css_pass(hashed: jnp.ndarray, valid: jnp.ndarray, *, m: int, cap: int,
+              threshold: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One filtered CSetSketch pass. Returns (registers (m,) f64, tcut f64).
+
+    Exact iff max(registers) <= tcut (checked by the host driver):
+    every excluded item has all draws > its x1 > tcut.
+    """
+    n = hashed.shape[0]
+    x1, rv = _css_x1(hashed, m)
+    x1 = jnp.where(valid, x1, jnp.inf)
+    k = min(cap, n)
+    neg_x1, take_idx = jax.lax.top_k(-x1, k)  # k smallest x1
+    sx1 = -neg_x1
+    srv = rv[take_idx]
+    keep = sx1 <= threshold
+    # effective cutoff: smallest x1 NOT included (items beyond capacity or
+    # threshold). If everything kept, cutoff is +inf.
+    tcut = jnp.where(jnp.all(keep), jnp.inf, jnp.min(jnp.where(keep, jnp.inf, sx1)))
+    # first register: uniform from a fresh wyhash of rv
+    _, draw = DH.wyhash64_step(srv)
+    idx0 = (draw % jnp.uint64(m)).astype(jnp.int32)
+    # residual draws: e[d, j] = x1[d] + Exp(1) via counter RNG on (rv, j)
+    j = jnp.arange(m, dtype=jnp.uint64) * jnp.uint64(_GOLD)
+    def row(d_rv, d_x1, d_idx0, d_keep):
+        u = DH.u64_to_unit_float(DH.wanghash(d_rv ^ j))
+        e = d_x1 - jnp.log(jnp.maximum(u, 1e-300))
+        e = e.at[d_idx0].set(d_x1)
+        return jnp.where(d_keep, e, jnp.inf)
+    rows = jax.vmap(row)(srv, sx1, idx0, keep)  # (k, m)
+    regs = jnp.min(rows, axis=0) if k > 0 else jnp.full((m,), jnp.inf)
+    return regs, tcut
+
+
+def css_sketch(hashed: np.ndarray, valid: np.ndarray, m: int,
+               cap: int | None = None) -> np.ndarray:
+    """CSetSketch registers for one item set (host driver, device math).
+
+    Iterates the filtered pass with a doubling threshold until the result
+    is provably exact (max register <= effective cutoff).
+    """
+    hashed = jnp.asarray(hashed.reshape(-1), dtype=jnp.uint64)
+    valid = jnp.asarray(valid.reshape(-1), dtype=bool)
+    n = max(int(valid.sum()), 1)
+    if cap is None:
+        cap = int(min(hashed.shape[0], max(4096, 6 * m)))
+    t = (np.log(m) + 8.0) / n
+    for _ in range(64):
+        regs, tcut = _css_pass(hashed, valid, m=m, cap=cap,
+                               threshold=jnp.float64(t))
+        regs = np.asarray(regs)
+        tc = float(tcut)
+        if regs.max() <= tc:
+            return regs
+        t *= 4.0
+        cap = min(int(hashed.shape[0]), cap * 4)
+    raise RuntimeError("css_sketch failed to converge")
+
+
+def css_cardinality(regs: np.ndarray) -> np.ndarray:
+    """CSetSketch::cardinality (setsketch.h:553-561): m / sum(regs)."""
+    regs = np.asarray(regs, dtype=np.float64)
+    m = regs.shape[-1]
+    s = regs.sum(axis=-1)
+    with np.errstate(divide="ignore"):
+        return np.where(s > 0, m / s, np.inf)
+
+
+# ----------------------------------------------------------------------
+# Exact counting / sorted hash sets
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_unique",))
+def sort_count_unique(hashed: jnp.ndarray, valid: jnp.ndarray,
+                      max_unique: int
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sorted distinct hashes + multiplicities via sort / run-length.
+
+    Returns (unique u64 (max_unique,), counts u32 (max_unique,), n_unique).
+    Padding slots hold u64::max / 0 counts. Replaces the reference's
+    Counter hash map (counter.h:79-117) with sort+segment device work.
+    """
+    x = jnp.where(valid, hashed, U64MAX)
+    xs = jnp.sort(x)
+    nvalid = valid.sum()
+    is_head = jnp.concatenate([jnp.array([True]), xs[1:] != xs[:-1]])
+    pos_valid = jnp.arange(xs.shape[0]) < nvalid
+    is_head = is_head & pos_valid
+    gid = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    gid = jnp.where(pos_valid, gid, max_unique)
+    counts = jax.ops.segment_sum(pos_valid.astype(jnp.uint32), gid,
+                                 num_segments=max_unique + 1)[:max_unique]
+    uniq = jax.ops.segment_min(xs, gid, num_segments=max_unique + 1)[:max_unique]
+    return uniq, counts, is_head.sum()
+
+
+def bottomk(hashed: np.ndarray, valid: np.ndarray, k: int) -> np.ndarray:
+    """k smallest distinct hashes, ascending (fastxsketch.cpp:24-47).
+    Fewer than k distinct -> pad with u64::max."""
+    x = np.asarray(hashed)[np.asarray(valid)]
+    u = np.unique(x)
+    out = np.full(k, U64MAX, dtype=np.uint64)
+    out[:min(k, len(u))] = u[:k]
+    return out

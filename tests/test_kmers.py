@@ -1,0 +1,149 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dashing2_tpu.enums import Alphabet
+from dashing2_tpu.ops import kmers as K
+
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def kmer_code_py(s: str) -> int:
+    v = 0
+    for ch in s:
+        v = (v << 2) | "ACGT".index(ch)
+    return v
+
+
+def revcomp(s: str) -> str:
+    return "".join(COMP[c] for c in reversed(s))
+
+
+def ref_kmers(seq: str, k: int, canon: bool):
+    out = []
+    for i in range(len(seq) - k + 1):
+        sub = seq[i:i + k]
+        if any(c not in "ACGT" for c in sub):
+            out.append(None)
+            continue
+        v = kmer_code_py(sub)
+        if canon:
+            v = min(v, kmer_code_py(revcomp(sub)))
+        out.append(v)
+    return out
+
+
+@pytest.mark.parametrize("k", [3, 5, 21, 31])
+@pytest.mark.parametrize("canon", [False, True])
+def test_dna_kmer_codes_match_python(k, canon):
+    rng = np.random.default_rng(k)
+    seq = "".join(rng.choice(list("ACGT"), size=200))
+    seq = seq[:57] + "N" + seq[58:]  # inject an invalid base
+    codes = K.encode_ascii(seq.encode(), Alphabet.DNA)
+    km, valid = K.dna_kmer_codes(jnp.asarray(codes)[None, :], k, canon)
+    km = np.asarray(km)[0]
+    valid = np.asarray(valid)[0]
+    want = ref_kmers(seq, k, canon)
+    assert len(want) == len(km)
+    for i, wv in enumerate(want):
+        if wv is None:
+            assert not valid[i], i
+        else:
+            assert valid[i], i
+            assert int(km[i]) == wv, (i, seq[i:i+k])
+
+
+def test_encode_ascii_case_insensitive():
+    a = K.encode_ascii(b"acgtACGTnN", Alphabet.DNA)
+    assert list(a[:4]) == [0, 1, 2, 3]
+    assert list(a[4:8]) == [0, 1, 2, 3]
+    assert a[8] == K.INVALID and a[9] == K.INVALID
+
+
+def test_protein_alphabets_pack():
+    for alph in (Alphabet.PROTEIN20, Alphabet.PROTEIN_6, Alphabet.PROTEIN_14,
+                 Alphabet.PROTEIN_3BIT):
+        lut = K.alphabet_lut(alph)
+        sz = K.alphabet_size(alph)
+        valid_codes = lut[lut != K.INVALID]
+        assert valid_codes.max() == sz - 1
+        seq = b"ACDEFGHIKLMNPQRSTVWY" * 2
+        codes = K.encode_ascii(seq, alph)
+        km, valid = K.base_b_kmer_codes(jnp.asarray(codes)[None, :], 5, sz)
+        assert np.asarray(valid).all()
+        # spot-check first kmer
+        want = 0
+        for c in codes[:5]:
+            want = want * sz + int(c)
+        assert int(np.asarray(km)[0, 0]) == want
+
+
+def test_chunking_covers_all_kmers_exactly_once():
+    rng = np.random.default_rng(3)
+    k = 11
+    seqs = ["".join(rng.choice(list("ACGT"), size=n)) for n in (50, 300, 997)]
+    code_arrays = [K.encode_ascii(s.encode(), Alphabet.DNA) for s in seqs]
+    chunks, _ = K.chunk_codes(code_arrays, k=k, chunk_len=256)
+    km, valid = K.dna_kmer_codes(jnp.asarray(chunks), k, False)
+    got = np.asarray(km)[np.asarray(valid)]
+    want = []
+    for s in seqs:
+        want.extend(v for v in ref_kmers(s, k, False) if v is not None)
+    # multiset equality
+    assert sorted(got.tolist()) == sorted(want)
+
+
+def test_window_minimizers_match_naive():
+    rng = np.random.default_rng(9)
+    k, w = 7, 15
+    seq = "".join(rng.choice(list("ACGT"), size=400))
+    codes = K.encode_ascii(seq.encode(), Alphabet.DNA)
+    km, valid = K.dna_kmer_codes(jnp.asarray(codes)[None, :], k, False)
+    sel = K.minimizer_mask(km, valid, k, w)
+    got = set(np.nonzero(np.asarray(sel)[0])[0].tolist())
+    # naive: for each window, leftmost argmin position
+    kv = np.asarray(km)[0]
+    nwin = w - k + 1
+    want = set()
+    for j in range(len(kv) - nwin + 1):
+        win = kv[j:j + nwin]
+        want.add(j + int(np.argmin(win)))
+    assert got == want
+
+
+def test_spaced_seeds():
+    seq = b"ACGTACGTACGT"
+    codes = K.encode_ascii(seq, Alphabet.DNA)
+    offsets = K.parse_spacing("0,1,1,0", 5)  # pattern KK$K$KK -> span 7
+    assert offsets == [0, 1, 3, 5, 6]
+    km, valid = K.spaced_kmer_codes(jnp.asarray(codes)[None, :], offsets, 2)
+    s = seq.decode()
+    v0 = 0
+    for off in offsets:
+        v0 = (v0 << 2) | "ACGT".index(s[off])
+    assert int(np.asarray(km)[0, 0]) == v0
+    assert np.asarray(valid)[0, 0]
+
+
+def test_hashed_kmers_pipeline():
+    rng = np.random.default_rng(5)
+    seq = "".join(rng.choice(list("ACGT"), size=300))
+    codes = jnp.asarray(K.encode_ascii(seq.encode(), Alphabet.DNA))[None, :]
+    h, valid = K.hashed_kmers(codes, 21, canonicalize=True)
+    from dashing2_tpu import hashing as H
+    km, _ = K.dna_kmer_codes(codes, 21, True)
+    assert np.array_equal(np.asarray(h), H.maskfn(np.asarray(km)))
+    # seed 0 disables scrambling
+    h0, _ = K.hashed_kmers(codes, 21, canonicalize=True, seed_is_zero=True)
+    assert np.array_equal(np.asarray(h0), np.asarray(km))
+
+
+def test_entropy_min_selects_fewer_lowcomplexity():
+    # homopolymer runs should not dominate entmin selection
+    seq = ("A" * 50 + "ACGTGTCAGTAC" * 10).encode()
+    codes = jnp.asarray(K.encode_ascii(seq, Alphabet.DNA))[None, :]
+    h_lex, v_lex = K.hashed_kmers(codes, 7, w=15)
+    h_ent, v_ent = K.hashed_kmers(codes, 7, w=15, entropy_min=True)
+    # both produce selections; entmin is a valid mask over same positions
+    assert np.asarray(v_ent).sum() > 0
+    assert np.asarray(v_lex).sum() > 0
