@@ -12,9 +12,16 @@ nevertheless operate on u32 limb pairs so nothing depends on TPU f64/u64
 emulation being fast.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Some containers pin a TPU plugin via sitecustomize in a way that wins over
+# the JAX_PLATFORMS env var; re-assert the user's explicit platform choice.
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
 from . import enums  # noqa: E402
 from .enums import (  # noqa: E402

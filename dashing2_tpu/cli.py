@@ -1,0 +1,379 @@
+"""dashing2-compatible command-line interface.
+
+Subcommands and flag surface mirror the reference
+(/root/reference/src/options.h:63-171 SHARED_OPTS, src/d2.cpp:115-151,
+src/sketch_main.cpp, src/cmp_main.cpp). Flags keep their reference names so
+existing invocations port directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .config import Dashing2DistOptions
+from .enums import (Alphabet, DataType, KmerSketchResultType, Measure,
+                    OutputFormat, OutputKind, SketchSpace)
+from .io import formats
+from .result import SketchingResult
+
+
+def _add_shared(p: argparse.ArgumentParser) -> None:
+    p.add_argument("paths", nargs="*", help="input files")
+    p.add_argument("-F", "--ffile", help="read input paths from file")
+    p.add_argument("-Q", "--qfile", help="query paths (panel mode)")
+    p.add_argument("-p", "--threads", type=int, default=0)
+    p.add_argument("-S", "--sketchsize", type=int, default=1024)
+    p.add_argument("-L", "--sketch-size-l2", type=int, dest="ssl2")
+    p.add_argument("--cmpout", "--distout", "--cmp-outfile", dest="cmpout")
+    p.add_argument("--outprefix", "--prefix", dest="outprefix", default="")
+    p.add_argument("-K", "--topk", "--top-k", dest="topk", type=int)
+    p.add_argument("-T", "--similarity-threshold", dest="simthresh",
+                   type=float)
+    p.add_argument("--greedy", type=str)
+    p.add_argument("--fastcmp", "--regsize", "--regbytes", dest="fastcmp",
+                   type=float)
+    p.add_argument("--fastcmp-bytes", action="store_true")
+    p.add_argument("--fastcmp-shorts", action="store_true")
+    p.add_argument("--fastcmp-words", action="store_true")
+    p.add_argument("--bbit-sigs", action="store_true")
+    p.add_argument("-c", "--countsketch-size", "--countmin-size",
+                   dest="cssize", type=int, default=0)
+    p.add_argument("-k", "--kmer-length", dest="k", type=int, default=31)
+    p.add_argument("-w", "--window-size", dest="w", type=int, default=-1)
+    p.add_argument("-o", "--outfile")
+    p.add_argument("-m", "--count-threshold", "--threshold",
+                   dest="count_threshold", type=float, default=0)
+    p.add_argument("--binary-output", "--emit-binary", "--binary",
+                   dest="binary_output", action="store_true")
+    p.add_argument("-P", "--prob", "--probs", "--pminhash", "--pmh",
+                   "--probminhash", dest="prob", action="store_true")
+    p.add_argument("-B", "--multiset", "--bagminhash", "--bmh",
+                   dest="multiset", action="store_true")
+    p.add_argument("--bed", action="store_true")
+    p.add_argument("--bigwig", action="store_true")
+    p.add_argument("--leafcutter", action="store_true")
+    p.add_argument("-E", "--edit-distance", dest="edit_distance",
+                   action="store_true")
+    p.add_argument("--intersection", "--intersection-size", dest="isz",
+                   action="store_true")
+    p.add_argument("--union-size", dest="usz", action="store_true")
+    p.add_argument("--mash-distance", "--distance", "--poisson-distance",
+                   dest="mashdist", action="store_true")
+    p.add_argument("--compute-edit-distance", dest="compute_edit",
+                   action="store_true")
+    p.add_argument("--symmetric-containment", dest="symcontain",
+                   action="store_true")
+    p.add_argument("--containment", action="store_true")
+    p.add_argument("-H", "--set", dest="mmer_set", action="store_true")
+    p.add_argument("-J", "--countdict", action="store_true")
+    p.add_argument("-G", "--seq", dest="mmer_seq", action="store_true")
+    p.add_argument("-2", "--128bit", "--long-kmers", dest="use128",
+                   action="store_true")
+    p.add_argument("--phylip", action="store_true")
+    p.add_argument("--asymmetric-all-pairs", "--asymmetric", "--square",
+                   dest="asym", action="store_true")
+    p.add_argument("-s", "--save-kmers", dest="save_kmers",
+                   action="store_true")
+    p.add_argument("-N", "--save-kmercounts", dest="save_kmercounts",
+                   action="store_true")
+    p.add_argument("--hp-compress", dest="hpcompress", action="store_true")
+    p.add_argument("--refine-exact", dest="refine_exact",
+                   action="store_true")
+    p.add_argument("-Z", "--oneperm-setsketch", "--oneperm", "--one-perm",
+                   "--oph", "--doph", dest="oneperm", action="store_true")
+    p.add_argument("--full", "--full-setsketch", dest="full",
+                   action="store_true")
+    p.add_argument("--normalize-intervals", dest="normalize_intervals",
+                   action="store_true")
+    p.add_argument("--protein", "--protein20", "--enable-protein",
+                   dest="protein", action="store_true")
+    p.add_argument("--protein6", action="store_true")
+    p.add_argument("--protein8", action="store_true")
+    p.add_argument("--protein14", action="store_true")
+    p.add_argument("--downsample", type=float, default=1.0)
+    p.add_argument("-W", "--cache", "--cache-sketches", dest="cache",
+                   action="store_true")
+    p.add_argument("-C", "--no-canon", dest="nocanon", action="store_true")
+    p.add_argument("--exact-kmer-dist", dest="exact_kmer_dist",
+                   action="store_true")
+    p.add_argument("--spacing", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--filterset", default="")
+    p.add_argument("--parse-by-seq", dest="parse_by_seq",
+                   action="store_true")
+    p.add_argument("--batch-size", dest="batch_size", type=int, default=0)
+    p.add_argument("--nlsh", "--nLSH", dest="nlsh", type=int, default=2)
+    p.add_argument("--entmin", action="store_true")
+    p.add_argument("--by-chrom", dest="by_chrom", action="store_true")
+    p.add_argument("--sig-ram-limit", dest="sig_ram_limit", type=int)
+    p.add_argument("--maxcand", type=int, default=-1)
+    p.add_argument("--setsketch-ab", dest="setsketch_ab")
+    p.add_argument("--pairlist")
+    p.add_argument("--seqs-in-ram", dest="seqs_in_ram", action="store_true")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+
+
+def _build_opts(a: argparse.Namespace, presketched: bool = False
+                ) -> Dashing2DistOptions:
+    sketchsize = (1 << a.ssl2) if a.ssl2 else a.sketchsize
+    sspace = SketchSpace.SPACE_SET
+    kres = KmerSketchResultType.ONE_PERM
+    if a.multiset:
+        sspace = SketchSpace.SPACE_MULTISET
+        kres = KmerSketchResultType.FULL_SETSKETCH
+    if a.prob:
+        sspace = SketchSpace.SPACE_PSET
+        kres = KmerSketchResultType.FULL_SETSKETCH
+    if a.edit_distance:
+        sspace = SketchSpace.SPACE_EDIT_DISTANCE
+    if a.full:
+        kres = KmerSketchResultType.FULL_SETSKETCH
+        if not (a.multiset or a.prob):
+            sspace = SketchSpace.SPACE_SET
+    if a.oneperm:
+        kres = KmerSketchResultType.ONE_PERM
+    if a.mmer_set:
+        kres = KmerSketchResultType.FULL_MMER_SET
+    if a.countdict:
+        kres = KmerSketchResultType.FULL_MMER_COUNTDICT
+    if a.mmer_seq:
+        kres = KmerSketchResultType.FULL_MMER_SEQUENCE
+
+    dtype = DataType.FASTX
+    if a.bed:
+        dtype = DataType.BED
+    elif a.bigwig:
+        dtype = DataType.BIGWIG
+    elif a.leafcutter:
+        dtype = DataType.LEAFCUTTER
+
+    alphabet = Alphabet.DNA
+    if a.protein:
+        alphabet = Alphabet.PROTEIN20
+    elif a.protein6:
+        alphabet = Alphabet.PROTEIN_6
+    elif a.protein8:
+        alphabet = Alphabet.PROTEIN_3BIT
+    elif a.protein14:
+        alphabet = Alphabet.PROTEIN_14
+
+    measure = Measure.SIMILARITY
+    if a.isz:
+        measure = Measure.INTERSECTION
+    if a.usz:
+        measure = Measure.UNION_SIZE
+    if a.mashdist:
+        measure = Measure.POISSON_LLR
+    if a.symcontain:
+        measure = Measure.SYMMETRIC_CONTAINMENT
+    if a.containment:
+        measure = Measure.CONTAINMENT
+    if a.compute_edit:
+        measure = Measure.M_EDIT_DISTANCE
+
+    kind = OutputKind.SYMMETRIC_ALL_PAIRS
+    if a.phylip:
+        kind = OutputKind.PHYLIP
+    if a.asym:
+        kind = OutputKind.ASYMMETRIC_ALL_PAIRS
+    if a.qfile:
+        kind = OutputKind.PANEL
+    num_neighbors = -1
+    min_sim = -1.0
+    exhaustive_dedup = fasta_dedup = False
+    if a.topk is not None:
+        kind = OutputKind.KNN_GRAPH
+        num_neighbors = a.topk
+    if a.simthresh is not None:
+        kind = OutputKind.NN_GRAPH_THRESHOLD
+        min_sim = a.simthresh
+    if a.greedy is not None:
+        kind = OutputKind.DEDUP
+        g = a.greedy
+        gv = ""
+        for ch in g:
+            if ch.lower() == "e":
+                exhaustive_dedup = True
+            elif ch.lower() == "f":
+                fasta_dedup = True
+            else:
+                gv += ch
+        min_sim = float(gv)
+
+    fd = a.fastcmp if a.fastcmp is not None else 8.0
+    ca = cb = -1.0
+    if a.fastcmp_bytes:
+        ca, cb, fd = 20.0, 1.2, 1.0
+    if a.fastcmp_shorts:
+        ca, cb, fd = 0.06, 1.0005, 2.0
+    if a.fastcmp_words:
+        ca, cb, fd = 19.77, 1.0000000109723500835, 4.0
+    if a.setsketch_ab:
+        pa, pb = a.setsketch_ab.split(",")
+        ca, cb = float(pa), float(pb)
+
+    opts = Dashing2DistOptions(
+        k=a.k, w=a.w, alphabet=alphabet, sspace=sspace, dtype=dtype,
+        use128=a.use128, spacing=a.spacing, canonicalize=not a.nocanon,
+        kmer_result=kres, parse_by_seq=a.parse_by_seq,
+        sketchsize=sketchsize, count_threshold=a.count_threshold,
+        cssize=a.cssize, save_kmers=a.save_kmers,
+        save_kmercounts=a.save_kmercounts,
+        homopolymer_compress_minimizers=a.hpcompress,
+        cache_sketches=a.cache, outprefix=a.outprefix,
+        kmer_downsample_frac=a.downsample, seedseed=a.seed,
+        fd_level=fd, truncation_method=1 if a.bbit_sigs else 0,
+        nthreads=a.threads, compressed_a=ca, compressed_b=cb,
+        entmin=a.entmin, filterset_path=a.filterset,
+        verbosity=a.verbose, bed_normalize=a.normalize_intervals,
+        by_chrom=a.by_chrom, fasta_dedup=fasta_dedup,
+        exhaustive_dedup=exhaustive_dedup,
+        output_kind=kind,
+        output_format=(OutputFormat.MACHINE_READABLE if a.binary_output
+                       else OutputFormat.HUMAN_READABLE),
+        num_neighbors=num_neighbors, min_similarity=min_sim,
+        measure=measure, outfile_path=a.cmpout or "",
+        exact_kmer_dist=a.exact_kmer_dist, refine_exact=a.refine_exact,
+        cmp_batch_size=a.batch_size, nLSH=a.nlsh, maxcand=a.maxcand,
+    )
+    return opts
+
+
+def _collect_inputs(a: argparse.Namespace) -> List[str]:
+    groups: List[str] = list(a.paths)
+    if a.ffile:
+        with open(a.ffile) as f:
+            groups.extend(line.rstrip("\n") for line in f if line.strip())
+    nq = 0
+    if a.qfile:
+        with open(a.qfile) as f:
+            qgroups = [line.rstrip("\n") for line in f if line.strip()]
+        groups.extend(qgroups)
+        nq = len(qgroups)
+    return groups, nq
+
+
+def _do_sketch(opts: Dashing2DistOptions, groups: List[str], nq: int
+               ) -> SketchingResult:
+    from .sketch.core import sketch_fastx
+    if opts.dtype == DataType.FASTX:
+        result = sketch_fastx(opts, groups)
+    else:
+        from .sketch import intervals
+        if opts.dtype == DataType.BED:
+            result = intervals.sketch_bed(opts, groups)
+        elif opts.dtype == DataType.BIGWIG:
+            result = intervals.sketch_bigwig(opts, groups)
+        else:
+            result = intervals.sketch_leafcutter(opts, groups)
+    result.nq = nq
+    return result
+
+
+def _write_outputs(opts: Dashing2DistOptions, a, result: SketchingResult
+                   ) -> None:
+    if a.outfile:
+        if opts.kmer_result == KmerSketchResultType.FULL_MMER_SEQUENCE:
+            formats.write_mmer_sequences(
+                a.outfile, result.mmer_sequences, opts.k, opts.w,
+                opts.alphabet, opts.canonicalize)
+            formats.write_names_file(a.outfile + ".names.txt", result.names,
+                                     result.cardinalities)
+        elif result.signatures is not None:
+            formats.write_stacked_signatures(
+                a.outfile, result.cardinalities, result.signatures,
+                result.names)
+            if result.kmers is not None:
+                formats.write_kmer_db(a.outfile + ".kmer64", result.kmers,
+                                      opts.k, opts.w, opts.alphabet,
+                                      opts.canonicalize, opts.seedseed)
+            if result.kmercounts is not None:
+                result.kmercounts.astype(np.float64).tofile(
+                    a.outfile + ".kmercounts.f64")
+
+
+def _do_cmp(opts: Dashing2DistOptions, result: SketchingResult) -> None:
+    from .cmp.core import pairwise_matrix
+    from .io.emitters import emit_rectangular
+    if opts.output_kind in (OutputKind.KNN_GRAPH,
+                            OutputKind.NN_GRAPH_THRESHOLD,
+                            OutputKind.DEDUP):
+        from .cmp.graph import neighbor_graph_main
+        neighbor_graph_main(opts, result)
+        return
+    emit_rectangular(opts, result, pairwise_matrix(opts, result))
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    top = argparse.ArgumentParser(prog="dashing2-tpu")
+    sub = top.add_subparsers(dest="command", required=True)
+    ps = sub.add_parser("sketch", help="sketch inputs (and optionally compare)")
+    _add_shared(ps)
+    pc = sub.add_parser("cmp", aliases=["dist"], help="compare inputs")
+    _add_shared(pc)
+    pc.add_argument("--presketched", action="store_true")
+    pw = sub.add_parser("wsketch", help="sketch pre-aggregated weighted sets")
+    pw.add_argument("wargs", nargs="*")
+    pw.add_argument("-S", "--sketchsize", type=int, default=1024)
+    pw.add_argument("-o", "--outfile", default="")
+    pw.add_argument("-P", "--prob", action="store_true")
+    pw.add_argument("--u32", action="store_true",
+                    help="ids are 32-bit")
+    pw.add_argument("--f32", action="store_true",
+                    help="weights are 32-bit floats")
+    pcon = sub.add_parser("contain", help="screen queries against a k-mer db")
+    _add_shared(pcon)
+    ppm = sub.add_parser("printmin", help="print minimizer sequences")
+    ppm.add_argument("minfile")
+    a = top.parse_args(argv)
+
+    if a.command == "wsketch":
+        from .sketch.wsketch import wsketch_main
+        return wsketch_main(a)
+    if a.command == "contain":
+        from .cmp.contain import contain_main
+        return contain_main(a)
+    if a.command == "printmin":
+        from .io.printmin import printmin_main
+        return printmin_main(a.minfile)
+
+    groups, nq = _collect_inputs(a)
+    presketched = getattr(a, "presketched", False)
+    opts = _build_opts(a, presketched)
+    if a.command in ("cmp", "dist") and not opts.outfile_path:
+        opts.outfile_path = "/dev/stdout"
+
+    if presketched:
+        result = SketchingResult()
+        cards_all = []
+        sig_rows = []
+        for path in groups:
+            cards, sigs = formats.read_stacked_signatures(path)
+            try:
+                names, _ = formats.read_names_file(path + ".names.txt")
+            except OSError:
+                names = [f"{path}:{i}" for i in range(len(cards))]
+            result.names.extend(names)
+            cards_all.append(cards)
+            sig_rows.append(sigs)
+        result.cardinalities = np.concatenate(cards_all)
+        result.signatures = np.vstack(sig_rows)
+        result.nq = nq
+    else:
+        if not groups:
+            top.error("no input files")
+        result = _do_sketch(opts, groups, nq)
+        _write_outputs(opts, a, result)
+
+    if a.command in ("cmp", "dist") or opts.outfile_path:
+        _do_cmp(opts, result)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

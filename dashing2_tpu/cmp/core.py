@@ -1,0 +1,216 @@
+"""Comparison core: densify -> compress -> tiled device counts -> measures.
+
+Reference: cmp_core (/root/reference/src/cmp_core.cpp:615-812) and
+make_compressed (:209-322). Instead of the reference's per-pair compare()
+inside an OpenMP loop, whole row-blocks of the register matrix flow through
+the tiled device kernels (ops/cmp_kernels) and the measure transforms run
+vectorized on the count matrices (cmp/estimators).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .. import hashing as H
+from ..config import Dashing2DistOptions
+from ..enums import KmerSketchResultType, Measure, SketchSpace
+from ..ops import cmp_kernels as CK
+from ..ops import sketch_kernels as SK
+from ..result import SketchingResult
+from . import estimators as E
+
+# q values per register width for setsketch quantization
+# (cmp_core.cpp:248)
+_QLUT = {1.0: 254.3, 2.0: 65534.0, 4.0: 4294967294.0,
+         8.0: 18446744073709551615.0, 0.5: 15.4}
+
+_BBIT_SHIFT = {1.0: 58, 2.0: 48, 4.0: 32, 8.0: 0}
+
+
+@dataclasses.dataclass
+class CompressedReps:
+    data: Optional[np.ndarray]   # (N, m) small-int regs or (N, m/2) packed nibbles
+    a: float = -1.0
+    b: float = -1.0
+    truncation: int = 0
+    nibble_packed: bool = False
+
+
+def make_compressed(opts: Dashing2DistOptions, sigs: np.ndarray,
+                    kmers: Optional[np.ndarray]) -> CompressedReps:
+    """Quantize/truncate f64 signatures to fd_level-byte registers
+    (cmp_core.cpp:209-322)."""
+    fd = opts.fd_level
+    if fd >= 8.0 and not opts.sketch_compressed_set:
+        return CompressedReps(data=None)
+    if opts.sketch_compressed_set:
+        # signatures were sketched directly into quantized registers
+        return CompressedReps(data=sigs, a=opts.compressed_a,
+                              b=opts.compressed_b,
+                              truncation=opts.truncation_method)
+    nsigs = sigs.size
+    if opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE:
+        # OMH registers are u64 hashes stored in the signature slot; take
+        # low bytes (cmp_core.cpp:228-245)
+        sptr = sigs.view(np.uint64).reshape(sigs.shape)
+        if fd == 0.5:
+            flat = sptr.reshape(-1)
+            packed = ((flat[0::2] & np.uint64(0xF))
+                      | ((flat[1::2] & np.uint64(0xF)) << np.uint64(4)))
+            return CompressedReps(packed.astype(np.uint8).reshape(
+                sigs.shape[0], -1), truncation=1, nibble_packed=True)
+        dt = {1.0: np.uint8, 2.0: np.uint16, 4.0: np.uint32,
+              8.0: np.uint64}[fd]
+        return CompressedReps(sptr.astype(dt), truncation=1)
+    if opts.truncation_method <= 0:
+        q = _QLUT[fd]
+        a, b = opts.compressed_a, opts.compressed_b
+        if a <= 0 or b <= 0:
+            flat = sigs.reshape(-1)
+            live = (flat > 0) & (flat != np.finfo(np.float64).max)
+            if not live.any():
+                raise ValueError("no live registers to calibrate a/b")
+            minreg = float(flat[live].min())
+            maxreg = float(flat[live].max())
+            b, a = E.optimal_parameters(minreg, maxreg, q)
+        if a == 0.0 or np.isinf(b):
+            bb = dataclasses.replace(opts, truncation_method=1)
+            return make_compressed(bb, sigs, kmers)
+        logbinv = 1.0 / np.log1p(b - 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sub = 1.0 - np.log(sigs / a) * logbinv
+        if fd == 0.5:
+            v = np.clip(sub, 0, int(q) + 1).astype(np.int64)
+            flat = v.reshape(-1)
+            packed = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
+            return CompressedReps(packed.reshape(sigs.shape[0], -1), a=a,
+                                  b=b, truncation=0, nibble_packed=True)
+        if fd == 8.0:
+            v = np.minimum(np.where(sub < 0, np.uint64(0xFFFFFFFFFFFFFFFF),
+                                    sub.astype(np.uint64)),
+                           np.uint64(0xFFFFFFFFFFFFFFFF))
+            return CompressedReps(v, a=a, b=b, truncation=0)
+        dt = {1.0: np.uint8, 2.0: np.uint16, 4.0: np.uint32}[fd]
+        v = np.clip(np.nan_to_num(sub, nan=0.0, posinf=q + 1, neginf=0.0),
+                    0, int(q) + 1).astype(np.int64)
+        return CompressedReps(v.astype(dt), a=a, b=b, truncation=0)
+    # b-bit truncation (cmp_core.cpp:293-320)
+    if kmers is not None and kmers.size == nsigs:
+        sig64 = H.wanghash(kmers.astype(np.uint64))
+    else:
+        sig64 = H.reg2sig(sigs.view(np.uint64).reshape(sigs.shape))
+    if fd == 0.5:
+        flat = sig64.reshape(-1)
+        packed = ((flat[0::2] & np.uint64(0xF))
+                  | ((flat[1::2] & np.uint64(0xF)) << np.uint64(4)))
+        return CompressedReps(packed.astype(np.uint8).reshape(
+            sigs.shape[0], -1), truncation=1, nibble_packed=True)
+    shift = _BBIT_SHIFT[fd]
+    shifted = sig64 >> np.uint64(shift)
+    dt = {1.0: np.uint8, 2.0: np.uint16, 4.0: np.uint32, 8.0: np.uint64}[fd]
+    return CompressedReps(shifted.astype(dt), truncation=1)
+
+
+# ----------------------------------------------------------------------
+# pairwise matrix computation
+# ----------------------------------------------------------------------
+
+def _prep(opts: Dashing2DistOptions, result: SketchingResult
+          ) -> Tuple[CompressedReps, SketchingResult]:
+    if opts.kmer_result == KmerSketchResultType.ONE_PERM and \
+            result.signatures is not None:
+        kmers = result.kmers
+        for i in range(result.signatures.shape[0]):
+            row, _ = SK.oph_densify(
+                result.signatures[i],
+                kmers[i] if kmers is not None else None)
+            result.signatures[i] = row
+    creps = (make_compressed(opts, result.signatures, result.kmers)
+             if result.signatures is not None else CompressedReps(data=None))
+    return creps, result
+
+
+def _count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
+                    creps: CompressedReps, rows: np.ndarray,
+                    cols: np.ndarray):
+    """Compute (eq, gt, lt) int32 count matrices for row-index arrays
+    rows x cols. Only the matrices the estimator needs are non-None."""
+    m = opts.sketchsize
+    if creps.data is not None:
+        A = creps.data[rows]
+        B = creps.data[cols]
+        if creps.nibble_packed:
+            if creps.truncation > 0:
+                return np.asarray(CK.count_eq_nibbles(A, B)), None, None
+            gt, lt = CK.count_gtlt_nibbles(A, B)
+            return None, np.asarray(gt), np.asarray(lt)
+        if creps.truncation > 0:
+            return np.asarray(CK.count_eq(A, B)), None, None
+        gt, lt = CK.count_gtlt(A, B)
+        return None, np.asarray(gt), np.asarray(lt)
+    # full-register path
+    sigs = result.signatures
+    use_kmers = (result.kmers is not None
+                 and result.kmers.size == sigs.size
+                 and not (opts.sspace == SketchSpace.SPACE_SET
+                          and opts.truncation_method <= 0))
+    if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
+        u = CK.f64_to_ordered_u64(sigs)
+        gt, lt = CK.count_gtlt(u[rows], u[cols])
+        return None, np.asarray(gt), np.asarray(lt)
+    src = result.kmers if use_kmers else sigs.view(np.uint64).reshape(sigs.shape)
+    eq = CK.count_eq(src[rows], src[cols])
+    return np.asarray(eq), None, None
+
+
+def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
+                   creps: CompressedReps, rows: np.ndarray,
+                   cols: np.ndarray) -> np.ndarray:
+    """The full compare() dispatch for a block of pairs -> f32 matrix."""
+    m = opts.sketchsize
+    cards = result.cardinalities
+    lh = cards[rows]
+    rh = cards[cols]
+    msr = opts.measure
+    k = opts.k
+    if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
+        from .wcompare import exact_intersections
+        isz = exact_intersections(result, rows, cols)
+        return E.exact_measures(isz, lh, rh, msr, k).astype(np.float32)
+    eq, gt, lt = _count_matrices(opts, result, creps, rows, cols)
+    if creps.data is not None:
+        if creps.truncation > 0:
+            out = E.bbit_measures(eq, m, opts.fd_level, lh, rh, msr, k)
+        else:
+            out = E.compressed_ab_measures(gt, lt, m, creps.b,
+                                           opts.fd_level, lh, rh, msr, k)
+    elif gt is not None:
+        out = E.full_setsketch_measures(gt, lt, m, lh, rh, msr, k)
+    else:
+        out = E.equality_measures(eq, m, lh, rh, msr, k)
+    return out.astype(np.float32)
+
+
+def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
+                    block: int = 1024) -> Iterator[Tuple[int, np.ndarray]]:
+    """Yield (first_row_index, block measure matrix f32) covering all rows.
+
+    PANEL: rows = references [0, nf), columns = queries [nf, n).
+    Otherwise: full n x n (symmetric emitters slice the upper triangle).
+    """
+    creps, result = _prep(opts, result)
+    n = result.n if result.names else len(result.cardinalities)
+    nq = result.nqueries()
+    nf = n - nq
+    if nq:
+        cols = np.arange(nf, n)
+        row_end = nf
+    else:
+        cols = np.arange(n)
+        row_end = n
+    for start in range(0, row_end, block):
+        rows = np.arange(start, min(start + block, row_end))
+        yield start, _measure_block(opts, result, creps, rows, cols)

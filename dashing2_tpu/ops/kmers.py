@@ -101,21 +101,36 @@ def encode_ascii(seq: bytes | np.ndarray, alphabet: Alphabet) -> np.ndarray:
 # ----------------------------------------------------------------------
 
 
+def chunk_halos(k: int, w: int = 0) -> Tuple[int, int]:
+    """(left, right) halo widths in bases for chunking.
+
+    Left halo makes every k-mer owned by exactly one chunk; with window
+    minimizers (w > k) both halos grow so every owned k-mer position sees
+    ALL windows that contain it (a window covering position p spans bases
+    [p - (w-k), p + w - 1]), making the selection decision identical to the
+    unchunked computation.
+    """
+    if w > k:
+        return w - 1, w - 1
+    return k - 1, 0
+
+
 def chunk_codes(code_arrays: Sequence[np.ndarray], k: int,
                 chunk_len: int = 1 << 16,
                 w: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Pack per-sequence code arrays into fixed-shape chunks with halo.
+    """Pack per-sequence code arrays into fixed-shape chunks with halos.
 
-    Each chunk carries ``halo = k - 1 + max(w - k, 0)`` extra leading bases
-    from its predecessor so every k-mer (and every full minimizer window)
-    is contained in exactly one chunk's "owned" region. Positions between
-    sequences are padded with INVALID, which kills any k-mer spanning the
-    junction.
+    Each chunk owns base positions [start, start + chunk_len) of its
+    sequence and carries (left, right) halo context (see chunk_halos) so
+    that k-mer extraction and minimizer selection inside the owned region
+    are exact. Out-of-sequence positions are padded with INVALID, which
+    kills any k-mer spanning the junction. Emitted k-mers must be masked
+    to the owned range (owned_kmer_range) to avoid boundary duplicates.
 
-    Returns (chunks uint8 (n, chunk_len + halo), nvalid_hint int64 (n,)).
+    Returns (chunks uint8 (n, left + chunk_len + right), nrows dummy).
     """
-    halo = k - 1 + max(w - k, 0)
-    width = chunk_len + halo
+    h_l, h_r = chunk_halos(k, w)
+    width = chunk_len + h_l + h_r
     rows: List[np.ndarray] = []
     for codes in code_arrays:
         L = len(codes)
@@ -123,10 +138,10 @@ def chunk_codes(code_arrays: Sequence[np.ndarray], k: int,
             continue
         start = 0
         while start < L - (k - 1):
-            lo = start - halo
+            lo = start - h_l
             pad_left = max(0, -lo)
             lo = max(lo, 0)
-            hi = min(start + chunk_len, L)
+            hi = min(start + chunk_len + h_r, L)
             row = np.full(width, INVALID, dtype=np.uint8)
             seg = codes[lo:hi]
             row[pad_left:pad_left + len(seg)] = seg
@@ -137,6 +152,13 @@ def chunk_codes(code_arrays: Sequence[np.ndarray], k: int,
                 np.zeros(1, dtype=np.int64))
     chunks = np.stack(rows)
     return chunks, np.full(len(rows), width, dtype=np.int64)
+
+
+def owned_kmer_range(k: int, w: int, chunk_len: int) -> Tuple[int, int]:
+    """Local k-mer index range [lo, hi) a chunk owns (mask everything
+    else to avoid boundary duplicates)."""
+    h_l, _ = chunk_halos(k, w)
+    return h_l, h_l + chunk_len
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,156 @@
+"""Device-resident all-pairs similarity pipelines, single- and multi-chip.
+
+Single chip: the full gtlt-count + SetSketch-estimator pipeline as one
+jittable function (registers as uint64 bit patterns — see
+ops/cmp_kernels docstring for why this is exact).
+
+Multi-chip (the reference has NO distributed backend — SURVEY §2.4 row
+"Distributed": this is a new component): a 1-D mesh where
+
+* sketch construction is data-parallel over sequence chunks; partial
+  registers merge across devices with a min-collective (sketch merge is
+  elementwise min, setsketch.h:432-448), and
+* the N x N comparison matrix is computed as device-owned row blocks
+  against the all-gathered register matrix (sketches are tiny: m * 8 bytes
+  per genome, so the all-gather rides ICI cheaply and each chip does
+  N/D x N of the N^2 work with zero further communication).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .. import hashing as H
+from ..ops import hashes as DH
+
+
+def _split(x):
+    x = x.astype(jnp.uint64)
+    return (x >> jnp.uint64(32)).astype(jnp.uint32), x.astype(jnp.uint32)
+
+
+def _gtlt_block(a: jnp.ndarray, b: jnp.ndarray, tm: int = 16
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(gt, lt) int32 counts for u64 register rows a (Na, m) vs b (Nb, m),
+    scanning row tiles of a to bound the broadcast intermediate."""
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    na = a.shape[0]
+    pad = (-na) % tm
+    if pad:
+        zh = jnp.zeros((pad, a.shape[1]), jnp.uint32)
+        ah = jnp.concatenate([ah, zh])
+        al = jnp.concatenate([al, zh])
+    nt = ah.shape[0] // tm
+    ah_t = ah.reshape(nt, tm, -1)
+    al_t = al.reshape(nt, tm, -1)
+
+    def body(_, tile):
+        th, tl = tile
+        hi_eq = th[:, None, :] == bh[None, :, :]
+        gt = ((th[:, None, :] > bh[None, :, :]) |
+              (hi_eq & (tl[:, None, :] > bl[None, :, :]))
+              ).sum(-1, dtype=jnp.int32)
+        lt = ((th[:, None, :] < bh[None, :, :]) |
+              (hi_eq & (tl[:, None, :] < bl[None, :, :]))
+              ).sum(-1, dtype=jnp.int32)
+        return None, (gt, lt)
+
+    _, (gts, lts) = jax.lax.scan(body, None, (ah_t, al_t))
+    gt = gts.reshape(nt * tm, -1)[:na]
+    lt = lts.reshape(nt * tm, -1)[:na]
+    return gt, lt
+
+
+def _similarity_epilogue(gt, lt, m: int, lh, rh):
+    """Full-register SetSketch similarity (cmp_core.cpp:458-480) in f32."""
+    invm = 1.0 / m
+    alpha = gt.astype(jnp.float32) * invm
+    beta = lt.astype(jnp.float32) * invm
+    eq = 1.0 - alpha - beta
+    return jnp.maximum(eq, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def device_similarity(sigs_u64: jnp.ndarray, cards: jnp.ndarray, *, m: int
+                      ) -> jnp.ndarray:
+    """Single-chip all-pairs similarity matrix (f32, N x N)."""
+    gt, lt = _gtlt_block(sigs_u64, sigs_u64)
+    return _similarity_epilogue(gt, lt, m, cards[:, None], cards[None, :])
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("rows",))
+
+
+def sharded_similarity(mesh: Mesh, sigs_u64: jnp.ndarray,
+                       cards: jnp.ndarray) -> jnp.ndarray:
+    """Row-sharded all-pairs: each device owns N/D rows, compares against
+    the replicated full register matrix. Output sharded by rows."""
+    m = sigs_u64.shape[1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("rows", None), P(None, None), P("rows"), P(None)),
+        out_specs=P("rows", None))
+    def step(a_blk, b_all, lh_blk, rh_all):
+        gt, lt = _gtlt_block(a_blk, b_all)
+        return _similarity_epilogue(gt, lt, m, lh_blk[:, None],
+                                    rh_all[None, :])
+
+    return jax.jit(step)(sigs_u64, sigs_u64, cards, cards)
+
+
+def sharded_pipeline_step(mesh: Mesh, hashed: jnp.ndarray,
+                          valid: jnp.ndarray, seq_ids: jnp.ndarray,
+                          *, nseqs: int, m: int) -> jnp.ndarray:
+    """Full sharded step: data-parallel OPH sketching over the k-mer
+    stream (min-collective register merge over ICI) followed by
+    row-sharded all-pairs comparison. This is the multi-chip "training
+    step" analogue driven by __graft_entry__.dryrun_multichip.
+
+    hashed/valid/seq_ids: flat k-mer stream, sharded along its length.
+    Returns the (nseqs, nseqs) similarity matrix (row-sharded).
+    """
+    oph_seed = H.mt19937_64_first(H.OPH_DEFAULT_SEED)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows")),
+        out_specs=P(None, None), check_vma=False)
+    def sketch_shard(h, v, sid):
+        ids = DH.wanghash(h ^ jnp.uint64(oph_seed ^ H.CEIXOR_OPH))
+        idx = (ids % jnp.uint64(m)).astype(jnp.int32)
+        seg = jnp.where(v, sid * m + idx, nseqs * m)
+        regs = jax.ops.segment_min(ids, seg, num_segments=nseqs * m + 1)
+        regs = regs[:nseqs * m].reshape(nseqs, m)
+        # min-merge partial registers across devices. TPU all-reduce only
+        # lowers sum, so all-gather over ICI then reduce locally (the
+        # gathered tensor is tiny: D x nseqs x m u64).
+        gathered = jax.lax.all_gather(regs, axis_name="rows")
+        return jnp.min(gathered, axis=0)
+
+    regs = jax.jit(sketch_shard)(hashed, valid, seq_ids)
+
+    # log-transform registers to signatures on device (oph_to_sigs math)
+    maxv = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    empty = regs == maxv
+    nempty = empty.sum(axis=1, keepdims=True)
+    mul = -1.0 / jnp.maximum(m - nempty, 1).astype(jnp.float64)
+    delta = (maxv - regs) + jnp.uint64(1)
+    sigs = jnp.where(
+        empty | (regs == 0), 0.0,
+        mul * jnp.log(delta.astype(jnp.float64) * (2.0 ** -64)))
+    sig_bits = jax.lax.bitcast_convert_type(sigs, jnp.uint64)
+    cards = (m * m) / jnp.maximum(
+        (regs.astype(jnp.float64) * 2.0 ** -64).sum(axis=1), 1e-300)
+    return sharded_similarity(mesh, sig_bits, cards.astype(jnp.float32))

@@ -1,0 +1,82 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dashing2_tpu.ops import cmp_kernels as CK
+
+
+def naive_counts(a, b):
+    N, M = a.shape[0], b.shape[0]
+    eq = np.zeros((N, M), np.int32)
+    gt = np.zeros((N, M), np.int32)
+    lt = np.zeros((N, M), np.int32)
+    for i in range(N):
+        for j in range(M):
+            eq[i, j] = (a[i] == b[j]).sum()
+            gt[i, j] = (a[i] > b[j]).sum()
+            lt[i, j] = (a[i] < b[j]).sum()
+    return eq, gt, lt
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.uint32, np.uint64])
+def test_counts_match_naive(dtype):
+    rng = np.random.default_rng(hash(dtype.__name__) % 100)
+    hi = 8 if dtype == np.uint8 else 1000
+    a = rng.integers(0, hi, size=(37, 96)).astype(dtype)
+    b = rng.integers(0, hi, size=(45, 96)).astype(dtype)
+    eq_n, gt_n, lt_n = naive_counts(a, b)
+    eq = np.asarray(CK.count_eq(a, b, tm=16, tn=16))
+    gt, lt = CK.count_gtlt(a, b, tm=16, tn=16)
+    assert np.array_equal(eq, eq_n)
+    assert np.array_equal(np.asarray(gt), gt_n)
+    assert np.array_equal(np.asarray(lt), lt_n)
+
+
+def test_u64_high_bit_ordering():
+    # values straddling the 2^63 boundary must order as unsigned
+    a = np.array([[1, 1 << 63, (1 << 64) - 1]], dtype=np.uint64)
+    b = np.array([[2, 1, 1 << 63]], dtype=np.uint64)
+    gt, lt = CK.count_gtlt(a, b, tm=8, tn=8)
+    assert int(np.asarray(gt)[0, 0]) == 2  # 2^63 > 1, 2^64-1 > 2^63
+    assert int(np.asarray(lt)[0, 0]) == 1  # 1 < 2
+
+
+def test_f64_ordered_bitcast_roundtrip():
+    rng = np.random.default_rng(5)
+    x = np.abs(rng.normal(size=(8, 64))) + 1e-12
+    x[0, 0] = 0.0
+    u = CK.f64_to_ordered_u64(x)
+    # order preserved per register column across rows
+    eq_f, gt_f, lt_f = naive_counts(x, x[::-1])
+    gt, lt = CK.count_gtlt(u, u[::-1], tm=8, tn=8)
+    assert np.array_equal(np.asarray(gt), gt_f)
+    assert np.array_equal(np.asarray(lt), lt_f)
+    eq = np.asarray(CK.count_eq(u, u[::-1], tm=8, tn=8))
+    assert np.array_equal(eq, eq_f)
+    with pytest.raises(ValueError):
+        CK.f64_to_ordered_u64(np.array([-1.0]))
+
+
+def test_nibble_counts():
+    rng = np.random.default_rng(9)
+    na = rng.integers(0, 16, size=(10, 64)).astype(np.uint8)
+    nb = rng.integers(0, 16, size=(12, 64)).astype(np.uint8)
+    packed_a = (na[:, 0::2] | (na[:, 1::2] << 4)).astype(np.uint8)
+    packed_b = (nb[:, 0::2] | (nb[:, 1::2] << 4)).astype(np.uint8)
+    eq_n, gt_n, lt_n = naive_counts(na, nb)
+    eq = np.asarray(CK.count_eq_nibbles(packed_a, packed_b, tm=8, tn=8))
+    assert np.array_equal(eq, eq_n)
+    gt, lt = CK.count_gtlt_nibbles(packed_a, packed_b, tm=8, tn=8)
+    assert np.array_equal(np.asarray(gt), gt_n)
+    assert np.array_equal(np.asarray(lt), lt_n)
+
+
+def test_nonmultiple_tile_padding():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 50, size=(33, 40)).astype(np.uint16)
+    b = rng.integers(0, 50, size=(7, 40)).astype(np.uint16)
+    eq_n, gt_n, lt_n = naive_counts(a, b)
+    assert np.array_equal(np.asarray(CK.count_eq(a, b)), eq_n)
+    gt, lt = CK.count_gtlt(a, b)
+    assert np.array_equal(np.asarray(gt), gt_n)
+    assert np.array_equal(np.asarray(lt), lt_n)

@@ -1,0 +1,169 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dashing2_tpu import hashing as H
+from dashing2_tpu.ops import hashes as DH
+from dashing2_tpu.ops import sketch_kernels as SK
+
+
+def _rand_hashes(n, seed=0):
+    return np.random.default_rng(seed).integers(0, 1 << 64, size=n,
+                                                dtype=np.uint64)
+
+
+def test_oph_matches_scalar_reference():
+    """Replicate oph.h:176-211 streaming semantics in pure Python and
+    compare with the batched segment-min kernel."""
+    m = 64
+    hashed = _rand_hashes(5000, 1)
+    # pure-python reference
+    s = H.mt19937_64_first(H.OPH_DEFAULT_SEED)
+    regs = np.full(m, SK.U64MAX, dtype=np.uint64)
+    counts = np.zeros(m, dtype=np.uint32)
+    for h in hashed:
+        hid = int(H.wanghash(np.uint64(int(h) ^ s ^ H.CEIXOR_OPH)))
+        idx = hid % m
+        if hid < regs[idx]:
+            regs[idx] = hid
+            counts[idx] = 1
+        elif hid == regs[idx]:
+            counts[idx] += 1
+    got_r, got_c = SK.oph_sketch_segments(
+        jnp.asarray(hashed), jnp.ones(len(hashed), bool),
+        jnp.zeros(len(hashed), jnp.int32), nseqs=1, m=m)
+    assert np.array_equal(np.asarray(got_r)[0], regs)
+    assert np.array_equal(np.asarray(got_c)[0], counts)
+
+
+def test_oph_multi_sequence_batching():
+    m = 32
+    h1 = _rand_hashes(1000, 2)
+    h2 = _rand_hashes(800, 3)
+    both = np.concatenate([h1, h2])
+    seq_ids = np.concatenate([np.zeros(1000, np.int32), np.ones(800, np.int32)])
+    r, c = SK.oph_sketch_segments(jnp.asarray(both),
+                                  jnp.ones(len(both), bool),
+                                  jnp.asarray(seq_ids), nseqs=2, m=m)
+    r1, _ = SK.oph_sketch_segments(jnp.asarray(h1), jnp.ones(1000, bool),
+                                   jnp.zeros(1000, jnp.int32), nseqs=1, m=m)
+    r2, _ = SK.oph_sketch_segments(jnp.asarray(h2), jnp.ones(800, bool),
+                                   jnp.zeros(800, jnp.int32), nseqs=1, m=m)
+    assert np.array_equal(np.asarray(r)[0], np.asarray(r1)[0])
+    assert np.array_equal(np.asarray(r)[1], np.asarray(r2)[0])
+
+
+def test_oph_cardinality_accuracy():
+    # like test/oph.cpp but asserted: relative error within statistical bounds
+    m = 1024
+    for true_n, tol in ((10_000, 0.15), (100_000, 0.15)):
+        hashed = _rand_hashes(true_n, true_n)
+        r, _ = SK.oph_sketch_segments(jnp.asarray(hashed),
+                                      jnp.ones(true_n, bool),
+                                      jnp.zeros(true_n, jnp.int32),
+                                      nseqs=1, m=m)
+        card = SK.oph_cardinality(np.asarray(r))[0]
+        assert abs(card - true_n) / true_n < tol, (card, true_n)
+
+
+def test_oph_sigs_order_preserving_and_zero_for_empty():
+    m = 16
+    hashed = _rand_hashes(40, 7)
+    r, _ = SK.oph_sketch_segments(jnp.asarray(hashed), jnp.ones(40, bool),
+                                  jnp.zeros(40, jnp.int32), nseqs=1, m=m)
+    regs = np.asarray(r)[0]
+    sigs = SK.oph_to_sigs(regs)[0] if SK.oph_to_sigs(regs).ndim == 2 else SK.oph_to_sigs(regs)
+    empty = regs == SK.U64MAX
+    assert (sigs[empty] == 0).all()
+    live = ~empty
+    lr = regs[live].astype(np.float64)
+    ls = sigs[live]
+    order_r = np.argsort(lr)
+    order_s = np.argsort(ls)
+    assert np.array_equal(order_r, order_s)
+
+
+def test_oph_densify_fills_and_is_deterministic():
+    regs = np.array([5.0, 0.0, 7.0, 0.0, 1.0, 2.0, 0.0, 9.0])
+    out1, ne1 = SK.oph_densify(regs)
+    out2, ne2 = SK.oph_densify(regs)
+    assert ne1 == 3 and np.array_equal(out1, out2)
+    assert (out1 != 0).all()
+    # non-empty entries unchanged
+    assert (out1[regs != 0] == regs[regs != 0]).all()
+    # all-empty stays empty
+    z, ne = SK.oph_densify(np.zeros(8))
+    assert ne == 8 and (z == 0).all()
+
+
+def test_css_filter_pass_matches_bruteforce():
+    """The threshold-filtered sketch must equal the brute-force min over
+    ALL items' draws under the same RNG construction."""
+    m = 64
+    n = 3000
+    hashed = _rand_hashes(n, 11)
+    regs = SK.css_sketch(hashed, np.ones(n, bool), m)
+    # brute force with identical RNG mapping
+    rv = H.css_item_hash(hashed)
+    u1 = rv.astype(np.float64) * 2.0 ** -64
+    x1 = np.where(rv == 0, np.inf, -np.log(np.maximum(u1, 1e-300)) / m)
+    _, draw = H.wyhash64_step(rv)
+    idx0 = (draw % np.uint64(m)).astype(np.int64)
+    j = (np.arange(m, dtype=np.uint64) * np.uint64(SK._GOLD))
+    full = np.empty((n, m))
+    for d in range(n):
+        u = H.wanghash(np.uint64(rv[d]) ^ j).astype(np.float64) * 2.0 ** -64
+        e = x1[d] - np.log(np.maximum(u, 1e-300))
+        e[idx0[d]] = x1[d]
+        full[d] = e
+    want = full.min(axis=0)
+    np.testing.assert_allclose(regs, want, rtol=1e-12)
+
+
+def test_css_duplicates_are_set_semantics():
+    m = 32
+    h = _rand_hashes(500, 13)
+    dup = np.concatenate([h, h, h[:100]])
+    r1 = SK.css_sketch(h, np.ones(len(h), bool), m)
+    r2 = SK.css_sketch(dup, np.ones(len(dup), bool), m)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_css_cardinality_accuracy():
+    m = 1024
+    for true_n in (5_000, 50_000):
+        hashed = _rand_hashes(true_n, true_n + 1)
+        regs = SK.css_sketch(hashed, np.ones(true_n, bool), m)
+        card = SK.css_cardinality(regs)
+        assert abs(card - true_n) / true_n < 0.15, (card, true_n)
+
+
+def test_css_jaccard_via_shared_registers():
+    m = 2048
+    universe = _rand_hashes(30_000, 21)
+    a = universe[:20_000]
+    b = universe[10_000:]   # |A&B| = 10k, |A|B| = 30k -> J = 1/3
+    ra = SK.css_sketch(a, np.ones(len(a), bool), m)
+    rb = SK.css_sketch(b, np.ones(len(b), bool), m)
+    jac = (ra == rb).mean()
+    assert abs(jac - 1 / 3) < 0.05, jac
+
+
+def test_sort_count_unique():
+    vals = np.array([5, 3, 5, 5, 9, 3, 7], dtype=np.uint64)
+    valid = np.array([1, 1, 1, 1, 1, 1, 0], bool)
+    uniq, counts, nuniq = SK.sort_count_unique(jnp.asarray(vals),
+                                               jnp.asarray(valid), 8)
+    assert int(nuniq) == 3
+    assert np.asarray(uniq)[:3].tolist() == [3, 5, 9]
+    assert np.asarray(counts)[:3].tolist() == [2, 3, 1]
+    assert (np.asarray(uniq)[3:] == SK.U64MAX).all()
+
+
+def test_bottomk():
+    vals = np.array([9, 2, 2, 7, 1], dtype=np.uint64)
+    out = SK.bottomk(vals, np.ones(5, bool), 4)
+    assert out.tolist() == [1, 2, 7, 9]
+    out2 = SK.bottomk(vals, np.ones(5, bool), 6)
+    assert out2[:4].tolist() == [1, 2, 7, 9]
+    assert (out2[4:] == SK.U64MAX).all()
