@@ -1,0 +1,126 @@
+"""contain subcommand: mash-screen-like coverage of a k-mer database.
+
+Reference: src/contain_main.cpp:133-301. Loads a stacked .kmer64 database
+(--save-kmers output), hashes each query file's k-mers through the same
+maskfn pipeline, and reports per (query, reference): coverage fraction
+(#distinct db k-mers of the reference matched / sketchsize) and mean depth
+(total matched occurrences / #matched).
+
+TPU design: the db's k-mer -> reference mapping becomes a sorted flat
+array + searchsorted lookups (gather), replacing the flat_hash_map
+(contain_main.cpp:190-199); query hashing reuses the batched device
+pipeline.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import hashing as H
+from ..config import Dashing2Options
+from ..enums import Alphabet
+from ..io import fastx, formats
+from ..ops import kmers as K
+from ..sketch.core import _hash_chunk_batch, _hash_kwargs
+import dataclasses
+
+
+def contain_main(a) -> int:
+    if not a.paths or len(a.paths) < 2:
+        print("contain requires a .kmer64 database and >= 1 query file",
+              file=sys.stderr)
+        return 1
+    dbpath, queries = a.paths[0], a.paths[1:]
+    if a.ffile:
+        with open(a.ffile) as f:
+            queries += [x.strip() for x in f if x.strip()]
+    db = formats.read_kmer_db(dbpath)
+    xormask, _ = H.seed_mask(db.seed) if db.seed else (H.XORMASK,
+                                                       H.XORMASK2_HI)
+    names: List[str] = [str(i) for i in range(db.kmers.shape[0])]
+    try:
+        names, _ = formats.read_names_file(dbpath + ".names.txt")
+    except OSError:
+        base = dbpath[:-len(".kmer64")] if dbpath.endswith(".kmer64") else dbpath
+        try:
+            names, _ = formats.read_names_file(base + ".names.txt")
+        except OSError:
+            pass
+    nitems, sketchsize = db.kmers.shape
+    flat = db.kmers.reshape(-1)
+    owners = np.repeat(np.arange(nitems, dtype=np.int64), sketchsize)
+    order = np.argsort(flat, kind="stable")
+    sorted_kmers = flat[order]
+    sorted_owners = owners[order]
+
+    opts = Dashing2Options(k=db.k, w=db.w, alphabet=db.alphabet,
+                           canonicalize=db.canon, seedseed=db.seed)
+    opts.xormask = xormask
+    hkw = _hash_kwargs(opts, 1 << 15)
+    nq = len(queries)
+    coverage = np.zeros((nq, nitems), np.float32)
+    depth = np.zeros((nq, nitems), np.float32)
+    for qi, q in enumerate(queries):
+        counts_all: List[np.ndarray] = []
+        hashes_all: List[np.ndarray] = []
+        codes = []
+        for path in q.split():
+            for _, seq in fastx.read_fastx(path):
+                codes.append(K.encode_ascii(seq, db.alphabet))
+        if codes:
+            chunks, _ = K.chunk_codes(codes, db.k, chunk_len=1 << 15,
+                                      w=db.w if db.w > db.k else 0)
+            h, v = _hash_chunk_batch(jnp.asarray(chunks),
+                                     jnp.zeros(1, jnp.uint64),
+                                     use_filterset=False, **hkw)
+            hv = np.asarray(h)[np.asarray(v)]
+            # distinct query k-mers + multiplicities that hit the db
+            uniq, counts = np.unique(hv, return_counts=True)
+            pos = np.searchsorted(sorted_kmers, uniq)
+            pos = np.minimum(pos, len(sorted_kmers) - 1)
+            hit = sorted_kmers[pos] == uniq
+            uniq, counts, pos = uniq[hit], counts[hit], pos[hit]
+            # expand each hit k-mer to all its owners
+            hi = np.searchsorted(sorted_kmers, uniq, side="right")
+            matches = np.zeros(nitems, np.int64)
+            matchsums = np.zeros(nitems, np.int64)
+            for u_pos, u_hi, c in zip(pos, hi, counts):
+                owners_u = sorted_owners[u_pos:u_hi]
+                np.add.at(matches, owners_u, 1)
+                np.add.at(matchsums, owners_u, int(c))
+            nz = matches > 0
+            coverage[qi, nz] = matches[nz] / sketchsize
+            depth[qi, nz] = matchsums[nz] / matches[nz]
+    outpath = a.cmpout or ""
+    binary = a.binary_output
+    if binary:
+        if outpath and outpath not in ("-", "/dev/stdout"):
+            formats.write_contain(outpath, coverage, depth)
+        else:
+            buf = sys.stdout.buffer
+            buf.write(np.array([nitems, nq], np.uint64).tobytes())
+            buf.write(coverage.astype(np.float32).tobytes())
+            buf.write(depth.astype(np.float32).tobytes())
+    else:
+        f = (sys.stdout if not outpath or outpath in ("-", "/dev/stdout")
+             else open(outpath, "w"))
+        f.write("#Dashing2 contain - a list of coverage %s for the set of "
+                "references, + mean coverage levels.\n"
+                "#Each matrix entry consists of <coverage%:mean depth of "
+                "coverage>\n##References:")
+        for nm in names[:nitems]:
+            f.write("\t" + nm)
+        f.write("\n")
+        for qi, q in enumerate(queries):
+            f.write(q)
+            for j in range(nitems):
+                f.write("\t%0.6g%%:%g" % (100.0 * coverage[qi, j],
+                                          depth[qi, j]))
+            f.write("\n")
+        if f is not sys.stdout:
+            f.close()
+    return 0

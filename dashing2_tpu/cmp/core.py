@@ -16,7 +16,7 @@ import numpy as np
 
 from .. import hashing as H
 from ..config import Dashing2DistOptions
-from ..enums import KmerSketchResultType, Measure, SketchSpace
+from ..enums import KmerSketchResultType, Measure, OutputKind, SketchSpace
 from ..ops import cmp_kernels as CK
 from ..ops import sketch_kernels as SK
 from ..result import SketchingResult
@@ -166,32 +166,87 @@ def _count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
     return np.asarray(eq), None, None
 
 
+def _dispatch_measures(opts: Dashing2DistOptions, creps: CompressedReps,
+                       eq, gt, lt, lh, rh) -> np.ndarray:
+    m = opts.sketchsize
+    msr = opts.measure
+    k = opts.k
+    if creps.data is not None:
+        if creps.truncation > 0:
+            return E.bbit_measures(eq, m, opts.fd_level, lh, rh, msr, k)
+        return E.compressed_ab_measures(gt, lt, m, creps.b, opts.fd_level,
+                                        lh, rh, msr, k)
+    if gt is not None:
+        return E.full_setsketch_measures(gt, lt, m, lh, rh, msr, k)
+    return E.equality_measures(eq, m, lh, rh, msr, k)
+
+
 def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
                    creps: CompressedReps, rows: np.ndarray,
                    cols: np.ndarray) -> np.ndarray:
     """The full compare() dispatch for a block of pairs -> f32 matrix."""
-    m = opts.sketchsize
     cards = result.cardinalities
-    lh = cards[rows]
-    rh = cards[cols]
-    msr = opts.measure
-    k = opts.k
+    lh = cards[rows][:, None]
+    rh = cards[cols][None, :]
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
         from .wcompare import exact_intersections
         isz = exact_intersections(result, rows, cols)
-        return E.exact_measures(isz, lh, rh, msr, k).astype(np.float32)
+        return E.exact_measures(isz, lh, rh, opts.measure,
+                                opts.k).astype(np.float32)
     eq, gt, lt = _count_matrices(opts, result, creps, rows, cols)
+    return _dispatch_measures(opts, creps, eq, gt, lt, lh, rh
+                              ).astype(np.float32)
+
+
+def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
+                  creps: CompressedReps, ia: np.ndarray, ib: np.ndarray
+                  ) -> np.ndarray:
+    """compare() for an explicit pair list -> f32 (P,). Rowwise counts
+    (gathered rows compared elementwise) instead of all-pairs tiles."""
+    cards = result.cardinalities
+    lh = cards[ia]
+    rh = cards[ib]
+    msr = opts.measure
+    k = opts.k
+    if opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE and (
+            opts.exact_kmer_dist or msr == Measure.M_EDIT_DISTANCE):
+        from .editdist import edit_distances_pairs
+        return edit_distances_pairs(result, ia, ib).astype(np.float32)
+    if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
+        from .wcompare import exact_intersections
+        isz = np.array([
+            exact_intersections(result, np.array([i]), np.array([j]))[0, 0]
+            for i, j in zip(ia, ib)])
+        return E.exact_measures(isz, lh, rh, msr, k).astype(np.float32)
+    eq = gt = lt = None
     if creps.data is not None:
+        A = creps.data[ia]
+        B = creps.data[ib]
+        if creps.nibble_packed:
+            lo_a, hi_a = A & 0xF, A >> 4
+            lo_b, hi_b = B & 0xF, B >> 4
+            A = np.concatenate([lo_a, hi_a], axis=1)
+            B = np.concatenate([lo_b, hi_b], axis=1)
         if creps.truncation > 0:
-            out = E.bbit_measures(eq, m, opts.fd_level, lh, rh, msr, k)
+            eq = (A == B).sum(1, dtype=np.int64)
         else:
-            out = E.compressed_ab_measures(gt, lt, m, creps.b,
-                                           opts.fd_level, lh, rh, msr, k)
-    elif gt is not None:
-        out = E.full_setsketch_measures(gt, lt, m, lh, rh, msr, k)
+            gt = (A > B).sum(1, dtype=np.int64)
+            lt = (A < B).sum(1, dtype=np.int64)
     else:
-        out = E.equality_measures(eq, m, lh, rh, msr, k)
-    return out.astype(np.float32)
+        sigs = result.signatures
+        if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
+            A = sigs[ia]
+            B = sigs[ib]
+            gt = (A > B).sum(1, dtype=np.int64)
+            lt = (A < B).sum(1, dtype=np.int64)
+        else:
+            use_kmers = (result.kmers is not None
+                         and result.kmers.size == sigs.size)
+            src = result.kmers if use_kmers else \
+                sigs.view(np.uint64).reshape(sigs.shape)
+            eq = (src[ia] == src[ib]).sum(1, dtype=np.int64)
+    return _dispatch_measures(opts, creps, eq, gt, lt, lh, rh
+                              ).astype(np.float32)
 
 
 def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,

@@ -1,0 +1,92 @@
+"""Edit distances: Myers bit-parallel Levenshtein over byte sequences and
+the O(nm) DP over minimizer spans.
+
+Reference: vendored edlib (src/edlib.cpp, used with EDLIB_TASK_DISTANCE in
+NW mode, cmp_core.cpp:331-347) and src/edit-distance.h:12-57 (u64-span DP).
+This is an independent implementation of Myers' 1999 algorithm (global
+alignment via the Ukkonen-style NW adaptation) — host-side; candidate
+volumes after LSH filtering are small.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..result import SketchingResult
+
+
+def myers_edit_distance(a: bytes, b: bytes) -> int:
+    """Levenshtein distance (unit costs), Myers' 1999 bit-parallel
+    recurrence run on Python big-ints (CPython performs the 64-bit word
+    blocking internally, so this is the unblocked textbook form at blocked
+    speed)."""
+    if len(a) == 0:
+        return len(b)
+    if len(b) == 0:
+        return len(a)
+    if len(a) > len(b):
+        a, b = b, a
+    m = len(a)
+    peq = {}
+    for i, ch in enumerate(a):
+        peq[ch] = peq.get(ch, 0) | (1 << i)
+    mask = (1 << m) - 1
+    last = 1 << (m - 1)
+    pv = mask
+    mv = 0
+    score = m
+    for ch in b:
+        eq = peq.get(ch, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) & mask ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & last:
+            score += 1
+        elif mh & last:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
+
+
+def span_edit_distance(a: np.ndarray, b: np.ndarray) -> int:
+    """O(nm) DP over u64 token spans (edit-distance.h:12-57)."""
+    n, m = len(a), len(b)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    prev = np.arange(m + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i
+        sub = prev[:-1] + (b != a[i - 1])
+        for j in range(1, m + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub[j - 1])
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_distances_pairs(result: SketchingResult, ia: np.ndarray,
+                         ib: np.ndarray) -> np.ndarray:
+    out = np.empty(len(ia), dtype=np.float64)
+    seqs = result.sequences
+    if seqs is not None:
+        for p, (i, j) in enumerate(zip(ia, ib)):
+            out[p] = myers_edit_distance(seqs[int(i)], seqs[int(j)])
+    else:
+        mseqs = result.mmer_sequences
+        for p, (i, j) in enumerate(zip(ia, ib)):
+            out[p] = span_edit_distance(mseqs[int(i)], mseqs[int(j)])
+    return out
+
+
+def mmer_edit_distance_pair(a: np.ndarray, b: np.ndarray) -> tuple[int, int]:
+    """(edit_distance, max_edit_distance) for minimizer sequences
+    (wcompare.cpp mmer_edit_distance semantics)."""
+    return span_edit_distance(a, b), max(len(a), len(b))

@@ -5,8 +5,10 @@ Vectorized re-derivation of the per-pair logic in compare()
 matrices (int32, shape (N, M)) plus cardinality vectors and returns the
 final measure matrix in float64 (callers emit float32).
 
-Cardinality conventions: lhcard is the row item (index i), rhcard the
-column item (index j). Note the reference's asymmetric quirks are kept:
+Cardinality conventions: lhcard/rhcard must be pre-broadcast to the count
+matrices' shape (callers pass lh[:, None], rh[None, :] for matrices, or
+flat per-pair vectors). lhcard is the row/left item, rhcard the
+column/right item. Note the reference's asymmetric quirks are kept:
 the full-register SET path divides CONTAINMENT by the *column* cardinality
 (cmp_core.cpp:484) while the compressed/equality paths divide by the *row*
 cardinality (cmp_core.cpp:419,443,511).
@@ -57,8 +59,8 @@ def full_setsketch_measures(gt: np.ndarray, lt: np.ndarray, m: int,
     alpha = gt * invm
     beta = lt * invm
     eq = 1.0 - alpha - beta
-    lh = lhcard[:, None]
-    rh = rhcard[None, :]
+    lh = np.asarray(lhcard)
+    rh = np.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
         ucard = np.maximum((lh + rh) / (2.0 - alpha - beta), 0.0)
         eq = np.where(eq <= 1e-15, 0.0, eq)
@@ -92,8 +94,8 @@ def equality_measures(eqc: np.ndarray, m: int, lhcard: np.ndarray,
     """Equality-fraction estimator for MULTISET/PSET/full-register-kmer
     paths (cmp_core.cpp:495-517): sim = eq/m, union = (lh+rh)/(1+sim)."""
     sim = eqc / m
-    lh = lhcard[:, None]
-    rh = rhcard[None, :]
+    lh = np.asarray(lhcard)
+    rh = np.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
         ucard = np.maximum((lh + rh) / (1.0 + sim), 0.0)
         if measure == Measure.SIMILARITY:
@@ -121,8 +123,8 @@ def bbit_measures(eqc: np.ndarray, m: int, fd_level: float,
     b2pow = -2^-(8*fd)."""
     b2pow = -np.ldexp(1.0, -int(fd_level * 8))
     sim = np.maximum(0.0, (eqc / m + b2pow) / (1.0 + b2pow))
-    lh = lhcard[:, None]
-    rh = rhcard[None, :]
+    lh = np.asarray(lhcard)
+    rh = np.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
         if measure in (Measure.INTERSECTION, Measure.UNION_SIZE):
             isz = np.maximum((lh + rh) / (1.0 + sim), 0.0)
@@ -152,8 +154,8 @@ def compressed_ab_measures(gt: np.ndarray, lt: np.ndarray, m: int,
     if fd_level < reg_bytes:
         alpha = g_b(b, alpha)
         beta = g_b(b, beta)
-    lh = lhcard[:, None]
-    rh = rhcard[None, :]
+    lh = np.asarray(lhcard)
+    rh = np.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
         disjoint = (alpha + beta) >= 1.0
         mu = np.where(disjoint, lh + rh,
@@ -176,8 +178,8 @@ def exact_measures(isz: np.ndarray, lhcard: np.ndarray, rhcard: np.ndarray,
                    measure: Measure, k: int) -> np.ndarray:
     """Exact-mode correction (cmp_core.cpp:519-526 CORRECT_RES): from true
     intersection sizes and cardinalities."""
-    lh = lhcard[:, None]
-    rh = rhcard[None, :]
+    lh = np.asarray(lhcard)
+    rh = np.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
         if measure == Measure.SYMMETRIC_CONTAINMENT:
             ret = isz / np.minimum(lh, rh)

@@ -1,0 +1,240 @@
+"""KNN / thresholded neighbor graphs and greedy dedup clustering.
+
+Reference: src/index_build.cpp (build_index / build_exact_graph),
+src/refine.cpp (refine_results), src/dedup_core.cpp (greedy CD-HIT-style
+clustering), src/emitnn.cpp (CSR emit).
+
+Flow (KNN/threshold): LSH candidate pairs (cmp/lsh.py, vectorized
+self-join) -> batched true-measure refinement on device (measure_pairs)
+-> per-item top-k trim with k-th-value ties kept / threshold filter
+(refine.cpp:27-72 semantics) -> CSR or human emit. Setting EXACT_KNN=1 in
+the environment swaps in the brute-force oracle (cmp_core.cpp:777).
+
+Dedup: items ordered by decreasing cardinality; each queries the
+incremental LSH index over cluster representatives, compares against hit
+reps (batched), joins the best rep above the similarity threshold or
+founds a new cluster (dedup_core.cpp:238-322). --exhaustive-dedup ("E"
+suffix) compares against all reps.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Tuple
+
+import numpy as np
+
+from ..config import Dashing2DistOptions
+from ..enums import KmerSketchResultType, Measure, OutputFormat, OutputKind, measure_is_distance
+from ..io import formats
+from ..result import SketchingResult
+from . import core as C
+from .lsh import LSHIndex, default_candidates
+
+INFLATE_FACTOR = 3.5  # index_build.cpp:57
+
+
+def _index_source(opts: Dashing2DistOptions, result: SketchingResult,
+                  creps: C.CompressedReps):
+    """What the LSH index is built over (index_build.cpp:70-99): the
+    compressed registers when sketching was compressed (>= 1 byte), else
+    full signatures; exact modes index bottom-k k-mer hashes."""
+    if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
+        k = max(opts.sketchsize, 1)
+        bk = [s[:k] for s in result.kmer_sets]
+        return LSHIndex.build(np.zeros((0, 0)), opts.nLSH, bottomk=bk)
+    if (creps.data is not None and not creps.nibble_packed
+            and opts.sketch_compressed_set):
+        return LSHIndex.build(creps.data, opts.nLSH)
+    return LSHIndex.build(result.signatures, opts.nLSH)
+
+
+def _refine_lists(opts: Dashing2DistOptions, result: SketchingResult,
+                  creps: C.CompressedReps, ia: np.ndarray, ib: np.ndarray
+                  ) -> List[List[Tuple[float, int]]]:
+    """Batched refinement + per-item selection (refine.cpp semantics).
+    Returns per-item [(emitted_value, neighbor_id)] sorted best-first."""
+    ropts = opts
+    if opts.refine_exact and not opts.exact_kmer_dist:
+        if opts.kmer_result <= KmerSketchResultType.FULL_SETSKETCH and \
+                creps.data is not None:
+            creps = C.CompressedReps(data=None)  # drop compression
+        else:
+            import dataclasses as _dc
+            ropts = _dc.replace(opts)
+            ropts.exact_kmer_dist = True
+    n = result.n
+    vals = (C.measure_pairs(ropts, result, creps, ia, ib)
+            if len(ia) else np.zeros(0, np.float32))
+    isdist = measure_is_distance(opts.measure)
+    lists: List[List[Tuple[float, int]]] = [[] for _ in range(n)]
+    for a, b, v in zip(ia, ib, vals):
+        lists[a].append((float(v), int(b)))
+        lists[b].append((float(v), int(a)))
+    for i, lst in enumerate(lists):
+        lst.sort(key=lambda x: (x[0] if isdist else -x[0], x[1]))
+        if opts.num_neighbors > 0:
+            if not isdist:
+                lst = [x for x in lst if x[0] != 0.0]
+            if len(lst) > opts.num_neighbors:
+                kth = lst[opts.num_neighbors - 1][0]
+                lst = [x for j, x in enumerate(lst)
+                       if j < opts.num_neighbors or x[0] == kth]
+        elif opts.min_similarity > 0:
+            if isdist:
+                lst = [x for x in lst if x[0] < opts.min_similarity]
+            else:
+                lst = [x for x in lst if x[0] >= opts.min_similarity]
+        lists[i] = lst
+    return lists
+
+
+def build_exact_lists(opts: Dashing2DistOptions, result: SketchingResult,
+                      creps: C.CompressedReps
+                      ) -> List[List[Tuple[float, int]]]:
+    """Brute-force oracle (build_exact_graph, index_build.cpp:166)."""
+    n = result.n
+    ia, ib = np.triu_indices(n, k=1)
+    return _refine_lists(opts, result, creps, ia, ib)
+
+
+def neighbor_graph_main(opts: Dashing2DistOptions,
+                        result: SketchingResult) -> None:
+    creps, result = C._prep(opts, result)
+    n = result.n
+    if opts.output_kind == OutputKind.DEDUP:
+        ids, constituents = dedup_core(opts, result, creps)
+        dedup_emit(ids, constituents, opts, result)
+        return
+    if os.environ.get("EXACT_KNN"):
+        lists = build_exact_lists(opts, result, creps)
+    else:
+        ntoquery = (min(n - 1, int(opts.num_neighbors * INFLATE_FACTOR))
+                    if opts.num_neighbors > 0
+                    else (opts.maxcand if opts.maxcand > 0 else n - 1))
+        idx = _index_source(opts, result, creps)
+        ia, ib, _counts = idx.candidate_pairs(max_per_item=ntoquery)
+        lists = _refine_lists(opts, result, creps, ia, ib)
+    emit_neighbors(lists, opts, result)
+
+
+def emit_neighbors(lists, opts: Dashing2DistOptions,
+                   result: SketchingResult) -> None:
+    """emitnn.cpp:12-52."""
+    path = opts.outfile_path
+    if opts.output_format == OutputFormat.HUMAN_READABLE:
+        f = (sys.stdout.buffer if not path or path in ("-", "/dev/stdout")
+             else open(path, "wb"))
+        from ..io.emitters import emit_neighbors_human
+        emit_neighbors_human(f, lists, result.names)
+        if f is not sys.stdout.buffer:
+            f.close()
+        return
+    indptr = np.zeros(len(lists) + 1, dtype=np.uint64)
+    for i, lst in enumerate(lists):
+        indptr[i + 1] = indptr[i] + len(lst)
+    indices = np.array([x[1] for lst in lists for x in lst], dtype=np.uint32)
+    data = np.array([x[0] for lst in lists for x in lst], dtype=np.float32)
+    out = path if path and path not in ("-", "/dev/stdout") else None
+    if out is None:
+        buf = sys.stdout.buffer
+        buf.write(np.array([len(lists), len(indices)], np.uint64).tobytes())
+        buf.write(indptr.tobytes())
+        buf.write(indices.tobytes())
+        buf.write(data.tobytes())
+    else:
+        formats.write_knn_csr(out, indptr, indices, data)
+
+
+# ----------------------------------------------------------------------
+# greedy dedup
+# ----------------------------------------------------------------------
+
+def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
+               creps: C.CompressedReps
+               ) -> Tuple[List[int], List[List[int]]]:
+    n = result.n
+    cards = result.cardinalities
+    order = np.argsort(-cards, kind="stable")
+    simt = opts.min_similarity if opts.min_similarity > 0 else 0.9
+    isdist = measure_is_distance(opts.measure)
+    maxcands = default_candidates(n, opts.maxcand)
+    ids: List[int] = []
+    constituents: List[List[int]] = []
+    idx = None
+    if not opts.exhaustive_dedup:
+        idx = _index_source(opts, result, creps)
+    for oid in order:
+        oid = int(oid)
+        if opts.exhaustive_dedup:
+            cand = np.arange(len(ids))
+        else:
+            cand = idx.query(oid, maxcands)
+        if len(cand):
+            reps = np.array([ids[c] for c in cand])
+            vals = C.measure_pairs(opts, result, creps,
+                                   np.full(len(reps), oid), reps)
+            best = int(np.argmin(vals) if isdist else np.argmax(vals))
+            bestv = float(vals[best])
+            passed = (bestv < simt) if isdist else (bestv >= simt)
+        else:
+            passed = False
+        if not passed:
+            if idx is not None:
+                idx.insert(oid, len(ids))
+            ids.append(oid)
+            constituents.append([])
+        else:
+            cid = int(cand[best])
+            constituents[cid].append(oid)
+            # keep highest-cardinality member as representative
+            if cards[oid] > cards[ids[cid]]:
+                constituents[cid][-1] = ids[cid]
+                ids[cid] = oid
+    return ids, constituents
+
+
+def dedup_emit(ids: List[int], constituents: List[List[int]],
+               opts: Dashing2DistOptions, result: SketchingResult) -> None:
+    """dedup_core.cpp:400-452."""
+    path = opts.outfile_path
+    f = (sys.stdout.buffer if not path or path in ("-", "/dev/stdout")
+         else open(path, "wb"))
+    try:
+        if opts.fasta_dedup:
+            for cid, rep in enumerate(ids):
+                hdr = f">Cluster-{cid}_{result.names[rep]}"
+                if constituents[cid]:
+                    hdr += " " + "".join(
+                        f"{result.names[c]}:{c}," for c in constituents[cid])
+                seq = (result.sequences[rep].decode()
+                       if result.sequences else "")
+                f.write((hdr + "\n" + seq + "\n").encode())
+        elif opts.output_format == OutputFormat.HUMAN_READABLE:
+            nitems = result.n
+            avg = nitems / max(len(ids), 1)
+            f.write((f"#Clustering {nitems} items yielded {len(ids)} "
+                     f"clusters of average size {avg}, separated by "
+                     f"minimum similarity {opts.min_similarity}\n").encode())
+            for cid, rep in enumerate(ids):
+                line = f"Cluster-{cid}\t{result.names[rep]}:{rep}"
+                for c in constituents[cid]:
+                    line += f"\t{result.names[c]}:{c}"
+                f.write((line + "\n").encode())
+        else:
+            # CSR: representative first in each cluster's index list
+            indptr = np.zeros(len(ids) + 1, dtype=np.uint64)
+            rows = []
+            for i, rep in enumerate(ids):
+                rows.append(np.array([rep] + constituents[i],
+                                     dtype=np.uint32))
+                indptr[i + 1] = indptr[i] + len(rows[-1])
+            f.write(np.array([len(ids), int(indptr[-1])],
+                             np.uint64).tobytes())
+            f.write(indptr.tobytes())
+            for r in rows:
+                f.write(r.tobytes())
+    finally:
+        if f is not sys.stdout.buffer:
+            f.close()

@@ -1,0 +1,255 @@
+"""LSH index over sketch registers (SetSketchIndex equivalent).
+
+Reference: src/ssi.h:40-539. Structure kept: nLSH tables, table i groups
+``nperhashes[i]`` registers per key over ``nperrows[i]`` subtables
+(contiguous register groups first, pseudo-randomly sampled groups beyond
+m/g — ssi.h:369-392); shape heuristics from cmp_core.cpp:757-770.
+
+TPU-native redesign: keys for ALL items and subtables are computed as one
+vectorized hash pass over the register matrix (wanghash chain instead of
+the reference's CEHasher/XXH64 mixes — candidate sets are a retrieval
+heuristic, not an output format). Bucket construction is sort/group on the
+key arrays instead of mutex-striped hash maps (SURVEY P9). Candidate
+generation for all-items-vs-all is a per-subtable self-join: items sharing
+a key become candidate pairs, ranked by the number of shared buckets,
+scanning most-specific tables first with a per-item cap — the vectorized
+counterpart of query_candidates' early-stop walk (ssi.h:394-448).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .. import hashing as H
+
+_KEYSALT = 0x94D049BB133111EB
+
+
+def lsh_table_shapes(nLSH: int, m: int) -> Tuple[List[int], List[int]]:
+    """nperhashes / nperrows heuristics (cmp_core.cpp:757-770)."""
+    nperhashes: List[int] = []
+    while len(nperhashes) < nLSH:
+        i = len(nperhashes)
+        nperhashes.append(1 << i if i < 3 else i * 2)
+    nperrows = []
+    for nh in nperhashes:
+        nperrows.append(m // nh if nh <= 2 else m * 8 // nh)
+    return nperhashes, nperrows
+
+
+def _group_indices(m: int, g: int, nsub: int, table_idx: int) -> np.ndarray:
+    """(nsub, g) register indices per subtable: contiguous groups while
+    they fit, then wyhash-sampled groups (ssi.h:379-392 fallback)."""
+    out = np.empty((nsub, g), dtype=np.int64)
+    ncontig = m // g
+    for j in range(min(nsub, ncontig)):
+        out[j] = np.arange(j * g, (j + 1) * g)
+    for j in range(ncontig, nsub):
+        seed = np.uint64((((table_idx << 32) ^ (table_idx >> 32)) | j)
+                         & 0xFFFFFFFFFFFFFFFF)
+        idxs = np.empty(g, dtype=np.int64)
+        for r in range(g):
+            seed, draw = H.wyhash64_step(seed)
+            idxs[r] = int(draw % np.uint64(m))
+        out[j] = idxs
+    return out
+
+
+def _keys_for_table(regs64: np.ndarray, gidx: np.ndarray) -> np.ndarray:
+    """Vectorized subtable keys: (N, nsub) u64 from (N, m) u64 registers.
+
+    key = fold of wanghash over the group's registers (order-sensitive).
+    """
+    gathered = regs64[:, gidx]               # (N, nsub, g)
+    acc = np.full(gathered.shape[:2], _KEYSALT, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(gathered.shape[2]):
+            acc = H.wanghash(acc ^ gathered[:, :, r])
+    return acc
+
+
+def registers_as_u64(data: np.ndarray) -> np.ndarray:
+    """Any register representation -> u64 key source."""
+    if data.dtype == np.float64:
+        return data.view(np.uint64)
+    return data.astype(np.uint64)
+
+
+@dataclasses.dataclass
+class LSHIndex:
+    """Precomputed keys (dense form, for all-pairs candidate generation)
+    plus incremental dict buckets (for greedy dedup insertion)."""
+
+    m: int
+    nperhashes: List[int]
+    nperrows: List[int]
+    group_indices: List[np.ndarray]
+    keys: List[np.ndarray]          # per table: (N, nsub) u64
+    # incremental buckets: per (table, subtable) dict key -> list of ids
+    buckets: List[List[Dict[int, List[int]]]] = None  # type: ignore
+    bottomk_mode: bool = False
+
+    @classmethod
+    def build(cls, registers: np.ndarray, nLSH: int,
+              bottomk: Sequence[np.ndarray] | None = None) -> "LSHIndex":
+        """registers: (N, m) register matrix (f64 sigs or compressed ints);
+        or pass `bottomk` per-item hash lists for exact-mode indexing
+        (ssi.h bottom-k mode, index over k-mer hashes)."""
+        if bottomk is not None:
+            idx = cls(m=0, nperhashes=[], nperrows=[], group_indices=[],
+                      keys=[], bottomk_mode=True)
+            idx._bottomk = list(bottomk)
+            return idx
+        regs64 = registers_as_u64(registers)
+        m = regs64.shape[1]
+        nperhashes, nperrows = lsh_table_shapes(nLSH, m)
+        gidx = [_group_indices(m, g, ns, i)
+                for i, (g, ns) in enumerate(zip(nperhashes, nperrows))]
+        keys = [_keys_for_table(regs64, gi) for gi in gidx]
+        return cls(m=m, nperhashes=nperhashes, nperrows=nperrows,
+                   group_indices=gidx, keys=keys)
+
+    # ------------------------------------------------------------------
+    def candidate_pairs(self, max_per_item: int,
+                        bucket_cap: int = 256
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All-items candidate generation (vectorized self-join).
+
+        Returns (ids_a, ids_b, shared_count) with a < b, ranked per item
+        by shared-bucket count during selection. Buckets larger than
+        bucket_cap are truncated (the reference's per-item early stop
+        bounds work the same way).
+        """
+        if self.bottomk_mode:
+            return self._candidate_pairs_bottomk(max_per_item, bucket_cap)
+        pair_chunks = []
+        # most-specific table first (reference scans last table first)
+        for t in range(len(self.keys) - 1, -1, -1):
+            keys = self.keys[t]            # (N, nsub)
+            N, nsub = keys.shape
+            for j in range(nsub):
+                col = keys[:, j]
+                order = np.argsort(col, kind="stable")
+                sk = col[order]
+                boundaries = np.nonzero(np.concatenate(
+                    [[True], sk[1:] != sk[:-1], [True]]))[0]
+                for bi in range(len(boundaries) - 1):
+                    s, e = boundaries[bi], boundaries[bi + 1]
+                    if e - s < 2:
+                        continue
+                    members = order[s:min(e, s + bucket_cap)]
+                    a = np.repeat(members, len(members))
+                    b = np.tile(members, len(members))
+                    keep = a < b
+                    pair_chunks.append(
+                        np.stack([a[keep], b[keep]], axis=1))
+        if not pair_chunks:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        allp = np.concatenate(pair_chunks)
+        N = self.keys[0].shape[0]
+        codes = allp[:, 0].astype(np.int64) * N + allp[:, 1]
+        uniq, counts = np.unique(codes, return_counts=True)
+        ia = uniq // N
+        ib = uniq % N
+        # per-item cap: keep the max_per_item highest-count pairs per item
+        if max_per_item > 0 and len(ia):
+            keep = np.zeros(len(ia), dtype=bool)
+            for side in (ia, ib):
+                order = np.lexsort((-counts, side))
+                sside = side[order]
+                first = np.concatenate([[True], sside[1:] != sside[:-1]])
+                rank = np.arange(len(sside)) - np.maximum.accumulate(
+                    np.where(first, np.arange(len(sside)), 0))
+                keep[order[rank < max_per_item]] = True
+            ia, ib, counts = ia[keep], ib[keep], counts[keep]
+        return ia, ib, counts
+
+    def _candidate_pairs_bottomk(self, max_per_item: int, bucket_cap: int):
+        """Exact-mode candidates: items sharing bottom-k k-mer hashes
+        (ssi.h:213-254)."""
+        inv: Dict[int, List[int]] = {}
+        for i, hs in enumerate(self._bottomk):
+            for v in hs.tolist():
+                inv.setdefault(v, []).append(i)
+        pair_counts: Dict[int, int] = {}
+        N = len(self._bottomk)
+        for members in inv.values():
+            if len(members) < 2:
+                continue
+            members = members[:bucket_cap]
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    code = members[x] * N + members[y]
+                    pair_counts[code] = pair_counts.get(code, 0) + 1
+        if not pair_counts:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        codes = np.fromiter(pair_counts.keys(), dtype=np.int64)
+        counts = np.fromiter(pair_counts.values(), dtype=np.int64)
+        ia, ib = codes // N, codes % N
+        if max_per_item > 0:
+            keep = np.zeros(len(ia), dtype=bool)
+            for side in (ia, ib):
+                order = np.lexsort((-counts, side))
+                sside = side[order]
+                first = np.concatenate([[True], sside[1:] != sside[:-1]])
+                rank = np.arange(len(sside)) - np.maximum.accumulate(
+                    np.where(first, np.arange(len(sside)), 0))
+                keep[order[rank < max_per_item]] = True
+            ia, ib, counts = ia[keep], ib[keep], counts[keep]
+        return ia, ib, counts
+
+    # ------------------------------------------------------------------
+    # incremental interface (greedy dedup)
+    # ------------------------------------------------------------------
+    def _ensure_buckets(self):
+        if self.buckets is None:
+            self.buckets = [[{} for _ in range(k.shape[1])]
+                            for k in self.keys]
+
+    def insert(self, item_idx: int, store_id: int) -> None:
+        """Insert precomputed keys of item `item_idx` under id `store_id`."""
+        self._ensure_buckets()
+        for t, keys in enumerate(self.keys):
+            for j in range(keys.shape[1]):
+                self.buckets[t][j].setdefault(
+                    int(keys[item_idx, j]), []).append(store_id)
+
+    def query(self, item_idx: int, maxcand: int) -> np.ndarray:
+        """Most-specific-first candidate walk with early stop
+        (ssi.h:394-448). Returns candidate store_ids in discovery order."""
+        self._ensure_buckets()
+        seen: Dict[int, int] = {}
+        order: List[int] = []
+        for t in range(len(self.keys) - 1, -1, -1):
+            keys = self.keys[t]
+            for j in range(keys.shape[1]):
+                hit = self.buckets[t][j].get(int(keys[item_idx, j]))
+                if not hit:
+                    continue
+                for sid in hit:
+                    if sid not in seen:
+                        seen[sid] = 1
+                        order.append(sid)
+                        if len(order) >= maxcand:
+                            return np.asarray(order, dtype=np.int64)
+                    else:
+                        seen[sid] += 1
+            if len(order) >= maxcand:
+                break
+        return np.asarray(order, dtype=np.int64)
+
+
+def default_candidates(nitems: int, maxcand_global: int = -1) -> int:
+    """dedup_core.cpp:16-23 heuristics."""
+    if maxcand_global > 0:
+        return maxcand_global
+    if nitems <= 10000:
+        return max(nitems // 50, int(np.ceil(np.sqrt(nitems))), 3)
+    if nitems <= 1000000:
+        return int(np.ceil(np.cbrt(nitems)))
+    return int(np.ceil(np.log(nitems) ** 3))

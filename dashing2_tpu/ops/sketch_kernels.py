@@ -185,16 +185,20 @@ def _css_pass(hashed: jnp.ndarray, valid: jnp.ndarray, *, m: int, cap: int,
         e = e.at[d_idx0].set(d_x1)
         return jnp.where(d_keep, e, jnp.inf)
     rows = jax.vmap(row)(srv, sx1, idx0, keep)  # (k, m)
-    regs = jnp.min(rows, axis=0) if k > 0 else jnp.full((m,), jnp.inf)
-    return regs, tcut
+    win = jnp.argmin(rows, axis=0)
+    regs = jnp.take_along_axis(rows, win[None, :], 0)[0]
+    win_ids = take_idx[win]
+    return regs, tcut, win_ids
 
 
 def css_sketch(hashed: np.ndarray, valid: np.ndarray, m: int,
-               cap: int | None = None) -> np.ndarray:
+               cap: int | None = None, return_ids: bool = False):
     """CSetSketch registers for one item set (host driver, device math).
 
     Iterates the filtered pass with a doubling threshold until the result
-    is provably exact (max register <= effective cutoff).
+    is provably exact (max register <= effective cutoff). With
+    return_ids, also returns the winning item's index into `hashed` per
+    register (the ids() tracking of CSetSketch, setsketch.h:316,400-403).
     """
     hashed = jnp.asarray(hashed.reshape(-1), dtype=jnp.uint64)
     valid = jnp.asarray(valid.reshape(-1), dtype=bool)
@@ -203,11 +207,13 @@ def css_sketch(hashed: np.ndarray, valid: np.ndarray, m: int,
         cap = int(min(hashed.shape[0], max(4096, 6 * m)))
     t = (np.log(m) + 8.0) / n
     for _ in range(64):
-        regs, tcut = _css_pass(hashed, valid, m=m, cap=cap,
-                               threshold=jnp.float64(t))
+        regs, tcut, win = _css_pass(hashed, valid, m=m, cap=cap,
+                                    threshold=jnp.float64(t))
         regs = np.asarray(regs)
         tc = float(tcut)
         if regs.max() <= tc:
+            if return_ids:
+                return regs, np.asarray(win)
             return regs
         t *= 4.0
         cap = min(int(hashed.shape[0]), cap * 4)

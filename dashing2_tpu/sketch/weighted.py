@@ -58,11 +58,12 @@ def _keyed(hashes: jnp.ndarray, salt: int, j: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
-def _icws_chunk(hashes: jnp.ndarray, lnw: jnp.ndarray, state_key,
-                state_val, *, m: int):
+def _icws_chunk(hashes: jnp.ndarray, lnw: jnp.ndarray, item_ids: jnp.ndarray,
+                state_key, state_val, state_id, *, m: int):
     """One ICWS chunk update. hashes (C,) u64, lnw (C,) f64 (ln weights,
-    -inf to skip). state: key (m,) f64 running min of ln(a); val (m,) f64
-    stored item-sample values."""
+    -inf to skip), item_ids (C,) i64 original item ordinals. state: key
+    (m,) f64 running min of ln(a); val (m,) f64 stored item-sample values;
+    id (m,) i64 winning item ordinal."""
     j = jnp.arange(m, dtype=jnp.uint64) * jnp.uint64(_GOLD)
     u1 = _unit(_keyed(hashes, _S1, j))
     u2 = _unit(_keyed(hashes, _S2, j))
@@ -82,16 +83,20 @@ def _icws_chunk(hashes: jnp.ndarray, lnw: jnp.ndarray, state_key,
                     ^ jnp.uint64(_SVAL)))
     all_key = jnp.concatenate([state_key[None, :], lna], axis=0)
     all_val = jnp.concatenate([state_val[None, :], sval], axis=0)
+    all_id = jnp.concatenate([state_id[None, :],
+                              jnp.broadcast_to(item_ids[:, None],
+                                               lna.shape)], axis=0)
     win = jnp.argmin(all_key, axis=0)
     take = jnp.take_along_axis
     new_key = take(all_key, win[None, :], 0)[0]
     new_val = take(all_val, win[None, :], 0)[0]
-    return new_key, new_val
+    new_id = take(all_id, win[None, :], 0)[0]
+    return new_key, new_val, new_id
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
-def _pmh_chunk(hashes: jnp.ndarray, lnp: jnp.ndarray, state_key, state_val,
-               *, m: int):
+def _pmh_chunk(hashes: jnp.ndarray, lnp: jnp.ndarray, item_ids: jnp.ndarray,
+               state_key, state_val, state_id, *, m: int):
     """ProbMinHash1 chunk update: value Exp(1)/p_d per (d, j)."""
     j = jnp.arange(m, dtype=jnp.uint64) * jnp.uint64(_GOLD)
     u = _unit(_keyed(hashes, _S1, j))
@@ -102,48 +107,61 @@ def _pmh_chunk(hashes: jnp.ndarray, lnp: jnp.ndarray, state_key, state_val,
     sval = jnp.broadcast_to(sval, key.shape)
     all_key = jnp.concatenate([state_key[None, :], key], axis=0)
     all_val = jnp.concatenate([state_val[None, :], sval], axis=0)
+    all_id = jnp.concatenate([state_id[None, :],
+                              jnp.broadcast_to(item_ids[:, None],
+                                               key.shape)], axis=0)
     win = jnp.argmin(all_key, axis=0)
     take = jnp.take_along_axis
     new_key = take(all_key, win[None, :], 0)[0]
     new_val = take(all_val, win[None, :], 0)[0]
-    return new_key, new_val
+    new_id = take(all_id, win[None, :], 0)[0]
+    return new_key, new_val, new_id
 
 
 def _run(kernel, hashes: np.ndarray, lnw: np.ndarray, m: int,
-         chunk: int = 2048) -> np.ndarray:
+         chunk: int = 2048, with_ids: bool = False):
     key = jnp.full((m,), jnp.inf, dtype=jnp.float64)
     val = jnp.zeros((m,), dtype=jnp.float64)
+    ids = jnp.zeros((m,), dtype=jnp.int64)
     n = len(hashes)
     for s in range(0, max(n, 1), chunk):
         hs = hashes[s:s + chunk]
         ws = lnw[s:s + chunk]
+        iid = np.arange(s, s + len(hs), dtype=np.int64)
         if len(hs) < chunk:
             pad = chunk - len(hs)
             hs = np.concatenate([hs, np.zeros(pad, np.uint64)])
             ws = np.concatenate([ws, np.full(pad, -np.inf)])
-        key, val = kernel(jnp.asarray(hs), jnp.asarray(ws), key, val, m=m)
+            iid = np.concatenate([iid, np.zeros(pad, np.int64)])
+        key, val, ids = kernel(jnp.asarray(hs), jnp.asarray(ws),
+                               jnp.asarray(iid), key, val, ids, m=m)
+    if with_ids:
+        return np.asarray(val), np.asarray(ids)
     return np.asarray(val)
 
 
-def bagminhash(hashes: np.ndarray, weights: np.ndarray, m: int
-               ) -> np.ndarray:
+def bagminhash(hashes: np.ndarray, weights: np.ndarray, m: int,
+               with_ids: bool = False):
     """Weighted-set sketch registers (f64 in (0,1); equality across
-    sketches estimates weighted Jaccard)."""
+    sketches estimates weighted Jaccard). with_ids additionally returns
+    the winning item ordinal per register."""
     with np.errstate(divide="ignore"):
         lnw = np.where(weights > 0, np.log(weights.astype(np.float64)),
                        -np.inf)
-    return _run(_icws_chunk, hashes.astype(np.uint64), lnw, m)
+    return _run(_icws_chunk, hashes.astype(np.uint64), lnw, m,
+                with_ids=with_ids)
 
 
-def probminhash(hashes: np.ndarray, weights: np.ndarray, m: int
-                ) -> np.ndarray:
+def probminhash(hashes: np.ndarray, weights: np.ndarray, m: int,
+                with_ids: bool = False):
     """Discrete-probability-distribution sketch registers (ProbMinHash1)."""
     W = float(weights.sum())
     with np.errstate(divide="ignore"):
         lnp = np.where(weights > 0,
                        np.log(weights.astype(np.float64) / max(W, 1e-300)),
                        -np.inf)
-    return _run(_pmh_chunk, hashes.astype(np.uint64), lnp, m)
+    return _run(_pmh_chunk, hashes.astype(np.uint64), lnp, m,
+                with_ids=with_ids)
 
 
 def bagminhash_many(uniq: List[np.ndarray], counts: List[np.ndarray],

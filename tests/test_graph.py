@@ -1,0 +1,145 @@
+import os
+
+import numpy as np
+import pytest
+
+from make_fixtures import make
+from dashing2_tpu.io import formats
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fa_graph")
+    return make(str(d), n_genomes=10, length=12000)
+
+
+def run_cli(args):
+    from dashing2_tpu.cli import main
+    return main(args)
+
+
+def test_knn_graph_csr(fixtures, tmp_path):
+    out = tmp_path / "knn.bin"
+    rc = run_cli(["sketch", "-k", "21", "-S", "512", "--topk", "3",
+                  "--binary-output", "--cmpout", str(out)] + fixtures)
+    assert rc == 0
+    indptr, indices, data = formats.read_knn_csr(str(out))
+    n = len(fixtures)
+    assert len(indptr) == n + 1
+    # every node should have neighbors (all genomes are related)
+    counts = np.diff(indptr.astype(np.int64))
+    assert (counts >= 1).all()
+    assert (counts <= 4).all()  # topk=3 plus possible kth ties
+    # neighbor similarity values positive, sorted best-first per row
+    for i in range(n):
+        row = data[int(indptr[i]):int(indptr[i + 1])]
+        assert (row > 0).all()
+        assert (np.diff(row) <= 1e-6).all()
+    # genome 1's top neighbor should be genome 0 or 2 (closest mutants)
+    row0 = indices[int(indptr[1]):int(indptr[1 + 1])]
+    assert row0[0] in (0, 2)
+
+
+def test_knn_matches_exact_oracle(fixtures, tmp_path):
+    out_lsh = tmp_path / "lsh.bin"
+    out_exact = tmp_path / "exact.bin"
+    args = ["sketch", "-k", "21", "-S", "512", "--topk", "2",
+            "--binary-output"] + fixtures
+    run_cli(args + ["--cmpout", str(out_lsh)])
+    os.environ["EXACT_KNN"] = "1"
+    try:
+        run_cli(args + ["--cmpout", str(out_exact)])
+    finally:
+        del os.environ["EXACT_KNN"]
+    ip1, id1, d1 = formats.read_knn_csr(str(out_lsh))
+    ip2, id2, d2 = formats.read_knn_csr(str(out_exact))
+    # recall: LSH should recover most exact top-2 neighbors
+    hits = 0
+    total = 0
+    n = len(ip1) - 1
+    for i in range(n):
+        s1 = set(id1[int(ip1[i]):int(ip1[i + 1])].tolist())
+        s2 = set(id2[int(ip2[i]):int(ip2[i + 1])].tolist())
+        total += len(s2)
+        hits += len(s1 & s2)
+    assert total > 0
+    assert hits / total >= 0.8, (hits, total)
+
+
+def test_threshold_graph(fixtures, tmp_path):
+    out = tmp_path / "thr.bin"
+    rc = run_cli(["sketch", "-k", "21", "-S", "512",
+                  "--similarity-threshold", "0.5", "--binary-output",
+                  "--cmpout", str(out)] + fixtures)
+    assert rc == 0
+    indptr, indices, data = formats.read_knn_csr(str(out))
+    assert (data >= 0.5).all()
+
+
+def test_dedup_clusters(fixtures, tmp_path):
+    # duplicate some genomes so dedup has something to merge
+    inputs = fixtures + fixtures[:3]
+    out = tmp_path / "dedup.bin"
+    rc = run_cli(["sketch", "-k", "21", "-S", "512", "--greedy", "0.95",
+                  "--binary-output", "--cmpout", str(out)] + inputs)
+    assert rc == 0
+    clusters = formats.read_clustering(str(out))
+    total = sum(len(c) for c in clusters)
+    assert total == len(inputs)
+    # the duplicated genomes must share clusters with their originals
+    nc = len(clusters)
+    assert nc < len(inputs)
+    # each duplicated index (10,11,12) in same cluster as (0,1,2)
+    member_of = {}
+    for ci, c in enumerate(clusters):
+        for x in c:
+            member_of[int(x)] = ci
+    for dup, orig in ((10, 0), (11, 1), (12, 2)):
+        assert member_of[dup] == member_of[orig], (dup, orig, clusters)
+
+
+def test_dedup_human_output(fixtures, tmp_path):
+    out = tmp_path / "dedup.txt"
+    run_cli(["sketch", "-k", "21", "-S", "256", "--greedy", "0.99",
+             "--cmpout", str(out)] + fixtures[:4])
+    text = out.read_text()
+    assert text.startswith("#Clustering 4 items")
+    assert "Cluster-0\t" in text
+
+
+def test_knn_human_output(fixtures, tmp_path):
+    out = tmp_path / "knn.txt"
+    run_cli(["sketch", "-k", "21", "-S", "256", "--topk", "2",
+             "--cmpout", str(out)] + fixtures[:4])
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("#Collection")
+    assert len(lines) == 5
+
+
+def test_myers_edit_distance():
+    from dashing2_tpu.cmp.editdist import myers_edit_distance, span_edit_distance
+    import random
+    random.seed(3)
+
+    def slow(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev = dp[0]
+            dp[0] = i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[-1]
+
+    for _ in range(30):
+        la = random.randint(0, 120)
+        lb = random.randint(0, 120)
+        a = bytes(random.choice(b"ACGT") for _ in range(la))
+        b = bytes(random.choice(b"ACGT") for _ in range(lb))
+        assert myers_edit_distance(a, b) == slow(a, b), (a, b)
+    # span DP agrees with slow too
+    xa = np.array([1, 2, 3, 4, 5], np.uint64)
+    xb = np.array([1, 3, 4, 5, 6], np.uint64)
+    assert span_edit_distance(xa, xb) == 2

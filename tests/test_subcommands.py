@@ -1,0 +1,229 @@
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from make_fixtures import make
+from dashing2_tpu.io import formats
+
+
+def run_cli(args):
+    from dashing2_tpu.cli import main
+    return main(args)
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fa_sub")
+    return make(str(d), n_genomes=4, length=8000)
+
+
+# ----------------------------------------------------------------------
+# wsketch
+# ----------------------------------------------------------------------
+
+def test_wsketch_csr(tmp_path):
+    rng = np.random.default_rng(0)
+    # 3 rows sharing many ids -> correlated sketches
+    ids = rng.integers(0, 5000, size=600).astype(np.uint64)
+    weights = rng.uniform(0.5, 3.0, size=600)
+    indptr = np.array([0, 200, 400, 600], dtype=np.uint64)
+    (tmp_path / "ids.u64").write_bytes(ids.tobytes())
+    (tmp_path / "w.f64").write_bytes(weights.tobytes())
+    (tmp_path / "indptr.u64").write_bytes(indptr.tobytes())
+    pref = str(tmp_path / "out")
+    rc = run_cli(["wsketch", "-S", "128", "-o", pref,
+                  str(tmp_path / "ids.u64"), str(tmp_path / "w.f64"),
+                  str(tmp_path / "indptr.u64")])
+    assert rc == 0
+    regs = np.fromfile(f"{pref}.sampled.regs.stacked.3.128.f64",
+                       dtype=np.uint8)
+    n, m = regs[:16].view(np.uint64)
+    assert (n, m) == (3, 128)
+    cards = regs[16:16 + 24].view(np.float64)
+    np.testing.assert_allclose(cards[0], weights[:200].sum(), rtol=1e-9)
+    sampled = np.fromfile(f"{pref}.sampled.indices.stacked.3.128.i64",
+                          dtype=np.uint64).reshape(3, 128)
+    # sampled ids must come from the right row
+    assert set(sampled[0].tolist()) <= set(ids[:200].tolist())
+    assert set(sampled[2].tolist()) <= set(ids[400:].tolist())
+
+
+def test_wsketch_flat_identical_rows_match(tmp_path):
+    ids = np.arange(1000, dtype=np.uint64)
+    (tmp_path / "a.u64").write_bytes(ids.tobytes())
+    p1 = str(tmp_path / "o1")
+    p2 = str(tmp_path / "o2")
+    run_cli(["wsketch", "-S", "64", "-o", p1, str(tmp_path / "a.u64")])
+    run_cli(["wsketch", "-S", "64", "-o", p2, str(tmp_path / "a.u64")])
+    s1 = np.fromfile(p1 + ".sampled.hashes.f64", np.float64)
+    s2 = np.fromfile(p2 + ".sampled.hashes.f64", np.float64)
+    assert np.array_equal(s1, s2)
+    assert s1[0] == 1000.0  # total weight header
+
+
+# ----------------------------------------------------------------------
+# contain + save-kmers + printmin
+# ----------------------------------------------------------------------
+
+def test_save_kmers_contain_roundtrip(fixtures, tmp_path):
+    sk = tmp_path / "db"
+    rc = run_cli(["sketch", "-k", "21", "-S", "128", "--save-kmers",
+                  "-o", str(sk)] + fixtures)
+    assert rc == 0
+    db = formats.read_kmer_db(str(sk) + ".kmer64")
+    assert db.k == 21 and db.sketchsize == 128
+    out = tmp_path / "contain.bin"
+    rc = run_cli(["contain", "--binary-output", "--cmpout", str(out),
+                  str(sk) + ".kmer64", fixtures[0], fixtures[3]])
+    assert rc == 0
+    res = formats.read_contain(str(out))
+    cov = res["coverage_matrix"]
+    assert cov.shape == (2, len(fixtures))
+    # query 0 is genome 0: it should cover nearly all of ref 0's sampled kmers
+    assert cov[0, 0] > 0.95, cov
+    # and less of the most-diverged genome
+    assert cov[0, 3] < cov[0, 0]
+    # depth for a 1x genome ~ 1
+    assert 0.9 < res["depth_matrix"][0, 0] < 2.0
+
+
+def test_mmer_seq_printmin(fixtures, tmp_path):
+    out = tmp_path / "mm.bin"
+    rc = run_cli(["sketch", "--seq", "-k", "15", "-w", "31",
+                  "-o", str(out), fixtures[0]])
+    assert rc == 0
+    data = formats.read_mmer_sequences(str(out))
+    assert data["k"] == 15 and data["w"] == 31
+    assert len(data["seqs"]) == 1 and len(data["seqs"][0]) > 50
+    import io
+    from dashing2_tpu.io.printmin import printmin_main
+    buf = io.StringIO()
+    printmin_main(str(out), out=buf)
+    lines = buf.getvalue().splitlines()
+    assert len(lines) == 1
+    kmers = lines[0].split("\t")
+    assert len(kmers) == len(data["seqs"][0])
+    assert all(len(s) == 15 and set(s) <= set("ACGT") for s in kmers[:10])
+    # decoded minimizers must be actual canonical k-mers of the input
+    from dashing2_tpu.io.fastx import read_fastx
+    _, seq = next(read_fastx(fixtures[0]))
+    s = seq.decode()
+    rc_tab = str.maketrans("ACGT", "TGCA")
+    ksets = set()
+    for i in range(len(s) - 14):
+        sub = s[i:i + 15]
+        ksets.add(min(sub, sub[::-1].translate(rc_tab)))
+    assert all(km in ksets for km in kmers[:50])
+
+
+# ----------------------------------------------------------------------
+# BED
+# ----------------------------------------------------------------------
+
+def test_bed_sketch_similarity(tmp_path):
+    # two BED files sharing half their intervals
+    a = tmp_path / "a.bed"
+    b = tmp_path / "b.bed"
+    lines_shared = [f"chr1\t{i * 1000}\t{i * 1000 + 500}" for i in range(20)]
+    lines_a = [f"chr2\t{i * 1000}\t{i * 1000 + 500}" for i in range(20)]
+    lines_b = [f"chr3\t{i * 1000}\t{i * 1000 + 500}" for i in range(20)]
+    a.write_text("\n".join(lines_shared + lines_a) + "\n")
+    b.write_text("\n".join(lines_shared + lines_b) + "\n")
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "--bed", "-S", "512", "--binary-output",
+                  "--cmpout", str(out), str(a), str(b)])
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    assert abs(vals[0] - 1 / 3) < 0.07, vals  # J = 10k/30k bases
+
+
+def test_bed_multiset_normalized(tmp_path):
+    a = tmp_path / "a.bed"
+    a.write_text("chr1\t0\t100\nchr1\t50\t150\n")
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "--bed", "--multiset", "--normalize-intervals",
+                  "-S", "64", "--binary-output", "--cmpout", str(out),
+                  str(a), str(a)])
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    assert vals[0] == 1.0  # identical files -> identical sketches
+
+
+# ----------------------------------------------------------------------
+# BigWig (construct a minimal valid file, then sketch it)
+# ----------------------------------------------------------------------
+
+def _write_minimal_bigwig(path, chrom="chr1", intervals=((0, 100, 2.0),)):
+    # header(64) + chromtree + data + rtree
+    chrom_b = chrom.encode()
+    key_size = len(chrom_b)
+    # layout offsets computed after building pieces
+    items = b"".join(struct.pack("<IIf", s, e, v) for (s, e, v) in intervals)
+    block = struct.pack("<IIIIIBBH", 0, intervals[0][0],
+                        intervals[-1][1], 0, 0, 1, 0, len(intervals)) + items
+    comp = zlib.compress(block)
+    chrom_tree = struct.pack("<IIIIQQ", 0x78CA8C91, 1, key_size, 8, 1, 0)
+    chrom_tree += struct.pack("<BBH", 1, 0, 1) + chrom_b + \
+        struct.pack("<II", 0, 1000000)
+    header_size = 64
+    chrom_off = header_size
+    data_off = chrom_off + len(chrom_tree)
+    data = struct.pack("<Q", 1) + comp  # leading u64 = number of sections
+    index_off = data_off + len(data)
+    rtree = struct.pack("<IIQIIIIQQI", 0x2468ACE0, 256, 1, 0,
+                        intervals[0][0], 0, intervals[-1][1],
+                        data_off + 8, 0, 0)
+    # 48-byte rtree header: magic,u32 blockSize,u64 itemCount,
+    # u32 startChromIx,u32 startBase,u32 endChromIx,u32 endBase,
+    # u64 endFileOffset,u32 itemsPerSlot,u32 reserved... build carefully:
+    rtree = struct.pack("<IIQIIIIQIi", 0x2468ACE0, 256, 1,
+                        0, intervals[0][0], 0, intervals[-1][1],
+                        index_off, 512, 0)
+    rtree += struct.pack("<BBH", 1, 0, 1)
+    rtree += struct.pack("<IIIIQQ", 0, intervals[0][0], 0,
+                         intervals[-1][1], data_off + 8, len(comp))
+    hdr = struct.pack("<IHHQQQHHQQIQ", 0x888FFC26, 4, 0, chrom_off,
+                      data_off, index_off, 0, 0, 0, 0, 1 << 15, 0)
+    assert len(hdr) == 64
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(chrom_tree)
+        f.write(data)
+        f.write(rtree)
+
+
+def test_bigwig_reader_and_sketch(tmp_path):
+    p = tmp_path / "t.bw"
+    _write_minimal_bigwig(str(p), intervals=((0, 100, 2.0), (200, 300, 1.0)))
+    from dashing2_tpu.io.bigwig import read_bigwig
+    bw = read_bigwig(str(p))
+    assert bw.chrom_sizes == {"chr1": 1000000}
+    assert bw.intervals["chr1"] == [(0, 100, 2.0), (200, 300, 1.0)]
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "--bigwig", "--multiset", "-S", "64",
+                  "--binary-output", "--cmpout", str(out), str(p), str(p)])
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    assert vals[0] == 1.0
+
+
+# ----------------------------------------------------------------------
+# LeafCutter
+# ----------------------------------------------------------------------
+
+def test_leafcutter_sketch(tmp_path):
+    lf = tmp_path / "x_perind.counts"
+    lf.write_text(
+        "chrom s1 s2\n"
+        "chr1:100:200:clu_1 5/10 0/10\n"
+        "chr1:300:400:clu_1 3/10 3/10\n"
+        "chr2:100:150:clu_2 0/5 7/9\n")
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "--leafcutter", "--prob", "-S", "64",
+                  "--binary-output", "--cmpout", str(out), str(lf)])
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    # s1 and s2 share one splice site of three -> similarity in (0, 1)
+    assert 0.0 < vals[0] < 1.0
