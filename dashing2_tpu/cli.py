@@ -308,6 +308,53 @@ def _do_cmp(opts: Dashing2DistOptions, result: SketchingResult) -> None:
     emit_rectangular(opts, result, pairwise_matrix(opts, result))
 
 
+def _load_presketched(opts: Dashing2DistOptions,
+                      groups: List[str]) -> SketchingResult:
+    """Load pre-computed sketches: stacked signature files or per-input
+    sketch-cache files, with suffix sniffing that also fixes the sketch
+    space/result type (cmp_main.cpp:24-198,305-352)."""
+    result = SketchingResult()
+    cards_all, sig_rows = [], []
+    kmer_sets, kmer_counts = [], []
+    for path in groups:
+        if path.endswith((".opss", ".ss", ".bmh", ".pmh")):
+            if path.endswith(".bmh"):
+                opts.sspace = SketchSpace.SPACE_MULTISET
+            elif path.endswith(".pmh"):
+                opts.sspace = SketchSpace.SPACE_PSET
+            opts.kmer_result = (KmerSketchResultType.ONE_PERM
+                                if path.endswith(".opss")
+                                else KmerSketchResultType.FULL_SETSKETCH)
+            card, regs = formats.read_sketch_cache(path)
+            result.names.append(path)
+            cards_all.append(np.array([card]))
+            sig_rows.append(regs[None, :])
+        elif path.endswith((".kmerset64", ".kmerset128")):
+            opts.kmer_result = KmerSketchResultType.FULL_MMER_SET
+            kmers = np.fromfile(path, dtype=np.uint64)
+            result.names.append(path)
+            kmer_sets.append(np.sort(kmers))
+            cards_all.append(np.array([float(len(kmers))]))
+        else:
+            cards, sigs = formats.read_stacked_signatures(path)
+            try:
+                names, _ = formats.read_names_file(path + ".names.txt")
+            except OSError:
+                names = [f"{path}:{i}" for i in range(len(cards))]
+            result.names.extend(names)
+            cards_all.append(cards)
+            sig_rows.append(sigs)
+    result.cardinalities = np.concatenate(cards_all)
+    if sig_rows:
+        result.signatures = np.vstack(sig_rows)
+        if result.signatures.shape[1] != opts.sketchsize:
+            opts.sketchsize = result.signatures.shape[1]
+    if kmer_sets:
+        result.kmer_sets = kmer_sets
+        opts.exact_kmer_dist = True
+    return result
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     top = argparse.ArgumentParser(prog="dashing2-tpu")
@@ -349,20 +396,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         opts.outfile_path = "/dev/stdout"
 
     if presketched:
-        result = SketchingResult()
-        cards_all = []
-        sig_rows = []
-        for path in groups:
-            cards, sigs = formats.read_stacked_signatures(path)
-            try:
-                names, _ = formats.read_names_file(path + ".names.txt")
-            except OSError:
-                names = [f"{path}:{i}" for i in range(len(cards))]
-            result.names.extend(names)
-            cards_all.append(cards)
-            sig_rows.append(sigs)
-        result.cardinalities = np.concatenate(cards_all)
-        result.signatures = np.vstack(sig_rows)
+        result = _load_presketched(opts, groups)
         result.nq = nq
     else:
         if not groups:

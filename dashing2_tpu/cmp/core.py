@@ -188,6 +188,13 @@ def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
     cards = result.cardinalities
     lh = cards[rows][:, None]
     rh = cards[cols][None, :]
+    if opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE and (
+            opts.exact_kmer_dist or opts.measure == Measure.M_EDIT_DISTANCE):
+        from .editdist import edit_distances_pairs
+        ia = np.repeat(rows, len(cols))
+        ib = np.tile(cols, len(rows))
+        return edit_distances_pairs(result, ia, ib).reshape(
+            len(rows), len(cols)).astype(np.float32)
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
         from .wcompare import exact_intersections
         isz = exact_intersections(result, rows, cols)

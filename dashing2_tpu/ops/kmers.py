@@ -256,6 +256,90 @@ def _shift_left(x: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.concatenate([jax.lax.slice_in_dim(x, s, x.shape[-1], axis=-1), pad], axis=-1)
 
 
+def dna_kmer_codes128(codes: jnp.ndarray, k: int, canonicalize: bool = True
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """128-bit exact DNA k-mer codes for k <= 62 (--long-kmers).
+
+    Returns (hi u64, lo u64, valid) per position; canonical = 128-bit min
+    of forward and reverse complement.
+    """
+    L = codes.shape[-1]
+    n = L - k + 1
+    bad = (codes == INVALID)
+    c64 = jnp.where(bad, 0, codes).astype(jnp.uint64)
+    z = jnp.zeros(codes.shape[:-1] + (n,), dtype=jnp.uint64)
+    fhi, flo, rhi, rlo = z, z, z, z
+    for j in range(k):
+        cj = jax.lax.slice_in_dim(c64, j, j + n, axis=-1)
+        fhi = (fhi << jnp.uint64(2)) | (flo >> jnp.uint64(62))
+        flo = (flo << jnp.uint64(2)) | cj
+        comp = jnp.uint64(3) - cj
+        if 2 * j < 64:
+            rlo = rlo | (comp << jnp.uint64(2 * j))
+        else:
+            rhi = rhi | (comp << jnp.uint64(2 * j - 64))
+    valid = ~_window_any(bad, k)
+    if canonicalize:
+        rc_less = (rhi < fhi) | ((rhi == fhi) & (rlo < flo))
+        hi = jnp.where(rc_less, rhi, fhi)
+        lo = jnp.where(rc_less, rlo, flo)
+    else:
+        hi, lo = fhi, flo
+    return hi, lo, valid
+
+
+_ROLL_SALT = 0x1F3D5B79A2C4E608
+
+
+@functools.lru_cache(maxsize=None)
+def _rolling_table(alphabet: Alphabet) -> np.ndarray:
+    """Per-symbol random u64 table for the cyclic-polynomial rolling hash
+    (bns::RollingHasher equivalent for k beyond exact coding)."""
+    from .. import hashing as H
+    nsym = alphabet_size(alphabet)
+    syms = np.arange(nsym, dtype=np.uint64)
+    return H.wanghash(syms * np.uint64(0x9E3779B97F4A7C15)
+                      ^ np.uint64(_ROLL_SALT))
+
+
+def _rotl64(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    s %= 64
+    if s == 0:
+        return x
+    return (x << jnp.uint64(s)) | (x >> jnp.uint64(64 - s))
+
+
+def rolling_hash_codes(codes: jnp.ndarray, k: int, canonicalize: bool,
+                       alphabet: Alphabet
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cyclic-polynomial rolling hash for unbounded k (ntHash-style):
+    h_i = XOR_j rotl(T[c_{i+j}], (k-1-j) mod 64). Computed as k parallel
+    rotate-xor passes (no sequential scan); reverse-complement canonical
+    via the complement table with mirrored rotations."""
+    table = jnp.asarray(_rolling_table(alphabet))
+    L = codes.shape[-1]
+    n = L - k + 1
+    bad = (codes == INVALID)
+    safe = jnp.where(bad, 0, codes).astype(jnp.int32)
+    t = table[safe]
+    fwd = jnp.zeros(codes.shape[:-1] + (n,), dtype=jnp.uint64)
+    if canonicalize and alphabet in (Alphabet.DNA, Alphabet.DNAC):
+        tc = table[jnp.where(bad, 0, 3 - safe)]
+        rc = jnp.zeros_like(fwd)
+        for j in range(k):
+            tj = jax.lax.slice_in_dim(t, j, j + n, axis=-1)
+            tcj = jax.lax.slice_in_dim(tc, j, j + n, axis=-1)
+            fwd = fwd ^ _rotl64(tj, (k - 1 - j) % 64)
+            rc = rc ^ _rotl64(tcj, j % 64)
+        out = jnp.minimum(fwd, rc)
+    else:
+        for j in range(k):
+            tj = jax.lax.slice_in_dim(t, j, j + n, axis=-1)
+            fwd = fwd ^ _rotl64(tj, (k - 1 - j) % 64)
+        out = fwd
+    return out, ~_window_any(bad, k)
+
+
 # ----------------------------------------------------------------------
 # Device: window minimizers
 # ----------------------------------------------------------------------
@@ -332,18 +416,28 @@ def hashed_kmers(codes: jnp.ndarray, k: int, *, w: int = 0,
                  xormask: int | None = None,
                  seed_is_zero: bool = False,
                  entropy_min: bool = False,
+                 spacing_offsets: tuple[int, ...] | None = None,
+                 rolling: bool = False,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """codes (..., L) -> (hashed kmers u64, valid mask) per position.
 
-    Applies exact k-mer coding for the alphabet, optional window-w
-    minimizer selection (lexicographic by k-mer code, or entropy-weighted
-    hash when entropy_min), then the maskfn scrambler
-    (fastxsketch.cpp:385-389: every emitted k-mer is passed through maskfn
-    before filtering/sketching). With seed 0 the scrambler is disabled and
-    raw k-mer codes flow through (options.h:502 soft-documented behavior).
+    Applies exact k-mer coding for the alphabet (spaced-seed gather when
+    spacing_offsets given; cyclic rolling hash when `rolling`, for k
+    beyond the exact-coding capacity), optional window-w minimizer
+    selection (lexicographic by k-mer code, or entropy-weighted hash when
+    entropy_min), then the maskfn scrambler (fastxsketch.cpp:385-389:
+    every emitted k-mer is passed through maskfn before
+    filtering/sketching). With seed 0 the scrambler is disabled and raw
+    k-mer codes flow through (options.h:502 soft-documented behavior).
     """
     from .. import hashing as H
-    if alphabet in (Alphabet.DNA, Alphabet.DNAC):
+    if rolling:
+        kmers, valid = rolling_hash_codes(codes, k, canonicalize, alphabet)
+    elif spacing_offsets:
+        bits = 2 if alphabet in (Alphabet.DNA, Alphabet.DNAC) else \
+            max(1, (alphabet_size(alphabet) - 1).bit_length())
+        kmers, valid = spaced_kmer_codes(codes, list(spacing_offsets), bits)
+    elif alphabet in (Alphabet.DNA, Alphabet.DNAC):
         kmers, valid = dna_kmer_codes(codes, k, canonicalize)
     elif alphabet == Alphabet.DNA2:
         kmers, valid = base_b_kmer_codes(codes, k, 2)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax
@@ -53,18 +54,35 @@ U64MAX = SK.U64MAX
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "w", "canon", "alphabet", "entmin", "xormask", "seed_is_zero",
-    "downsample_threshold", "use_filterset", "chunk_len"))
+    "downsample_threshold", "use_filterset", "chunk_len", "span",
+    "spacing_offsets", "rolling", "use128"))
 def _hash_chunk_batch(chunks: jnp.ndarray, filterset: jnp.ndarray, *,
                       k: int, w: int, canon: bool, alphabet: Alphabet,
                       entmin: bool, xormask: int, seed_is_zero: bool,
                       downsample_threshold: int, use_filterset: bool,
-                      chunk_len: int):
-    hashed, valid = K.hashed_kmers(
-        chunks, k, w=w, canonicalize=canon, alphabet=alphabet,
-        xormask=xormask, seed_is_zero=seed_is_zero, entropy_min=entmin)
+                      chunk_len: int, span: int = 0, spacing_offsets=None,
+                      rolling: bool = False, use128: bool = False):
+    if span <= 0:
+        span = k
+    if use128 and not rolling and not spacing_offsets:
+        # --long-kmers: 128-bit exact codes; the scrambled low word feeds
+        # the 64-bit sketch machinery (maskfn(u128) low-word truncation,
+        # enums.h:144-148 + oph.h update(uint64_t))
+        hi, lo, valid = K.dna_kmer_codes128(chunks, k, canon)
+        from ..ops import hashes as _DH
+        hashed = lo if seed_is_zero else _DH.maskfn(lo, xormask)
+        if w > k:
+            sel = K.minimizer_mask(
+                (hi >> jnp.uint64(1)) ^ lo, valid, k, w)
+            valid = sel
+    else:
+        hashed, valid = K.hashed_kmers(
+            chunks, k, w=w, canonicalize=canon, alphabet=alphabet,
+            xormask=xormask, seed_is_zero=seed_is_zero, entropy_min=entmin,
+            spacing_offsets=spacing_offsets, rolling=rolling)
     # ownership mask: drop halo positions so chunk boundaries emit each
     # k-mer exactly once
-    lo, hi = K.owned_kmer_range(k, w, chunk_len)
+    lo, hi = K.owned_kmer_range(span, w, chunk_len)
     pos = jnp.arange(hashed.shape[-1])
     valid = valid & (pos >= lo) & (pos < hi)
     if downsample_threshold < (1 << 64) - 1:
@@ -80,12 +98,21 @@ def _hash_chunk_batch(chunks: jnp.ndarray, filterset: jnp.ndarray, *,
 
 
 def _hash_kwargs(opts: Dashing2Options, chunk_len: int) -> dict:
+    spacing = (tuple(K.parse_spacing(opts.spacing, opts.k))
+               if opts.spacing else None)
+    limit = opts.nremper128 if opts.use128 else opts.nremper64
+    rolling = opts.k > limit and not spacing
     return dict(
         k=opts.k, w=opts.w, canon=opts.canonicalize, alphabet=opts.alphabet,
         entmin=opts.entmin, xormask=opts.xormask,
         seed_is_zero=False,
         downsample_threshold=opts.downsample_threshold(),
         chunk_len=chunk_len,
+        span=(spacing[-1] + 1) if spacing else opts.k,
+        spacing_offsets=spacing,
+        rolling=rolling,
+        use128=opts.use128 and opts.alphabet in (Alphabet.DNA,
+                                                 Alphabet.DNAC),
     )
 
 
@@ -94,22 +121,30 @@ class _Item:
     """One sketchable item: a file group or a single sequence."""
     name: str
     codes: List[np.ndarray]
+    raw: Optional[bytes] = None  # kept for edit-distance space
 
 
 def _load_items(opts: Dashing2Options, groups: Sequence[str]) -> List[_Item]:
     items: List[_Item] = []
+    keep_raw = opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE
     for group in groups:
         if opts.parse_by_seq:
             for path in group.split():
                 for name, seq in fastx.read_fastx(path):
-                    items.append(_Item(name=name, codes=[
-                        K.encode_ascii(seq, opts.alphabet)]))
+                    items.append(_Item(
+                        name=name,
+                        codes=[K.encode_ascii(seq, opts.alphabet)],
+                        raw=bytes(seq) if keep_raw else None))
         else:
             codes = []
+            raws = []
             for path in group.split():
                 for _, seq in fastx.read_fastx(path):
                     codes.append(K.encode_ascii(seq, opts.alphabet))
-            items.append(_Item(name=group, codes=codes))
+                    if keep_raw:
+                        raws.append(bytes(seq))
+            items.append(_Item(name=group, codes=codes,
+                               raw=b"".join(raws) if keep_raw else None))
     return items
 
 
@@ -117,8 +152,11 @@ def _iter_chunk_batches(opts: Dashing2Options, items: Sequence[_Item],
                         chunk_len: int, rows_per_batch: int
                         ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
     """Yield (chunks (R, L) u8, item_ids (R,) i32) fixed-shape batches."""
-    halo_w = opts.w if opts.w > opts.k else 0
-    h_l, h_r = K.chunk_halos(opts.k, halo_w)
+    spacing = (K.parse_spacing(opts.spacing, opts.k)
+               if opts.spacing else None)
+    span = (spacing[-1] + 1) if spacing else opts.k
+    halo_w = opts.w if opts.w > span else 0
+    h_l, h_r = K.chunk_halos(span, halo_w)
     width = chunk_len + h_l + h_r
     buf: List[np.ndarray] = []
     ids: List[int] = []
@@ -138,7 +176,7 @@ def _iter_chunk_batches(opts: Dashing2Options, items: Sequence[_Item],
         return rows, rid
 
     for idx, item in enumerate(items):
-        chunks, _ = K.chunk_codes(item.codes, opts.k, chunk_len=chunk_len,
+        chunks, _ = K.chunk_codes(item.codes, span, chunk_len=chunk_len,
                                   w=halo_w)
         for row in chunks:
             buf.append(row)
@@ -169,14 +207,140 @@ def _merge_oph(regs_a, counts_a, regs_b, counts_b):
 def sketch_fastx(opts: Dashing2Options, groups: Sequence[str],
                  chunk_len: int = 1 << 15, rows_per_batch: int = 64
                  ) -> SketchingResult:
-    """Sketch FASTA/FASTQ inputs. `groups`: one item per entry; an entry
-    may contain several space-separated paths sketched jointly
-    (d2.h:52-71 for_each_substr semantics)."""
+    """Sketch FASTA/FASTQ inputs with cache probe/write (--cache:
+    parameter-keyed per-input artifacts, fastxsketch.cpp:313-380,461-524).
+
+    `groups`: one item per entry; an entry may contain several
+    space-separated paths sketched jointly (d2.h:52-71)."""
+    if opts.cache_sketches and not opts.parse_by_seq:
+        return _sketch_fastx_cached(opts, groups, chunk_len, rows_per_batch)
+    return _sketch_fastx_core(opts, groups, chunk_len, rows_per_batch)
+
+
+def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
+                         chunk_len: int, rows_per_batch: int
+                         ) -> SketchingResult:
+    from ..io import formats
+    from ..io.cache import makedest
+    from ..enums import KmerSketchResultType as KR
+    m = opts.sketchsize
+    kres = opts.kmer_result
+    dests = [makedest(opts, g) for g in groups]
+    loaded: dict = {}
+    for i, dest in enumerate(dests):
+        if not os.path.isfile(dest):
+            continue
+        try:
+            if kres in (KR.ONE_PERM, KR.FULL_SETSKETCH):
+                card, regs = formats.read_sketch_cache(dest)
+                if len(regs) != m:
+                    continue  # corrupted/size-mismatched: resketch
+                loaded[i] = ("sig", card, regs)
+            elif kres == KR.FULL_MMER_SET:
+                kmers = np.fromfile(dest, dtype=np.uint64)
+                loaded[i] = ("set", float(len(kmers)), kmers)
+            elif kres == KR.FULL_MMER_COUNTDICT:
+                kmers = np.fromfile(makedest(opts, groups[i], iskmer=True),
+                                    dtype=np.uint64)
+                counts = np.fromfile(dest, dtype=np.float64)
+                if len(kmers) != len(counts):
+                    continue
+                loaded[i] = ("dict", float(counts.sum()), (kmers, counts))
+            elif kres == KR.FULL_MMER_SEQUENCE:
+                seq = np.fromfile(dest, dtype=np.uint64)
+                loaded[i] = ("seq", float(len(seq)), seq)
+        except (OSError, ValueError):
+            continue
+    pending = [g for i, g in enumerate(groups) if i not in loaded]
+    sub = (_sketch_fastx_core(opts, pending, chunk_len, rows_per_batch)
+           if pending else SketchingResult())
+    # assemble in original order
+    res = SketchingResult(names=list(groups))
+    n = len(groups)
+    res.cardinalities = np.zeros(n, np.float64)
+    if kres in (KR.ONE_PERM, KR.FULL_SETSKETCH):
+        res.signatures = np.zeros((n, m), np.float64)
+        if sub.kmers is not None:
+            res.kmers = np.zeros((n, m), np.uint64)
+        if sub.kmercounts is not None:
+            res.kmercounts = np.zeros((n, m), np.float32)
+    elif kres in (KR.FULL_MMER_SET, KR.FULL_MMER_COUNTDICT):
+        res.kmer_sets = [None] * n
+        if kres == KR.FULL_MMER_COUNTDICT:
+            res.kmer_set_counts = [None] * n
+    else:
+        res.mmer_sequences = [None] * n
+    si = 0
+    for i in range(n):
+        if i in loaded:
+            kind, card, payload = loaded[i]
+            res.cardinalities[i] = card
+            if kind == "sig":
+                res.signatures[i] = payload
+            elif kind == "set":
+                res.kmer_sets[i] = payload
+            elif kind == "dict":
+                res.kmer_sets[i] = payload[0]
+                res.kmer_set_counts[i] = payload[1]
+            else:
+                res.mmer_sequences[i] = payload
+        else:
+            res.cardinalities[i] = sub.cardinalities[si]
+            if res.signatures is not None:
+                res.signatures[i] = sub.signatures[si]
+                if res.kmers is not None:
+                    res.kmers[i] = sub.kmers[si]
+                if res.kmercounts is not None:
+                    res.kmercounts[i] = sub.kmercounts[si]
+            elif res.kmer_sets is not None:
+                res.kmer_sets[i] = sub.kmer_sets[si]
+                if res.kmer_set_counts is not None:
+                    res.kmer_set_counts[i] = sub.kmer_set_counts[si]
+            else:
+                res.mmer_sequences[i] = sub.mmer_sequences[si]
+            # write the cache artifact (fastxsketch.cpp:461-524)
+            dest = dests[i]
+            try:
+                if kres in (KR.ONE_PERM, KR.FULL_SETSKETCH):
+                    formats.write_sketch_cache(dest, res.cardinalities[i],
+                                               res.signatures[i])
+                elif kres == KR.FULL_MMER_SET:
+                    res.kmer_sets[i].tofile(dest)
+                elif kres == KR.FULL_MMER_COUNTDICT:
+                    res.kmer_sets[i].tofile(
+                        makedest(opts, groups[i], iskmer=True))
+                    res.kmer_set_counts[i].astype(np.float64).tofile(dest)
+                else:
+                    res.mmer_sequences[i].tofile(dest)
+                res.destination_files.append(dest)
+            except OSError:
+                pass
+            si += 1
+    return res
+
+
+def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
+                       chunk_len: int = 1 << 15, rows_per_batch: int = 64
+                       ) -> SketchingResult:
     items = _load_items(opts, groups)
     res = SketchingResult(names=[it.name for it in items])
     n = len(items)
     m = opts.sketchsize
     kres = opts.kmer_result
+
+    if opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE:
+        # OrderMinHash signatures over raw sequences
+        from .omh import omh_sketch
+        sigs = np.zeros((n, m), dtype=np.uint64)
+        for i, it in enumerate(items):
+            allcodes = (np.concatenate(it.codes) if it.codes
+                        else np.zeros(0, np.uint8))
+            sigs[i] = omh_sketch(allcodes, opts.k, m)
+        res.signatures = sigs.view(np.float64)
+        res.cardinalities = np.array(
+            [sum(len(c) for c in it.codes) for it in items], np.float64)
+        res.sequences = [it.raw or b"" for it in items]
+        return res
 
     fs = _filterset_array(opts)
     use_fs = fs is not None
@@ -248,10 +412,25 @@ def sketch_fastx(opts: Dashing2Options, groups: Sequence[str],
         return res
 
     # distinct counting (exact sets / count dicts / count threshold / weighted)
+    use_countsketch = (opts.cssize > 0
+                       and opts.sspace in (SketchSpace.SPACE_MULTISET,
+                                           SketchSpace.SPACE_PSET))
     uniq_list: List[np.ndarray] = []
     cnt_list: List[np.ndarray] = []
     for hv in per_item_hashes:
-        u, c = np.unique(hv, return_counts=True)
+        if use_countsketch:
+            # CountSketch with fixed memory (enums.h:44-57, counter.h):
+            # bucket[h % cssize] += (h & 1) ? 1 : -1; weights = |bucket|,
+            # items = bucket indices (bedsketch.cpp:77-86 semantics).
+            buckets = np.zeros(opts.cssize, np.float64)
+            idx = (hv % np.uint64(opts.cssize)).astype(np.int64)
+            sign = np.where((hv & np.uint64(1)).astype(bool), 1.0, -1.0)
+            np.add.at(buckets, idx, sign)
+            nz = np.nonzero(buckets)[0]
+            u = nz.astype(np.uint64)
+            c = np.abs(buckets[nz])
+        else:
+            u, c = np.unique(hv, return_counts=True)
         if opts.count_threshold > 1:
             keep = c >= opts.count_threshold
             u, c = u[keep], c[keep]

@@ -1,0 +1,156 @@
+import numpy as np
+import pytest
+
+from make_fixtures import make, mutate, write_fasta
+from dashing2_tpu.io import formats
+
+
+def run_cli(args):
+    from dashing2_tpu.cli import main
+    return main(args)
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fa_feat")
+    return make(str(d), n_genomes=4, length=8000)
+
+
+def test_cache_roundtrip_identical_results(fixtures, tmp_path):
+    import time
+    args = ["sketch", "-k", "21", "-S", "256", "--cache",
+            "--outprefix", str(tmp_path), "--binary-output"]
+    out1 = tmp_path / "d1.bin"
+    run_cli(args + ["--cmpout", str(out1)] + fixtures)
+    # cache files must exist now
+    import glob
+    caches = glob.glob(str(tmp_path / "*.opss"))
+    assert len(caches) == len(fixtures), caches
+    out2 = tmp_path / "d2.bin"
+    run_cli(args + ["--cmpout", str(out2)] + fixtures)
+    a = np.fromfile(out1, np.float32)
+    b = np.fromfile(out2, np.float32)
+    assert np.array_equal(a, b)
+    # corrupt one cache -> still works (resketches)
+    with open(caches[0], "wb") as f:
+        f.write(b"garbage")
+    out3 = tmp_path / "d3.bin"
+    run_cli(args + ["--cmpout", str(out3)] + fixtures)
+    assert np.array_equal(a, np.fromfile(out3, np.float32))
+
+
+def test_cache_exact_sets(fixtures, tmp_path):
+    args = ["sketch", "--set", "-k", "21", "--cache",
+            "--outprefix", str(tmp_path), "--binary-output"]
+    out1 = tmp_path / "e1.bin"
+    run_cli(args + ["--cmpout", str(out1)] + fixtures[:3])
+    out2 = tmp_path / "e2.bin"
+    run_cli(args + ["--cmpout", str(out2)] + fixtures[:3])
+    assert np.array_equal(np.fromfile(out1, np.float32),
+                          np.fromfile(out2, np.float32))
+
+
+def test_presketched_single_sketch_files(fixtures, tmp_path):
+    run_cli(["sketch", "-k", "21", "-S", "256", "--cache",
+             "--outprefix", str(tmp_path)] + fixtures[:3])
+    import glob
+    caches = sorted(glob.glob(str(tmp_path / "*.opss")))
+    assert len(caches) == 3
+    out = tmp_path / "d.bin"
+    rc = run_cli(["cmp", "--presketched", "-S", "256", "--binary-output",
+                  "--cmpout", str(out)] + caches)
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    assert len(vals) == 3
+    assert (vals > 0.2).all()
+
+
+def test_long_kmers_128(fixtures, tmp_path):
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "--long-kmers", "-k", "45", "-S", "256",
+                  "--binary-output", "--cmpout", str(out)] + fixtures[:3])
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    # k=45 on 0.2%-mutant genomes: similarity ~ (1-0.002*2)^45-ish
+    assert 0.5 < vals[0] < 1.0, vals
+
+
+def test_rolling_hash_long_k(fixtures, tmp_path):
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "-k", "75", "-S", "256",
+                  "--binary-output", "--cmpout", str(out)] + fixtures[:3])
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    assert 0.3 < vals[0] < 1.0, vals
+    # self-similarity check: same file twice
+    out2 = tmp_path / "d2.bin"
+    run_cli(["sketch", "-k", "75", "-S", "256", "--binary-output",
+             "--cmpout", str(out2), fixtures[0], fixtures[0]])
+    assert np.fromfile(out2, np.float32)[0] == 1.0
+
+
+def test_spacing_cli(fixtures, tmp_path):
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "-k", "17", "--spacing", "0,1x8,0x7",
+                  "-S", "256", "--binary-output", "--cmpout", str(out),
+                  fixtures[0], fixtures[0]])
+    assert rc == 0
+    assert np.fromfile(out, np.float32)[0] == 1.0
+
+
+def test_countmin_weighted(fixtures, tmp_path):
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "--multiset", "-c", "8192", "-k", "21",
+                  "-S", "256", "--binary-output", "--cmpout", str(out)]
+                 + fixtures[:3])
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    assert 0.4 < vals[0] <= 1.0, vals
+
+
+def test_edit_distance_omh(tmp_path):
+    rng = np.random.default_rng(12)
+    from make_fixtures import random_genome
+    base = random_genome(rng, 2000)
+    seqs = [("s0", base), ("s1", mutate(rng, base, 0.01)),
+            ("s2", mutate(rng, base, 0.10)), ("s3", random_genome(rng, 2000))]
+    fa = tmp_path / "seqs.fa"
+    write_fasta(str(fa), seqs)
+    out = tmp_path / "omh.bin"
+    rc = run_cli(["sketch", "--edit-distance", "--parse-by-seq", "-k", "12",
+                  "-S", "512", "--binary-output", "--cmpout", str(out),
+                  str(fa)])
+    assert rc == 0
+    n = 4
+    vals = np.fromfile(out, np.float32)
+    mat = np.zeros((n, n), np.float32)
+    idx = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            mat[i, j] = vals[idx]
+            idx += 1
+    # closer sequences share more OMH registers
+    assert mat[0, 1] > mat[0, 2] > mat[0, 3]
+    assert mat[0, 3] < 0.05
+
+
+def test_edit_distance_exact_knn(tmp_path):
+    rng = np.random.default_rng(13)
+    from make_fixtures import random_genome
+    base = random_genome(rng, 500)
+    seqs = [(f"s{i}", mutate(rng, base, 0.01 * i)) for i in range(5)]
+    fa = tmp_path / "seqs.fa"
+    write_fasta(str(fa), seqs)
+    out = tmp_path / "knn.bin"
+    rc = run_cli(["sketch", "--edit-distance", "--parse-by-seq",
+                  "--compute-edit-distance", "-k", "10", "-S", "256",
+                  "--topk", "2", "--binary-output", "--cmpout", str(out),
+                  str(fa)])
+    assert rc == 0
+    indptr, indices, data = formats.read_knn_csr(str(out))
+    # s0's closest neighbor by true edit distance should be s1
+    row0 = indices[int(indptr[0]):int(indptr[1])]
+    assert row0[0] == 1, (row0, data[:4])
+    # distances ascending
+    d0 = data[int(indptr[0]):int(indptr[1])]
+    assert (np.diff(d0) >= 0).all()
