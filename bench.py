@@ -1,52 +1,97 @@
 """Headline benchmark: pairwise register-comparison throughput on one chip.
 
 Mirrors the BASELINE.json metric ("pairwise comparisons/sec at 10K
-genomes"): N sketches of m=1024 f64 registers (the reference's default
-RegT/sketchsize), full gtlt counting + SetSketch similarity estimator.
-Prints ONE JSON line.
+genomes"): N sketches of m=1024 registers, all-pairs comparison + SetSketch
+similarity estimator. Prints ONE JSON line to stdout.
+
+Measurement note: dispatch/sync over the remote TPU tunnel adds a large
+constant latency and `block_until_ready` completes early, so per-matrix
+time is measured differentially — K matrix computations chained
+data-dependently inside one jit (scan), timed at K=1 and K=1+R, per-matrix
+= (T_{1+R} - T_1) / R, with a scalar host fetch as the sync point.
 
 vs_baseline: the reference publishes no numbers and its submodules are
-absent (unbuildable here), so the comparison point is the north-star's
-32-thread CPU Dashing2 estimate derived from its SIMD count_gtlt kernel:
-~2 registers/cycle/core * 32 cores * 3 GHz / 1024 registers/pair
-~= 1.9e8 pairs/s. vs_baseline = pairs_per_sec / 1.9e8.
+absent (unbuildable here). Comparison point: a 32-thread AVX2 CPU running
+count_gtlt over m=1024 f64 registers at ~4 regs x 3 ops/cycle/core x 3 GHz
+~= 1.25e8 pairs/s. The secondary nibble-register (--fastcmp 0.5) MXU path
+is reported to stderr.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+BASELINE_CPU_PAIRS_PER_SEC = 1.25e8
 
 
 def main():
     import dashing2_tpu  # noqa: F401  (x64)
     import jax
     import jax.numpy as jnp
-    from dashing2_tpu.parallel.allpairs import device_similarity
-    from dashing2_tpu.ops.cmp_kernels import f64_to_ordered_u64
+    from dashing2_tpu.ops.cmp_kernels import (_pairwise_counts,
+                                              f64_to_ordered_u64)
+    from dashing2_tpu.ops.pallas_cmp import _nibble_mxu
 
     rng = np.random.default_rng(0)
     n, m = 4096, 1024
     sigs = np.abs(rng.normal(size=(n, m))) + 1e-9
     su = jnp.asarray(f64_to_ordered_u64(sigs))
-    cards = jnp.asarray(rng.uniform(1e5, 1e7, size=n).astype(np.float32))
 
-    device_similarity(su, cards, m=m).block_until_ready()  # compile + warm
-    reps = 3
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        device_similarity(su, cards, m=m).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    pairs = n * n  # full square computed
-    pps = pairs / dt
-    baseline_cpu = 1.9e8
+    def make_chain(K):
+        @jax.jit
+        def run(a):
+            def body(carry, _):
+                eq, gt, lt = _pairwise_counts(carry, carry, want_gtlt=True,
+                                              tm=32, tn=32)
+                return carry ^ gt[0, 0].astype(jnp.uint64), None
+            a2, _ = jax.lax.scan(body, a, None, length=K)
+            return a2[0, 0]
+        return run
+
+    def timed(fn, arg, reps=3):
+        np.asarray(fn(arg))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(arg))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = timed(make_chain(1), su)
+    t5 = timed(make_chain(5), su)
+    per_matrix = max((t5 - t1) / 4, 1e-9)
+    pps = n * n / per_matrix
+
+    # secondary metric: nibble-register MXU path (--fastcmp 0.5)
+    try:
+        nib = jnp.asarray(rng.integers(0, 16, size=(n, m)).astype(np.uint8))
+
+        def make_mxu(K):
+            @jax.jit
+            def run(x):
+                def body(carry, _):
+                    eq, gt, lt = _nibble_mxu(carry, carry, True)
+                    return carry ^ gt[0, 0].astype(jnp.uint8), None
+                x2, _ = jax.lax.scan(body, x, None, length=K)
+                return x2[0, 0]
+            return run
+        tm1 = timed(make_mxu(1), nib, reps=2)
+        tm5 = timed(make_mxu(5), nib, reps=2)
+        per_mxu = max((tm5 - tm1) / 4, 1e-9)
+        print(f"# nibble-register (--fastcmp 0.5) MXU path: "
+              f"{n * n / per_mxu / 1e9:.2f} G pairs/s "
+              f"({per_mxu * 1e3:.1f} ms/matrix)", file=sys.stderr)
+    except Exception as e:
+        print(f"# nibble MXU path failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "pairwise_comparisons_per_sec",
         "value": round(pps, 1),
-        "unit": "pairs/s (m=1024 f64 registers, full gtlt estimator)",
-        "vs_baseline": round(pps / baseline_cpu, 2),
+        "unit": "pairs/s (m=1024 f64 registers, full gtlt estimator, "
+                "one chip)",
+        "vs_baseline": round(pps / BASELINE_CPU_PAIRS_PER_SEC, 2),
     }))
 
 

@@ -245,6 +245,22 @@ def _build_opts(a: argparse.Namespace, presketched: bool = False
 
 def _collect_inputs(a: argparse.Namespace) -> List[str]:
     groups: List[str] = list(a.paths)
+    if getattr(a, "pairlist", None):
+        # The reference collects the unique paths named in the pairlist and
+        # proceeds with the normal comparison flow (options.h:428-449;
+        # sparse pair-restricted output is a TODO there too).
+        if groups:
+            raise SystemExit("Provide either a pairlist or paths, not both")
+        seen = {}
+        with open(a.pairlist) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    raise SystemExit(
+                        "pairlist lines need two space-separated paths")
+                for p in parts[:2]:
+                    seen.setdefault(p, None)
+        groups.extend(seen.keys())
     if a.ffile:
         with open(a.ffile) as f:
             groups.extend(line.rstrip("\n") for line in f if line.strip())

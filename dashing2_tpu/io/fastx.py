@@ -63,6 +63,47 @@ def _lines(f, first_prefix: bytes) -> Iterator[bytes]:
         yield line
 
 
+def read_encoded(path: str, alphabet) -> Iterator[Tuple[str, "np.ndarray"]]:
+    """Yield (name, alphabet-encoded uint8 codes) per record.
+
+    Uses the native C++ reader (zlib-aware, LUT encoding in C) when the
+    toolchain is available; transparently falls back to the Python parser.
+    xz/bz2 inputs always take the Python path.
+    """
+    import ctypes
+
+    import numpy as np
+
+    from ..native import load_fastx_lib
+    from ..ops.kmers import alphabet_lut
+
+    lib = None
+    if not path.endswith((".xz", ".bz2")):
+        lib = load_fastx_lib()
+    if lib is None:
+        for name, seq in read_fastx(path):
+            yield name, alphabet_lut(alphabet)[
+                np.frombuffer(seq, dtype=np.uint8)]
+        return
+    lut = alphabet_lut(alphabet).tobytes()
+    h = lib.fxr_open(path.encode(), lut)
+    if not h:
+        raise OSError(f"failed to open {path}")
+    try:
+        name_p = ctypes.c_char_p()
+        seq_p = ctypes.POINTER(ctypes.c_ubyte)()
+        while True:
+            n = lib.fxr_next(h, ctypes.byref(name_p), ctypes.byref(seq_p))
+            if n < 0:
+                if n == -2:
+                    raise ValueError(f"{path}: malformed FASTA/FASTQ")
+                break
+            codes = np.ctypeslib.as_array(seq_p, shape=(n,)).copy()
+            yield (name_p.value or b"").decode(), codes
+    finally:
+        lib.fxr_close(h)
+
+
 def read_sequences(path: str) -> Tuple[List[str], List[bytes]]:
     names: List[str] = []
     seqs: List[bytes] = []

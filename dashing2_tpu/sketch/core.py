@@ -130,19 +130,27 @@ def _load_items(opts: Dashing2Options, groups: Sequence[str]) -> List[_Item]:
     for group in groups:
         if opts.parse_by_seq:
             for path in group.split():
-                for name, seq in fastx.read_fastx(path):
-                    items.append(_Item(
-                        name=name,
-                        codes=[K.encode_ascii(seq, opts.alphabet)],
-                        raw=bytes(seq) if keep_raw else None))
+                if keep_raw:
+                    for name, seq in fastx.read_fastx(path):
+                        items.append(_Item(
+                            name=name,
+                            codes=[K.encode_ascii(seq, opts.alphabet)],
+                            raw=bytes(seq)))
+                else:
+                    for name, codes in fastx.read_encoded(path,
+                                                          opts.alphabet):
+                        items.append(_Item(name=name, codes=[codes]))
         else:
             codes = []
             raws = []
             for path in group.split():
-                for _, seq in fastx.read_fastx(path):
-                    codes.append(K.encode_ascii(seq, opts.alphabet))
-                    if keep_raw:
+                if keep_raw:
+                    for _, seq in fastx.read_fastx(path):
+                        codes.append(K.encode_ascii(seq, opts.alphabet))
                         raws.append(bytes(seq))
+                else:
+                    for _, c in fastx.read_encoded(path, opts.alphabet):
+                        codes.append(c)
             items.append(_Item(name=group, codes=codes,
                                raw=b"".join(raws) if keep_raw else None))
     return items
@@ -464,6 +472,28 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             np.full(m, np.inf)
         sigs[i] = np.where(np.isfinite(regs), regs, 0.0)
         cards[i] = SK.css_cardinality(regs) if len(u) else 0.0
+    if opts.sketch_compressed_set:
+        # --setsketch-ab / --fastcmp-{bytes,shorts,words,nibbles}: quantize
+        # to the fixed (a, b) registers directly. Quantizing the exact
+        # CSetSketch registers is identical to sketching into quantized
+        # registers (CSetSketch::to_setsketch, setsketch.h:325-333).
+        from ..cmp.core import _QLUT
+        a_, b_ = opts.compressed_a, opts.compressed_b
+        q = _QLUT[opts.fd_level]
+        logbinv = 1.0 / np.log1p(b_ - 1.0)
+        with np.errstate(divide="ignore"):
+            kq = np.clip(np.floor(1.0 - np.log(np.maximum(sigs, 1e-300)
+                                               / a_) * logbinv),
+                         0, int(q) + 1)
+        kq = np.where(sigs <= 0, 0, kq)
+        dt = {0.5: np.uint8, 1.0: np.uint8, 2.0: np.uint16,
+              4.0: np.uint32, 8.0: np.uint64}[opts.fd_level]
+        res.signatures = kq.astype(dt)
+        # harmonic-mean cardinality over quantized registers
+        # (SetSketch::cardinality, setsketch.h:773-777)
+        num = m * (1.0 - 1.0 / b_) * logbinv / a_
+        res.cardinalities = num / np.power(b_, -kq).sum(axis=1)
+        return res
     res.signatures = sigs
     res.cardinalities = cards
     return res

@@ -154,3 +154,29 @@ def test_edit_distance_exact_knn(tmp_path):
     # distances ascending
     d0 = data[int(indptr[0]):int(indptr[1])]
     assert (np.diff(d0) >= 0).all()
+
+
+def test_direct_compressed_sketching(fixtures, tmp_path):
+    # --full --fastcmp-bytes: sketch directly into (a,b)-quantized byte
+    # registers; similarities should track the full-register estimates
+    out1 = tmp_path / "full.bin"
+    out2 = tmp_path / "bytes.bin"
+    run_cli(["sketch", "--full", "-k", "21", "-S", "512",
+             "--binary-output", "--cmpout", str(out1)] + fixtures[:3])
+    run_cli(["sketch", "--full", "--fastcmp-bytes", "-k", "21", "-S", "512",
+             "--binary-output", "--cmpout", str(out2)] + fixtures[:3])
+    a = np.fromfile(out1, np.float32)
+    b = np.fromfile(out2, np.float32)
+    assert len(a) == len(b) == 3
+    np.testing.assert_allclose(a, b, atol=0.08)
+
+
+def test_pairlist_mode(fixtures, tmp_path):
+    pl = tmp_path / "pairs.txt"
+    pl.write_text(f"{fixtures[0]} {fixtures[1]}\n{fixtures[1]} {fixtures[2]}\n")
+    out = tmp_path / "d.bin"
+    rc = run_cli(["sketch", "-k", "21", "-S", "256", "--binary-output",
+                  "--pairlist", str(pl), "--cmpout", str(out)])
+    assert rc == 0
+    vals = np.fromfile(out, np.float32)
+    assert len(vals) == 3  # 3 unique paths -> 3 pairs
