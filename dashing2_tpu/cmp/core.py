@@ -253,6 +253,12 @@ def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
         ib = np.tile(cols, len(rows))
         return edit_distances_pairs(result, ia, ib).reshape(
             len(rows), len(cols)).astype(np.float32)
+    if opts.kmer_result == KmerSketchResultType.FULL_MMER_SEQUENCE:
+        from .wcompare import mmer_sequence_pairs
+        ia = np.repeat(rows, len(cols))
+        ib = np.tile(cols, len(rows))
+        return mmer_sequence_pairs(opts, result, ia, ib).reshape(
+            len(rows), len(cols)).astype(np.float32)
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
         from .wcompare import exact_intersections
         isz = exact_intersections(result, rows, cols)
@@ -277,6 +283,9 @@ def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
             opts.exact_kmer_dist or msr == Measure.M_EDIT_DISTANCE):
         from .editdist import edit_distances_pairs
         return edit_distances_pairs(result, ia, ib).astype(np.float32)
+    if opts.kmer_result == KmerSketchResultType.FULL_MMER_SEQUENCE:
+        from .wcompare import mmer_sequence_pairs
+        return mmer_sequence_pairs(opts, result, ia, ib).astype(np.float32)
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
         from .wcompare import exact_intersections
         isz = np.array([

@@ -55,20 +55,28 @@ def myers_edit_distance(a: bytes, b: bytes) -> int:
 
 
 def span_edit_distance(a: np.ndarray, b: np.ndarray) -> int:
-    """O(nm) DP over u64 token spans (edit-distance.h:12-57)."""
+    """O(nm) DP over u64 token spans (edit-distance.h:12-57), one
+    vectorized row per outer token.
+
+    The left-to-right dependency cur[j] = min(tmp[j], cur[j-1] + 1) with
+    tmp[j] = min(prev[j] + 1, prev[j-1] + cost_j) unrolls to
+    cur[j] = j + min_{l<=j}(tmp[l] - l), a prefix-min scan — so each DP
+    row is pure numpy instead of an interpreted inner loop."""
     n, m = len(a), len(b)
     if n == 0:
         return m
     if m == 0:
         return n
+    if m > n:  # fewer outer iterations over the shorter sequence
+        a, b = b, a
+        n, m = m, n
     prev = np.arange(m + 1, dtype=np.int64)
+    ar = np.arange(m + 1, dtype=np.int64)
+    tmp = np.empty(m + 1, dtype=np.int64)
     for i in range(1, n + 1):
-        cur = np.empty(m + 1, dtype=np.int64)
-        cur[0] = i
-        sub = prev[:-1] + (b != a[i - 1])
-        for j in range(1, m + 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub[j - 1])
-        prev = cur
+        np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i - 1]), out=tmp[1:])
+        tmp[0] = i
+        prev = ar + np.minimum.accumulate(tmp - ar)
     return int(prev[-1])
 
 

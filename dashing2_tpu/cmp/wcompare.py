@@ -36,6 +36,34 @@ def weighted_intersection_size(a: np.ndarray, ca: np.ndarray,
     return float(np.minimum(ca[hit], cb[idx_c[hit]]).sum())
 
 
+def hamming_matches(a: np.ndarray, b: np.ndarray) -> float:
+    """Equal positions over the overlap plus the length difference
+    (hamming_compare, wcompare.cpp:52-55; the streaming hamming_compare_f
+    :89-107 computes the same value)."""
+    n = min(len(a), len(b))
+    return float((a[:n] == b[:n]).sum()) + float(max(len(a), len(b)) - n)
+
+
+def mmer_sequence_pairs(opts, result: SketchingResult, ia: np.ndarray,
+                        ib: np.ndarray) -> np.ndarray:
+    """Minimizer-sequence (--seq) comparisons (cmp_core.cpp:547-553):
+    exact span edit distance under --exact-kmer-dist (value or
+    max_len - value depending on the measure), positional hamming
+    matches otherwise."""
+    from ..enums import Measure
+    from .editdist import mmer_edit_distance_pair
+    seqs = result.mmer_sequences
+    out = np.empty(len(ia), dtype=np.float64)
+    for p, (i, j) in enumerate(zip(ia, ib)):
+        if opts.exact_kmer_dist:
+            dist, maxd = mmer_edit_distance_pair(seqs[int(i)], seqs[int(j)])
+            out[p] = dist if opts.measure == Measure.M_EDIT_DISTANCE \
+                else maxd - dist
+        else:
+            out[p] = hamming_matches(seqs[int(i)], seqs[int(j)])
+    return out
+
+
 def exact_intersections(result: SketchingResult, rows: np.ndarray,
                         cols: np.ndarray) -> np.ndarray:
     """Intersection-size matrix for exact k-mer representations."""

@@ -38,32 +38,44 @@ def _split(x):
 
 def _gtlt_block(a: jnp.ndarray, b: jnp.ndarray, tm: int = 16
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(gt, lt) int32 counts for u64 register rows a (Na, m) vs b (Nb, m),
-    scanning row tiles of a to bound the broadcast intermediate."""
-    ah, al = _split(a)
-    bh, bl = _split(b)
+    """(gt, lt) int32 counts for register rows a (Na, m) vs b (Nb, m),
+    scanning row tiles of a to bound the broadcast intermediate.
+
+    u64 inputs compare exactly via (hi, lo) u32 limb pairs; float inputs
+    compare directly (used by the multichip dryrun — TPU's X64-rewrite
+    pass cannot lower an f64->u64 bitcast, so float signatures stay
+    floats there)."""
     na = a.shape[0]
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        parts_a, parts_b = (a,), (b,)
+    else:
+        ah, al = _split(a)
+        bh, bl = _split(b)
+        parts_a, parts_b = (ah, al), (bh, bl)
     pad = (-na) % tm
     if pad:
-        zh = jnp.zeros((pad, a.shape[1]), jnp.uint32)
-        ah = jnp.concatenate([ah, zh])
-        al = jnp.concatenate([al, zh])
-    nt = ah.shape[0] // tm
-    ah_t = ah.reshape(nt, tm, -1)
-    al_t = al.reshape(nt, tm, -1)
+        parts_a = tuple(
+            jnp.concatenate([p, jnp.zeros((pad, p.shape[1]), p.dtype)])
+            for p in parts_a)
+    nt = parts_a[0].shape[0] // tm
+    tiles = tuple(p.reshape(nt, tm, -1) for p in parts_a)
 
     def body(_, tile):
-        th, tl = tile
-        hi_eq = th[:, None, :] == bh[None, :, :]
-        gt = ((th[:, None, :] > bh[None, :, :]) |
-              (hi_eq & (tl[:, None, :] > bl[None, :, :]))
-              ).sum(-1, dtype=jnp.int32)
-        lt = ((th[:, None, :] < bh[None, :, :]) |
-              (hi_eq & (tl[:, None, :] < bl[None, :, :]))
-              ).sum(-1, dtype=jnp.int32)
-        return None, (gt, lt)
+        if len(tile) == 1:
+            (tv,), (bv,) = tile, parts_b
+            gt_mask = tv[:, None, :] > bv[None, :, :]
+            lt_mask = tv[:, None, :] < bv[None, :, :]
+        else:
+            (th, tl), (bh, bl) = tile, parts_b
+            hi_eq = th[:, None, :] == bh[None, :, :]
+            gt_mask = ((th[:, None, :] > bh[None, :, :]) |
+                       (hi_eq & (tl[:, None, :] > bl[None, :, :])))
+            lt_mask = ((th[:, None, :] < bh[None, :, :]) |
+                       (hi_eq & (tl[:, None, :] < bl[None, :, :])))
+        return None, (gt_mask.sum(-1, dtype=jnp.int32),
+                      lt_mask.sum(-1, dtype=jnp.int32))
 
-    _, (gts, lts) = jax.lax.scan(body, None, (ah_t, al_t))
+    _, (gts, lts) = jax.lax.scan(body, None, tiles)
     gt = gts.reshape(nt * tm, -1)[:na]
     lt = lts.reshape(nt * tm, -1)[:na]
     return gt, lt
@@ -150,7 +162,8 @@ def sharded_pipeline_step(mesh: Mesh, hashed: jnp.ndarray,
     sigs = jnp.where(
         empty | (regs == 0), 0.0,
         mul * jnp.log(delta.astype(jnp.float64) * (2.0 ** -64)))
-    sig_bits = jax.lax.bitcast_convert_type(sigs, jnp.uint64)
     cards = (m * m) / jnp.maximum(
         (regs.astype(jnp.float64) * 2.0 ** -64).sum(axis=1), 1e-300)
-    return sharded_similarity(mesh, sig_bits, cards.astype(jnp.float32))
+    # signatures stay f64 and compare directly (an f64->u64 bitcast is not
+    # lowerable by the TPU X64-rewrite pass; float compares are)
+    return sharded_similarity(mesh, sigs, cards.astype(jnp.float32))

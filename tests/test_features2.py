@@ -180,3 +180,49 @@ def test_pairlist_mode(fixtures, tmp_path):
     assert rc == 0
     vals = np.fromfile(out, np.float32)
     assert len(vals) == 3  # 3 unique paths -> 3 pairs
+
+
+def _slow_levenshtein(a, b):
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def test_span_edit_distance_matches_oracle():
+    from dashing2_tpu.cmp.editdist import span_edit_distance
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        na, nb = rng.integers(0, 40, size=2)
+        a = rng.integers(0, 5, size=na).astype(np.uint64)
+        b = rng.integers(0, 5, size=nb).astype(np.uint64)
+        assert span_edit_distance(a, b) == _slow_levenshtein(list(a), list(b))
+
+
+def test_mmer_sequence_compare_modes(fixtures, tmp_path):
+    # --seq default: exact span edit distance (exact_kmer_dist is forced
+    # for FULL_MMER_* results, cmp_main.h:82-83); similarity form is
+    # max_len - dist, M_EDIT_DISTANCE emits the distance itself
+    outd = tmp_path / "ed.bin"
+    outs = tmp_path / "sim.bin"
+    base = ["sketch", "-k", "17", "-w", "80", "--seq", "--binary-output"]
+    run_cli(base + ["--compute-edit-distance", "--cmpout", str(outd)]
+            + fixtures[:3])
+    run_cli(base + ["--cmpout", str(outs)] + fixtures[:3])
+    d = np.fromfile(outd, np.float32)
+    s = np.fromfile(outs, np.float32)
+    assert len(d) == len(s) == 3
+    assert (d >= 0).all()
+    # similarity + distance = max length per pair => their sum is the
+    # pairwise max sequence length, so both encode the same comparison
+    assert np.array_equal(np.argsort(d), np.argsort(-s))
+    # closer genomes (g0 vs g1) have smaller edit distance than g0 vs g3
+    m = np.zeros((3, 3), np.float32)
+    iu = np.triu_indices(3, 1)
+    m[iu] = d
+    assert m[0, 1] <= m[0, 2]
