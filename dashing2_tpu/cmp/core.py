@@ -269,6 +269,38 @@ def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
                               ).astype(np.float32)
 
 
+def _self_count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
+                         creps: CompressedReps):
+    """(eq, gt, lt) for ALL pairs of the input set via the circulant
+    self-pairs kernels (~half the full-square compares; lt == gt.T).
+    Returns None when the representation wants a different engine
+    (nibble-range values ride the MXU full-square path instead)."""
+    if creps.data is not None:
+        A = creps.data
+        if creps.nibble_packed:
+            return None  # MXU one-hot engine is faster for nibble values
+        if creps.truncation > 0:
+            if A.dtype != np.uint64 and A.max(initial=0) < 16 \
+                    and _kernel_mode() in ("mxu", "pallas"):
+                return None
+            return np.asarray(CK.count_eq_self(A)), None, None
+        if A.dtype != np.uint64 and A.max(initial=0) < 16 \
+                and _kernel_mode() in ("mxu", "pallas"):
+            return None
+        gt, lt = CK.count_gtlt_self(A)
+        return None, np.asarray(gt), np.asarray(lt)
+    sigs = result.signatures
+    if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
+        u = CK.f64_to_ordered_u64(sigs)
+        gt, lt = CK.count_gtlt_self(u)
+        return None, np.asarray(gt), np.asarray(lt)
+    use_kmers = (result.kmers is not None
+                 and result.kmers.size == sigs.size)
+    src = result.kmers if use_kmers else sigs.view(np.uint64).reshape(
+        sigs.shape)
+    return np.asarray(CK.count_eq_self(src)), None, None
+
+
 def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
                   creps: CompressedReps, ia: np.ndarray, ib: np.ndarray
                   ) -> np.ndarray:
@@ -340,6 +372,26 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     else:
         cols = np.arange(n)
         row_end = n
+
+    import os
+    self_max = int(os.environ.get("DASHING2_TPU_SELF_MAX", 16384))
+    counts_path = (opts.kmer_result < KmerSketchResultType.FULL_MMER_SET
+                   and not (opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE
+                            and (opts.exact_kmer_dist
+                                 or opts.measure == Measure.M_EDIT_DISTANCE)))
+    if nq == 0 and 64 <= n <= self_max and counts_path \
+            and result.signatures is not None:
+        counts = _self_count_matrices(opts, result, creps)
+        if counts is not None:
+            eq, gt, lt = counts
+            cards = result.cardinalities
+            mat = _dispatch_measures(
+                opts, creps, eq, gt, lt, cards[:, None], cards[None, :]
+            ).astype(np.float32)
+            for start in range(0, n, block):
+                yield start, mat[start:start + block]
+            return
+
     for start in range(0, row_end, block):
         rows = np.arange(start, min(start + block, row_end))
         yield start, _measure_block(opts, result, creps, rows, cols)

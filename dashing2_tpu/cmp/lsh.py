@@ -244,6 +244,52 @@ class LSHIndex:
         return np.asarray(order, dtype=np.int64)
 
 
+    # ------------------------------------------------------------------
+    # (de)serialization (ssi.h:454-532 gz round-trip equivalent)
+    # ------------------------------------------------------------------
+    _MAGIC = b"D2TPULSH"
+
+    def save(self, path: str) -> None:
+        """Write the index to a gzip file: shape params, per-table group
+        indices, and the dense key matrices (the buckets rebuild from
+        keys on load, so incremental state round-trips too)."""
+        import gzip
+        import struct
+        with gzip.open(path, "wb") as f:
+            f.write(self._MAGIC)
+            nt = len(self.keys)
+            N = self.keys[0].shape[0] if nt else 0
+            f.write(struct.pack("<qqqq", self.m, nt, N,
+                                int(self.bottomk_mode)))
+            for t in range(nt):
+                g, ns = self.nperhashes[t], self.nperrows[t]
+                f.write(struct.pack("<qq", g, ns))
+                f.write(np.ascontiguousarray(
+                    self.group_indices[t], dtype=np.int64).tobytes())
+                f.write(np.ascontiguousarray(
+                    self.keys[t], dtype=np.uint64).tobytes())
+
+    @classmethod
+    def load(cls, path: str) -> "LSHIndex":
+        import gzip
+        import struct
+        with gzip.open(path, "rb") as f:
+            if f.read(8) != cls._MAGIC:
+                raise ValueError(f"{path}: not a dashing2-tpu LSH index")
+            m, nt, N, _bk = struct.unpack("<qqqq", f.read(32))
+            nperhashes, nperrows, gidx, keys = [], [], [], []
+            for _ in range(nt):
+                g, ns = struct.unpack("<qq", f.read(16))
+                nperhashes.append(g)
+                nperrows.append(ns)
+                gidx.append(np.frombuffer(f.read(8 * ns * g), np.int64
+                                          ).reshape(ns, g).copy())
+                keys.append(np.frombuffer(f.read(8 * N * ns), np.uint64
+                                          ).reshape(N, ns).copy())
+        return cls(m=m, nperhashes=nperhashes, nperrows=nperrows,
+                   group_indices=gidx, keys=keys)
+
+
 def default_candidates(nitems: int, maxcand_global: int = -1) -> int:
     """dedup_core.cpp:16-23 heuristics."""
     if maxcand_global > 0:

@@ -116,6 +116,141 @@ def _pairwise_counts(a: jnp.ndarray, b: jnp.ndarray, *, want_gtlt: bool,
     return out
 
 
+# ----------------------------------------------------------------------
+# triangular self-pairs path
+# ----------------------------------------------------------------------
+#
+# For a self-comparison lt(i, j) == gt(j, i): only upper-triangle tiles
+# need computing — the same N(N-1)/2 pair walk as the reference's
+# all-pairs loop (src/emitrect.cpp:269-325) instead of the full square.
+# A scan walks the T(T+1)/2 tile coordinates, dynamic-slicing row tiles
+# and scattering (gt, lt^T) blocks into the carried full matrix. The
+# lt^T write is value-identical to gt on diagonal tiles, so no masking.
+
+@functools.lru_cache(maxsize=8)
+def _circ_seg_index(npad: int, t: int) -> np.ndarray:
+    """Row-segment gather indices assembling the full (npad, npad) gt
+    matrix from src rows = concat([gt_bands, lt_bands^T]).reshape(-1, t).
+
+    Band d, block-row bi computed tile (bi, (bi+d) % nt) with linear id
+    k = d*nt + bi; the mirror tile comes from the transposed lt band
+    (lt(x, y) == gt(y, x) for self-pairs). Offsets d = 0..nt//2 cover
+    every unordered tile pair; at even nt the d = nt/2 band covers its
+    pairs twice and either copy is valid."""
+    nt = npad // t
+    nd = nt // 2 + 1
+    K = nd * nt
+    tile_of = np.full((nt, nt), -1, np.int64)
+    for d in range(nd):
+        for bi in range(nt):
+            bj = (bi + d) % nt
+            k = d * nt + bi
+            if tile_of[bi, bj] < 0:
+                tile_of[bi, bj] = k          # gt band tile as-is
+            if tile_of[bj, bi] < 0:
+                tile_of[bj, bi] = K + k      # transposed lt band tile
+    x = np.arange(npad)
+    return (tile_of[(x // t)[:, None], np.arange(nt)[None, :]] * t
+            + (x % t)[:, None]).reshape(-1).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _circ_self_counts(a: jnp.ndarray, seg_idx: jnp.ndarray, *, t: int):
+    """Circulant-banded self-pairs gt matrix: nt//2+1 scan steps, each one
+    big regular compare of all block-rows against block-rows rolled by d
+    (no per-tile scatter; assembly is a row-granular take)."""
+    npad, m = a.shape
+    nt = npad // t
+    nd = nt // 2 + 1
+    is64 = a.dtype == jnp.uint64
+    parts = _split_u64(a) if is64 else (a,)
+    parts3 = tuple(p.reshape(nt, t, m) for p in parts)
+    # doubled tile axis so band d is one contiguous dynamic slice
+    parts6 = tuple(jnp.concatenate([p, p]) for p in parts3)
+
+    def body(_, d):
+        zero = jnp.int32(0)
+        rolled = tuple(jax.lax.dynamic_slice(p, (d, zero, zero),
+                                             (nt, t, m)) for p in parts6)
+        if is64:
+            ah = parts3[0][:, :, None, :]
+            al = parts3[1][:, :, None, :]
+            bh = rolled[0][:, None, :, :]
+            bl = rolled[1][:, None, :, :]
+            hi_eq = ah == bh
+            gt = ((ah > bh) | (hi_eq & (al > bl))).sum(-1, dtype=jnp.int32)
+            lt = ((ah < bh) | (hi_eq & (al < bl))).sum(-1, dtype=jnp.int32)
+        else:
+            av = parts3[0][:, :, None, :]
+            bv = rolled[0][:, None, :, :]
+            gt = (av > bv).sum(-1, dtype=jnp.int32)
+            lt = (av < bv).sum(-1, dtype=jnp.int32)
+        return None, (gt, lt)   # (nt, t, t) per band
+
+    _, (gts, lts) = jax.lax.scan(body, None, jnp.arange(nd, dtype=jnp.int32))
+    src = jnp.concatenate([gts.reshape(-1, t, t),
+                           jnp.swapaxes(lts.reshape(-1, t, t), 1, 2)]
+                          ).reshape(-1, t)
+    return jnp.take(src, seg_idx, axis=0).reshape(npad, npad)
+
+
+def count_gtlt_self(a, t: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(gt, lt) counts for all pairs of one register matrix, computing
+    only ~half the full-square work via the circulant band decomposition.
+    lt == gt.T exactly (self-pairs symmetry)."""
+    a = jnp.asarray(a)
+    n0 = a.shape[0]
+    t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
+    a = _pad_rows(a, t)
+    npad = a.shape[0]
+    seg_idx = jnp.asarray(_circ_seg_index(npad, t))
+    gt = _circ_self_counts(a, seg_idx, t=t)
+    gt = gt[:n0, :n0]
+    return gt, gt.T
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _circ_self_eq(a: jnp.ndarray, seg_idx: jnp.ndarray, *, t: int):
+    """Circulant-banded self-pairs eq matrix (eq is symmetric, so the
+    mirror tiles are the bands' own transposes)."""
+    npad, m = a.shape
+    nt = npad // t
+    nd = nt // 2 + 1
+    is64 = a.dtype == jnp.uint64
+    parts = _split_u64(a) if is64 else (a,)
+    parts3 = tuple(p.reshape(nt, t, m) for p in parts)
+    parts6 = tuple(jnp.concatenate([p, p]) for p in parts3)
+
+    def body(_, d):
+        zero = jnp.int32(0)
+        rolled = tuple(jax.lax.dynamic_slice(p, (d, zero, zero),
+                                             (nt, t, m)) for p in parts6)
+        if is64:
+            eq = ((parts3[0][:, :, None, :] == rolled[0][:, None, :, :])
+                  & (parts3[1][:, :, None, :] == rolled[1][:, None, :, :])
+                  ).sum(-1, dtype=jnp.int32)
+        else:
+            eq = (parts3[0][:, :, None, :] == rolled[0][:, None, :, :]
+                  ).sum(-1, dtype=jnp.int32)
+        return None, eq
+
+    _, eqs = jax.lax.scan(body, None, jnp.arange(nd, dtype=jnp.int32))
+    eqs = eqs.reshape(-1, t, t)
+    src = jnp.concatenate([eqs, jnp.swapaxes(eqs, 1, 2)]).reshape(-1, t)
+    return jnp.take(src, seg_idx, axis=0).reshape(npad, npad)
+
+
+def count_eq_self(a, t: int = 128) -> jnp.ndarray:
+    """eq counts for all pairs of one register matrix (circulant bands,
+    ~half the full-square work)."""
+    a = jnp.asarray(a)
+    n0 = a.shape[0]
+    t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
+    a = _pad_rows(a, t)
+    seg_idx = jnp.asarray(_circ_seg_index(a.shape[0], t))
+    return _circ_self_eq(a, seg_idx, t=t)[:n0, :n0]
+
+
 def count_eq(a, b, tm: int = 32, tn: int = 32) -> jnp.ndarray:
     """eq counts for all row pairs: out[i, j] = #{r : a[i,r] == b[j,r]}."""
     a = jnp.asarray(a)

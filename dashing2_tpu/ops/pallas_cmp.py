@@ -39,15 +39,20 @@ def _gtlt_kernel(ah_ref, al_ref, bh_ref, bl_ref, gt_ref, lt_ref):
     tm = ah_ref.shape[0]
     bh = bh_ref[:]          # (TN, m)
     bl = bl_ref[:]
-    # static row unroll: per A-row one (TN, m) compare + lane reduction
-    for i in range(tm):
-        arh = ah_ref[i, :][None, :]    # (1, m)
-        arl = al_ref[i, :][None, :]
+
+    # fori_loop (not a Python unroll: Mosaic compile time scales with the
+    # unrolled body) over A rows; one (TN, m) compare + lane reduction each
+    def body(i, _):
+        arh = ah_ref[pl.ds(i, 1), :]   # (1, m)
+        arl = al_ref[pl.ds(i, 1), :]
         hi_eq = arh == bh
         gt = ((arh > bh) | (hi_eq & (arl > bl))).astype(jnp.int32)
         lt = ((arh < bh) | (hi_eq & (arl < bl))).astype(jnp.int32)
-        gt_ref[i, :] = jnp.sum(gt, axis=1, dtype=jnp.int32)
-        lt_ref[i, :] = jnp.sum(lt, axis=1, dtype=jnp.int32)
+        gt_ref[pl.ds(i, 1), :] = jnp.sum(gt, axis=1, dtype=jnp.int32)[None, :]
+        lt_ref[pl.ds(i, 1), :] = jnp.sum(lt, axis=1, dtype=jnp.int32)[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, tm, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
@@ -111,20 +116,134 @@ def gtlt_pallas(a_u64, b_u64, tm: int = 256, tn: int = 256
 
 
 # ----------------------------------------------------------------------
+# triangular self-pairs kernel (all-pairs of one set)
+# ----------------------------------------------------------------------
+#
+# For a self-comparison lt(i, j) == gt(j, i), so only the upper-triangle
+# tile blocks need computing — exactly the reference's N(N-1)/2 pair
+# walk (src/emitrect.cpp:269-325) instead of the full square. A 1-D grid
+# walks the T(T+1)/2 tile coordinates delivered via scalar prefetch; each
+# step computes (gt, lt) for tile (i, j), and the full matrices are
+# reassembled with one precomputed gather (lower blocks are the upper
+# blocks' lt, transposed).
+
+@functools.lru_cache(maxsize=16)
+def _tri_tiles(nt: int) -> Tuple[np.ndarray, np.ndarray]:
+    ii, jj = np.triu_indices(nt)
+    return ii.astype(np.int32), jj.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def _tri_gather_index(npad: int, t: int) -> np.ndarray:
+    """Flat gather indices assembling full gt (npad, npad) from
+    concat([gt_tiles, lt_tiles_transposed]) of shape (2K, t, t)."""
+    nt = npad // t
+    ii, jj = _tri_tiles(nt)
+    K = len(ii)
+    tile_of = np.empty((nt, nt), np.int64)
+    for k in range(K):
+        tile_of[ii[k], jj[k]] = k           # upper: gt tile as-is
+        tile_of[jj[k], ii[k]] = K + k       # lower: transposed lt tile
+    x = np.arange(npad)
+    bi = x // t
+    r = x % t
+    # full_gt[x, y] = src[tile_of[bi, bj], r, c]
+    return (tile_of[bi[:, None], bi[None, :]] * (t * t)
+            + r[:, None] * t + r[None, :]).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "interpret"))
+def _tri_gtlt_call(ii, jj, ah, al, *, t: int, interpret: bool):
+    K = ii.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((t, ah.shape[1]), lambda k, ii, jj: (ii[k], 0)),
+            pl.BlockSpec((t, ah.shape[1]), lambda k, ii, jj: (ii[k], 0)),
+            pl.BlockSpec((t, ah.shape[1]), lambda k, ii, jj: (jj[k], 0)),
+            pl.BlockSpec((t, ah.shape[1]), lambda k, ii, jj: (jj[k], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, t), lambda k, ii, jj: (k, 0, 0)),
+            pl.BlockSpec((1, t, t), lambda k, ii, jj: (k, 0, 0)),
+        ],
+    )
+
+    def kernel(ii_ref, jj_ref, ah_ref, al_ref, bh_ref, bl_ref,
+               gt_ref, lt_ref):
+        del ii_ref, jj_ref
+        bh = bh_ref[:]
+        bl = bl_ref[:]
+
+        def body(i, _):
+            arh = ah_ref[pl.ds(i, 1), :]                        # (1, m)
+            arl = al_ref[pl.ds(i, 1), :]
+            # NOTE: |/& form, not jnp.where — Mosaic cannot lower a
+            # vector select on i1 operands ("unsupported target bitwidth
+            # for truncation")
+            hi_eq = arh == bh
+            gt = (arh > bh) | (hi_eq & (arl > bl))
+            lt = (arh < bh) | (hi_eq & (arl < bl))
+            gt_ref[0, pl.ds(i, 1), :] = jnp.sum(
+                gt.astype(jnp.int32), axis=1, dtype=jnp.int32)[None, :]
+            lt_ref[0, pl.ds(i, 1), :] = jnp.sum(
+                lt.astype(jnp.int32), axis=1, dtype=jnp.int32)[None, :]
+            return 0
+
+        jax.lax.fori_loop(0, t, body, 0)
+
+    out_shape = [jax.ShapeDtypeStruct((K, t, t), jnp.int32)] * 2
+    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
+                          interpret=interpret)(ii, jj, ah, al, ah, al)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _tri_assemble(gt_tiles, lt_tiles, idx, *, t: int):
+    src = jnp.concatenate([gt_tiles, jnp.swapaxes(lt_tiles, 1, 2)])
+    return src.reshape(-1)[idx]
+
+
+def gtlt_self_pallas(a_u64, t: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(gt, lt) i32 counts for all pairs of one u64 register matrix (N, m),
+    computing only upper-triangle tiles (~half the full-square work).
+    lt = gt.T exactly."""
+    a = np.asarray(a_u64, dtype=np.uint64)
+    n0 = a.shape[0]
+    t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
+    a, _ = _pad_rows(a, t)
+    npad = a.shape[0]
+    ah = (a >> np.uint64(32)).astype(np.uint32)
+    al = a.astype(np.uint32)
+    ii, jj = _tri_tiles(npad // t)
+    idx = _tri_gather_index(npad, t)
+    with jax.enable_x64(False):
+        gt_tiles, lt_tiles = _tri_gtlt_call(
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(ah),
+            jnp.asarray(al), t=t, interpret=not _on_tpu())
+        gt = _tri_assemble(gt_tiles, lt_tiles, jnp.asarray(idx), t=t)
+    return gt[:n0, :n0], gt[:n0, :n0].T
+
+
+# ----------------------------------------------------------------------
 # single-word integer registers (compressed fastcmp paths)
 # ----------------------------------------------------------------------
 
 def _int_counts_kernel(a_ref, b_ref, eq_ref, gt_ref, lt_ref):
     tm = a_ref.shape[0]
     b = b_ref[:]
-    for i in range(tm):
-        ar = a_ref[i, :][None, :]
-        eq_ref[i, :] = jnp.sum((ar == b).astype(jnp.int32), axis=1,
-                               dtype=jnp.int32)
-        gt_ref[i, :] = jnp.sum((ar > b).astype(jnp.int32), axis=1,
-                               dtype=jnp.int32)
-        lt_ref[i, :] = jnp.sum((ar < b).astype(jnp.int32), axis=1,
-                               dtype=jnp.int32)
+
+    def body(i, _):
+        ar = a_ref[pl.ds(i, 1), :]
+        eq_ref[pl.ds(i, 1), :] = jnp.sum(
+            (ar == b).astype(jnp.int32), axis=1, dtype=jnp.int32)[None, :]
+        gt_ref[pl.ds(i, 1), :] = jnp.sum(
+            (ar > b).astype(jnp.int32), axis=1, dtype=jnp.int32)[None, :]
+        lt_ref[pl.ds(i, 1), :] = jnp.sum(
+            (ar < b).astype(jnp.int32), axis=1, dtype=jnp.int32)[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, tm, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))

@@ -80,3 +80,53 @@ def test_nonmultiple_tile_padding():
     gt, lt = CK.count_gtlt(a, b)
     assert np.array_equal(np.asarray(gt), gt_n)
     assert np.array_equal(np.asarray(lt), lt_n)
+
+
+def test_self_pairs_kernels_match_general():
+    from dashing2_tpu.ops.cmp_kernels import (count_eq, count_eq_self,
+                                              count_gtlt, count_gtlt_self)
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 1 << 64, size=(130, 64), dtype=np.uint64)
+    gt, lt = count_gtlt_self(a, t=32)
+    gt2, lt2 = count_gtlt(a, a)
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(gt2))
+    np.testing.assert_array_equal(np.asarray(lt), np.asarray(lt2))
+    eq = count_eq_self(a, t=32)
+    eq2 = count_eq(a, a)
+    np.testing.assert_array_equal(np.asarray(eq), np.asarray(eq2))
+    b = rng.integers(0, 250, size=(97, 64)).astype(np.uint8)
+    gt, lt = count_gtlt_self(b, t=32)
+    gt2, lt2 = count_gtlt(b, b)
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(gt2))
+    np.testing.assert_array_equal(np.asarray(lt), np.asarray(lt2))
+
+
+def test_pairwise_matrix_self_path_matches_blocked(tmp_path):
+    """The circulant self-pairs fast path must emit the same matrix as the
+    general blocked path (forced via DASHING2_TPU_SELF_MAX=0)."""
+    import os
+    from dashing2_tpu.cmp.core import pairwise_matrix
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.result import SketchingResult
+
+    rng = np.random.default_rng(6)
+    n, m = 100, 128
+    sigs = np.abs(rng.normal(size=(n, m))) + 1e-9
+    res = SketchingResult(names=[f"s{i}" for i in range(n)])
+    res.signatures = sigs
+    res.cardinalities = rng.uniform(1e3, 1e5, size=n)
+    opts = Dashing2DistOptions(sketchsize=m,
+                               kmer_result=1)  # FULL_SETSKETCH
+    blocks_self = dict(pairwise_matrix(opts, res))
+    os.environ["DASHING2_TPU_SELF_MAX"] = "0"
+    try:
+        import copy
+        res2 = SketchingResult(names=list(res.names))
+        res2.signatures = sigs.copy()
+        res2.cardinalities = res.cardinalities.copy()
+        blocks_gen = dict(pairwise_matrix(opts, res2))
+    finally:
+        del os.environ["DASHING2_TPU_SELF_MAX"]
+    assert blocks_self.keys() == blocks_gen.keys()
+    for k in blocks_self:
+        np.testing.assert_array_equal(blocks_self[k], blocks_gen[k])

@@ -1,0 +1,84 @@
+"""Tests for the parse.py reader facade and LSH index (de)serialization."""
+
+import numpy as np
+
+from dashing2_tpu import parse
+from dashing2_tpu.cmp.lsh import LSHIndex
+from dashing2_tpu.io import formats
+
+
+def test_parse_signatures_roundtrip(tmp_path):
+    p = str(tmp_path / "sigs.bin")
+    cards = np.array([10.0, 20.0, 30.0])
+    sigs = np.random.default_rng(0).random((3, 64))
+    formats.write_stacked_signatures(p, cards, sigs, names=["a", "b", "c"])
+    out = parse.parse_binary_signatures(p)
+    assert out.nseqs == 3
+    np.testing.assert_array_equal(out.cardinalities, cards)
+    np.testing.assert_array_equal(out.signatures, sigs)
+
+
+def test_parse_packed_sketch_stacking(tmp_path):
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.ss")
+        formats.write_sketch_cache(p, 100.0 * (i + 1), rng.random(32))
+        paths.append(p)
+    dest = str(tmp_path / "packed.bin")
+    out = parse.convert_sketches_to_packed_sketch(paths, dest)
+    assert out.nseqs == 3
+    re = parse.parse_binary_signatures(dest)
+    np.testing.assert_array_equal(re.signatures, out.signatures)
+    one = parse.parse_binary_sketch(paths[1])
+    assert one["cardinality"] == 200.0
+
+
+def test_parse_knn_and_clustering(tmp_path):
+    kp = str(tmp_path / "g.csr")
+    indptr = np.array([0, 2, 3, 3], np.uint64)
+    indices = np.array([1, 2, 0], np.uint32)
+    data = np.array([0.5, 0.25, 0.5], np.float32)
+    formats.write_knn_csr(kp, indptr, indices, data)
+    g = parse.parse_knn(kp)
+    try:
+        import scipy  # noqa: F401
+        assert g.shape == (3, 3) and g.nnz == 3
+    except ImportError:
+        np.testing.assert_array_equal(g[0], indptr)
+    cp = str(tmp_path / "c.bin")
+    formats.write_clustering(cp, [np.array([0, 2]), np.array([1])], 3)
+    cl = parse.parse_binary_clustering(cp)
+    assert [list(c) for c in cl] == [[0, 2], [1]]
+
+
+def test_condensed_to_square():
+    flat = np.array([1, 2, 3], np.float32)  # pairs (0,1) (0,2) (1,2)
+    sq = parse.condensed_to_square(flat, 3)
+    assert sq[0, 1] == sq[1, 0] == 1
+    assert sq[0, 2] == sq[2, 0] == 2
+    assert sq[1, 2] == sq[2, 1] == 3
+    assert sq[0, 0] == 0
+
+
+def test_lsh_index_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    regs = rng.random((40, 64))
+    idx = LSHIndex.build(regs, nLSH=3)
+    p = str(tmp_path / "index.lsh.gz")
+    idx.save(p)
+    idx2 = LSHIndex.load(p)
+    assert idx2.m == idx.m
+    assert idx2.nperhashes == idx.nperhashes
+    assert idx2.nperrows == idx.nperrows
+    for a, b in zip(idx.keys, idx2.keys):
+        np.testing.assert_array_equal(a, b)
+    ia, ib, c = idx.candidate_pairs(max_per_item=5)
+    ia2, ib2, c2 = idx2.candidate_pairs(max_per_item=5)
+    np.testing.assert_array_equal(ia, ia2)
+    np.testing.assert_array_equal(ib, ib2)
+    np.testing.assert_array_equal(c, c2)
+    # incremental interface matches after reload
+    idx.insert(0, 0)
+    idx2.insert(0, 0)
+    np.testing.assert_array_equal(idx.query(1, 8), idx2.query(1, 8))
