@@ -239,6 +239,8 @@ def _build_opts(a: argparse.Namespace, presketched: bool = False
         measure=measure, outfile_path=a.cmpout or "",
         exact_kmer_dist=a.exact_kmer_dist, refine_exact=a.refine_exact,
         cmp_batch_size=a.batch_size, nLSH=a.nlsh, maxcand=a.maxcand,
+        sig_ram_limit=(a.sig_ram_limit if a.sig_ram_limit is not None
+                       else 20 << 30),
     )
     return opts
 
@@ -411,17 +413,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if a.command in ("cmp", "dist") and not opts.outfile_path:
         opts.outfile_path = "/dev/stdout"
 
+    from .timing import phase
     if presketched:
-        result = _load_presketched(opts, groups)
+        with phase("load-presketched", opts.verbosity):
+            result = _load_presketched(opts, groups)
         result.nq = nq
     else:
         if not groups:
             top.error("no input files")
-        result = _do_sketch(opts, groups, nq)
-        _write_outputs(opts, a, result)
+        with phase("sketch", opts.verbosity):
+            result = _do_sketch(opts, groups, nq)
+        with phase("write-sketches", opts.verbosity):
+            _write_outputs(opts, a, result)
 
     if a.command in ("cmp", "dist") or opts.outfile_path:
-        _do_cmp(opts, result)
+        with phase("compare+emit", opts.verbosity):
+            _do_cmp(opts, result)
     return 0
 
 

@@ -88,6 +88,10 @@ class Dashing2Options:
     filterset_path: str = ""
     verbosity: int = 0
     executor: str = "auto"   # "auto" | "device" | "host" (numpy fallback)
+    # RAM budget for the signature matrix before spilling to a disk-backed
+    # memmap (mm::vector threshold, mmvec.h:54; --sig-ram-limit
+    # options.h:392-394). Default 20 GiB like the reference.
+    sig_ram_limit: int = 20 << 30
 
     # derived
     xormask: int = hashing.XORMASK

@@ -1,0 +1,158 @@
+"""Multi-host distributed sketch + compare driver.
+
+The reference is single-node shared-memory only — it has NO distributed
+backend (SURVEY §2.4: no MPI/NCCL/Gloo anywhere in the tree), so this is
+a new first-class component designed TPU-first:
+
+* one jax.distributed process per host, a 1-D global mesh over all chips;
+* inputs are sharded across hosts by size-descending round-robin (the
+  LPT schedule the reference uses across OpenMP threads,
+  src/sketch_core.cpp:175-184, lifted to hosts);
+* each host sketches its shard locally (any sketch kind), then the
+  register matrix is all-gathered — sketch rows are tiny (m × 8 bytes per
+  item), so the gather rides ICI/DCN cheaply;
+* the N×N comparison runs as device-owned row blocks against the
+  replicated register matrix (jax shard_map over the global mesh — XLA
+  inserts the collectives), each host emitting its own row range;
+* outputs are written per-host as row-major blocks: the binary formats
+  (§1.1) are flat row-major f32, so per-host files concatenate into the
+  single-node artifact byte-for-byte.
+
+Single-process use (tests, one machine) works unchanged: the mesh is
+whatever `jax.devices()` offers, and `init_distributed` is a no-op
+without coordinator settings.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Initialize jax.distributed when multi-process coordinates are
+    given (explicitly or via JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+    / JAX_PROCESS_ID). Returns (process_index, process_count)."""
+    import jax
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address:
+        num_processes = num_processes or int(
+            os.environ.get("JAX_NUM_PROCESSES", "1"))
+        process_id = process_id if process_id is not None else int(
+            os.environ.get("JAX_PROCESS_ID", "0"))
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def shard_paths(paths: Sequence[str], process_index: int,
+                process_count: int) -> Tuple[List[str], List[int]]:
+    """LPT shard: order inputs by descending file size and deal them
+    round-robin so hosts receive balanced byte totals (the reference's
+    size-descending dynamic schedule, sketch_core.cpp:175-184, made
+    deterministic for SPMD). Returns (my_paths, my_global_indices)."""
+
+    def size_of(group: str) -> int:
+        tot = 0
+        for p in group.split():
+            try:
+                tot += os.path.getsize(p)
+            except OSError:
+                pass
+        return tot
+
+    order = sorted(range(len(paths)), key=lambda i: (-size_of(paths[i]), i))
+    mine = [g for pos, g in enumerate(order)
+            if pos % process_count == process_index]
+    mine.sort()
+    return [paths[i] for i in mine], mine
+
+
+def allgather_sketches(local_sigs: np.ndarray, local_cards: np.ndarray,
+                       local_indices: Sequence[int], n_total: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Assemble the full (N, m) signature matrix from per-host shards.
+
+    Multi-process: every host contributes its rows via
+    jax.experimental.multihost_utils (process_allgather rides the
+    ICI/DCN collectives). Single process: pure reindexing."""
+    import jax
+
+    m = local_sigs.shape[1]
+    full_sigs = np.zeros((n_total, m), dtype=local_sigs.dtype)
+    full_cards = np.zeros(n_total, dtype=np.float64)
+    if jax.process_count() == 1:
+        full_sigs[list(local_indices)] = local_sigs
+        full_cards[list(local_indices)] = local_cards
+        return full_sigs, full_cards
+    from jax.experimental import multihost_utils
+    # fixed-size per-host payload: (rows, cards, indices, count), padded
+    max_rows = -(-n_total // jax.process_count()) + 1
+    pad = max_rows - local_sigs.shape[0]
+    sig_pad = np.concatenate(
+        [local_sigs, np.zeros((pad, m), local_sigs.dtype)])
+    card_pad = np.concatenate([local_cards, np.zeros(pad)])
+    idx_pad = np.concatenate(
+        [np.asarray(local_indices, np.int64), np.full(pad, -1, np.int64)])
+    g_sigs = multihost_utils.process_allgather(sig_pad)
+    g_cards = multihost_utils.process_allgather(card_pad)
+    g_idx = multihost_utils.process_allgather(idx_pad)
+    for h in range(jax.process_count()):
+        live = g_idx[h] >= 0
+        full_sigs[g_idx[h][live]] = np.asarray(g_sigs[h])[live]
+        full_cards[g_idx[h][live]] = np.asarray(g_cards[h])[live]
+    return full_sigs, full_cards
+
+
+def my_row_range(n: int, process_index: int, process_count: int
+                 ) -> Tuple[int, int]:
+    """Contiguous row block owned by this host (row-major outputs
+    concatenate across hosts)."""
+    per = -(-n // process_count)
+    lo = min(process_index * per, n)
+    return lo, min(lo + per, n)
+
+
+def distributed_sketch_cmp(opts, groups: Sequence[str],
+                           outfile: Optional[str] = None) -> np.ndarray:
+    """Full multi-host pipeline: shard inputs -> sketch locally ->
+    all-gather sketches -> compute this host's row block of the measure
+    matrix -> (optionally) write it as `<outfile>.rows.<lo>-<hi>`.
+
+    Returns this host's (rows, N) f32 block. Concatenating the per-host
+    files in row order yields the single-node binary matrix."""
+    import jax
+
+    from ..cmp.core import measure_pairs, pairwise_matrix  # noqa: F401
+    from ..result import SketchingResult
+    from ..sketch.core import sketch_fastx
+
+    pi, pc = jax.process_index(), jax.process_count()
+    my_groups, my_idx = shard_paths(groups, pi, pc)
+    local = sketch_fastx(opts, my_groups)
+    if local.signatures is None:
+        raise ValueError("distributed path needs register sketches "
+                         "(ONE_PERM / FULL_SETSKETCH)")
+    n = len(groups)
+    sigs, cards = allgather_sketches(local.signatures, local.cardinalities,
+                                     my_idx, n)
+    full = SketchingResult(names=list(groups))
+    full.signatures = sigs
+    full.cardinalities = cards
+    lo, hi = my_row_range(n, pi, pc)
+    # compute only this host's rows via the blocked general path
+    from ..cmp.core import _measure_block, _prep
+    creps, full = _prep(opts, full)
+    rows = np.arange(lo, hi)
+    cols = np.arange(n)
+    block = _measure_block(opts, full, creps, rows, cols) if len(rows) \
+        else np.zeros((0, n), np.float32)
+    if outfile:
+        block.astype(np.float32).tofile(f"{outfile}.rows.{lo}-{hi}")
+    return block

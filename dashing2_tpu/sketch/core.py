@@ -363,9 +363,11 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                     or opts.sspace in (SketchSpace.SPACE_MULTISET,
                                        SketchSpace.SPACE_PSET))
 
+    from ..io import mmvec
     if kres == KmerSketchResultType.ONE_PERM and not needs_stream:
-        regs = np.full((n, m), U64MAX, dtype=np.uint64)
-        counts = np.zeros((n, m), dtype=np.uint32)
+        regs = mmvec.alloc((n, m), np.uint64, opts.sig_ram_limit,
+                           fill=U64MAX)
+        counts = mmvec.alloc((n, m), np.uint32, opts.sig_ram_limit, fill=0)
         for chunks, ids in _iter_chunk_batches(opts, items, chunk_len,
                                                rows_per_batch):
             hashed, valid = _hash_chunk_batch(
@@ -380,7 +382,12 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             regs, counts = _merge_oph(regs, counts, np.asarray(r),
                                       np.asarray(c))
         res.cardinalities = SK.oph_cardinality(regs)
-        res.signatures = SK.oph_to_sigs(regs)
+        # log-transform in row blocks into a RAM-or-memmap matrix so peak
+        # temp memory stays bounded for huge N (mm::vector semantics)
+        sigs = mmvec.alloc((n, m), np.float64, opts.sig_ram_limit)
+        for s in range(0, n, 4096):
+            sigs[s:s + 4096] = SK.oph_to_sigs(regs[s:s + 4096])
+        res.signatures = sigs
         if opts.save_kmers:
             ids64 = H.oph_hash_inverse(regs)
             ids64[regs == U64MAX] = 0
@@ -465,7 +472,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         return res
 
     # FULL_SETSKETCH (or count-thresholded variants)
-    sigs = np.empty((n, m), dtype=np.float64)
+    sigs = mmvec.alloc((n, m), np.float64, opts.sig_ram_limit)
     cards = np.empty(n, dtype=np.float64)
     for i, u in enumerate(uniq_list):
         regs = SK.css_sketch(u, np.ones(len(u), bool), m) if len(u) else \

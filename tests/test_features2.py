@@ -226,3 +226,26 @@ def test_mmer_sequence_compare_modes(fixtures, tmp_path):
     iu = np.triu_indices(3, 1)
     m[iu] = d
     assert m[0, 1] <= m[0, 2]
+
+
+def test_sig_ram_limit_memmap_spill(fixtures, tmp_path):
+    """--sig-ram-limit 1 forces signatures into a disk-backed memmap;
+    results must be identical to the in-RAM path."""
+    out1 = tmp_path / "ram.bin"
+    out2 = tmp_path / "mm.bin"
+    base = ["sketch", "-k", "21", "-S", "256", "--binary-output"]
+    run_cli(base + ["--cmpout", str(out1)] + fixtures[:3])
+    run_cli(base + ["--sig-ram-limit", "1", "--cmpout", str(out2)]
+            + fixtures[:3])
+    np.testing.assert_array_equal(np.fromfile(out1, np.float32),
+                                  np.fromfile(out2, np.float32))
+
+
+def test_mmvec_alloc_modes():
+    from dashing2_tpu.io import mmvec
+    a = mmvec.alloc((4, 8), np.float64, ram_limit=1 << 30, fill=1.5)
+    assert not isinstance(a, np.memmap) and (a == 1.5).all()
+    b = mmvec.alloc((4, 8), np.float64, ram_limit=1, fill=2.5)
+    assert isinstance(b, np.memmap) and (b == 2.5).all()
+    b[2, 3] = 9.0
+    assert b[2, 3] == 9.0
