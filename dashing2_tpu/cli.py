@@ -114,6 +114,10 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--setsketch-ab", dest="setsketch_ab")
     p.add_argument("--pairlist")
     p.add_argument("--seqs-in-ram", dest="seqs_in_ram", action="store_true")
+    p.add_argument("--f32-registers", dest="regt32", action="store_true",
+                   help="compare full registers in f32 (the reference's "
+                        "-DSKETCH_FLOAT_TYPE=float build, as a runtime "
+                        "switch; ~1.4x faster full-register comparisons)")
     p.add_argument("-v", "--verbose", action="count", default=0)
 
 
@@ -241,6 +245,7 @@ def _build_opts(a: argparse.Namespace, presketched: bool = False
         cmp_batch_size=a.batch_size, nLSH=a.nlsh, maxcand=a.maxcand,
         sig_ram_limit=(a.sig_ram_limit if a.sig_ram_limit is not None
                        else 20 << 30),
+        regt32=a.regt32,
     )
     return opts
 

@@ -84,14 +84,23 @@ def contain_main(a) -> int:
             pos = np.minimum(pos, len(sorted_kmers) - 1)
             hit = sorted_kmers[pos] == uniq
             uniq, counts, pos = uniq[hit], counts[hit], pos[hit]
-            # expand each hit k-mer to all its owners
+            # expand each hit k-mer to all its owners (vectorized ragged
+            # range expansion instead of a per-hit loop)
             hi = np.searchsorted(sorted_kmers, uniq, side="right")
-            matches = np.zeros(nitems, np.int64)
-            matchsums = np.zeros(nitems, np.int64)
-            for u_pos, u_hi, c in zip(pos, hi, counts):
-                owners_u = sorted_owners[u_pos:u_hi]
-                np.add.at(matches, owners_u, 1)
-                np.add.at(matchsums, owners_u, int(c))
+            lens = hi - pos
+            total = int(lens.sum())
+            if total:
+                starts = np.repeat(pos, lens)
+                within = np.arange(total) - np.repeat(
+                    np.cumsum(lens) - lens, lens)
+                owners_u = sorted_owners[starts + within]
+                matches = np.bincount(owners_u, minlength=nitems)
+                matchsums = np.bincount(
+                    owners_u, weights=np.repeat(counts, lens).astype(
+                        np.float64), minlength=nitems)
+            else:
+                matches = np.zeros(nitems, np.int64)
+                matchsums = np.zeros(nitems, np.float64)
             nz = matches > 0
             coverage[qi, nz] = matches[nz] / sketchsize
             depth[qi, nz] = matchsums[nz] / matches[nz]

@@ -149,6 +149,16 @@ def _kernel_mode() -> str:
     return "mxu" if jax.devices()[0].platform == "tpu" else "xla"
 
 
+def _ordered_bits(opts: Dashing2DistOptions, sigs: np.ndarray) -> np.ndarray:
+    """Signatures -> order-preserving unsigned bit patterns. f64 -> u64
+    by default; with regt32 (the RegT=float build analogue) registers
+    round to f32 and compare as u32 (both sides round identically, so
+    the estimator sees the float build's gt/lt counts)."""
+    if opts.regt32:
+        return sigs.astype(np.float32).view(np.uint32)
+    return CK.f64_to_ordered_u64(sigs)
+
+
 def _unpack_nibbles(x: np.ndarray) -> np.ndarray:
     lo = x & 0xF
     hi = x >> 4
@@ -216,7 +226,7 @@ def _count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
                  and not (opts.sspace == SketchSpace.SPACE_SET
                           and opts.truncation_method <= 0))
     if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
-        u = CK.f64_to_ordered_u64(sigs)
+        u = _ordered_bits(opts, sigs)
         gt, lt = _gtlt_u64(u[rows], u[cols])
         return None, np.asarray(gt), np.asarray(lt)
     src = result.kmers if use_kmers else sigs.view(np.uint64).reshape(sigs.shape)
@@ -291,7 +301,7 @@ def _self_count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
         return None, np.asarray(gt), np.asarray(lt)
     sigs = result.signatures
     if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
-        u = CK.f64_to_ordered_u64(sigs)
+        u = _ordered_bits(opts, sigs)
         gt, lt = CK.count_gtlt_self(u)
         return None, np.asarray(gt), np.asarray(lt)
     use_kmers = (result.kmers is not None
@@ -341,8 +351,9 @@ def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
     else:
         sigs = result.signatures
         if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
-            A = sigs[ia]
-            B = sigs[ib]
+            u = _ordered_bits(opts, sigs)
+            A = u[ia]
+            B = u[ib]
             gt = (A > B).sum(1, dtype=np.int64)
             lt = (A < B).sum(1, dtype=np.int64)
         else:

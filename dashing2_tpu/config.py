@@ -92,6 +92,11 @@ class Dashing2Options:
     # memmap (mm::vector threshold, mmvec.h:54; --sig-ram-limit
     # options.h:392-394). Default 20 GiB like the reference.
     sig_ram_limit: int = 20 << 30
+    # Runtime analogue of the reference's RegT=float build
+    # (-DSKETCH_FLOAT_TYPE=float, enums.h:14-17): full-register
+    # comparisons run on f32-rounded signatures as ordered u32 bit
+    # patterns (~1.4x faster compare matrices, half the compare traffic).
+    regt32: bool = False
 
     # derived
     xormask: int = hashing.XORMASK

@@ -249,3 +249,16 @@ def test_mmvec_alloc_modes():
     assert isinstance(b, np.memmap) and (b == 2.5).all()
     b[2, 3] = 9.0
     assert b[2, 3] == 9.0
+
+
+def test_f32_registers_mode(fixtures, tmp_path):
+    """--f32-registers (RegT=float build analogue) must closely track the
+    f64 similarities (f32 rounding only moves near-tied registers)."""
+    out1 = tmp_path / "f64.bin"
+    out2 = tmp_path / "f32.bin"
+    base = ["sketch", "--full", "-k", "21", "-S", "512", "--binary-output"]
+    run_cli(base + ["--cmpout", str(out1)] + fixtures[:3])
+    run_cli(base + ["--f32-registers", "--cmpout", str(out2)] + fixtures[:3])
+    a = np.fromfile(out1, np.float32)
+    b = np.fromfile(out2, np.float32)
+    np.testing.assert_allclose(a, b, atol=0.02)
