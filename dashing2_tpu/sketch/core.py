@@ -364,12 +364,13 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                                        SketchSpace.SPACE_PSET))
 
     from ..io import mmvec
+    from ..io.prefetch import prefetch
     if kres == KmerSketchResultType.ONE_PERM and not needs_stream:
         regs = mmvec.alloc((n, m), np.uint64, opts.sig_ram_limit,
                            fill=U64MAX)
         counts = mmvec.alloc((n, m), np.uint32, opts.sig_ram_limit, fill=0)
-        for chunks, ids in _iter_chunk_batches(opts, items, chunk_len,
-                                               rows_per_batch):
+        for chunks, ids in prefetch(_iter_chunk_batches(
+                opts, items, chunk_len, rows_per_batch)):
             hashed, valid = _hash_chunk_batch(
                 jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
             nk = hashed.shape[1]
@@ -398,8 +399,8 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
 
     # streaming paths: gather each item's hashed k-mers on host first
     per_item_hashes: List[np.ndarray] = [None] * n  # type: ignore
-    for chunks, ids in _iter_chunk_batches(opts, items, chunk_len,
-                                           rows_per_batch):
+    for chunks, ids in prefetch(_iter_chunk_batches(
+            opts, items, chunk_len, rows_per_batch)):
         hashed, valid = _hash_chunk_batch(
             jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
         hashed = np.asarray(hashed)

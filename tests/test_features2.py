@@ -262,3 +262,17 @@ def test_f32_registers_mode(fixtures, tmp_path):
     a = np.fromfile(out1, np.float32)
     b = np.fromfile(out2, np.float32)
     np.testing.assert_allclose(a, b, atol=0.02)
+
+
+def test_prefetch_iterator():
+    from dashing2_tpu.io.prefetch import prefetch
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+    it = prefetch(boom())
+    assert next(it) == 1
+    import pytest
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
