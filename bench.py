@@ -95,6 +95,40 @@ def main():
     except Exception as e:
         print(f"# nibble MXU path failed: {e}", file=sys.stderr)
 
+    # secondary metric: device sketching rate (encode+hash+OPH rows)
+    try:
+        from dashing2_tpu import hashing as HH
+        from dashing2_tpu.enums import Alphabet
+        from dashing2_tpu.ops import kmers as KK
+        from dashing2_tpu.ops import sketch_kernels as SK
+
+        B, L, k = 64, 1 << 15, 31
+        codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
+
+        def sk_step(c):
+            hashed, valid = KK.hashed_kmers(
+                c, k, w=k, canonicalize=True, alphabet=Alphabet.DNA,
+                xormask=HH.XORMASK, seed_is_zero=False, entropy_min=False)
+            regs, _ = SK.oph_sketch_rows(hashed, valid, m=m,
+                                         want_counts=False)
+            return c ^ (regs[0, 0] & jnp.uint64(0xFF)).astype(jnp.uint8)
+
+        def make_sk(K):
+            @jax.jit
+            def run(c):
+                def body(s, _):
+                    return sk_step(s), None
+                s2, _ = jax.lax.scan(body, c, None, length=K)
+                return s2[0, 0]
+            return run
+        ts1 = timed(make_sk(1), codes, reps=2)
+        ts5 = timed(make_sk(5), codes, reps=2)
+        per_sk = max((ts5 - ts1) / 4, 1e-9)
+        print(f"# device sketch rate (encode+hash+OPH m={m}): "
+              f"{B * L / per_sk / 1e9:.2f} Gbase/s", file=sys.stderr)
+    except Exception as e:
+        print(f"# sketch-rate metric failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "pairwise_comparisons_per_sec",
         "value": round(pps, 1),

@@ -69,13 +69,81 @@ def oph_sketch_segments(hashed: jnp.ndarray, valid: jnp.ndarray,
     idx = (ids % jnp.uint64(m)).astype(jnp.int32)
     seg = seq_ids.astype(jnp.int32) * m + idx
     seg = jnp.where(valid, seg, nseqs * m)
-    regs = jax.ops.segment_min(ids, seg, num_segments=nseqs * m + 1)
-    regs = regs[:nseqs * m]
-    minval_at_item = regs[jnp.where(valid, seg, 0)]
-    ismin = valid & (ids == minval_at_item)
-    counts = jax.ops.segment_sum(ismin.astype(jnp.uint32), seg,
-                                 num_segments=nseqs * m + 1)[:nseqs * m]
+    # Sort-based segmented min. TPU scatters (jax.ops.segment_min) are
+    # scalar-unit bound (~30x slower than sort at 2M elements): sort the
+    # stream by id then stably by segment, so each segment's run starts
+    # at its minimum; first-occurrence lookup is a searchsorted gather.
+    S = nseqs * m
+    # one two-key lexicographic sort; payloads ride the sort network
+    # (argsort + fancy-index gathers are scalar-unit bound on TPU)
+    seg_s, ids_s = jax.lax.sort((seg, ids), num_keys=2)
+    n = seg_s.shape[0]
+    want = jnp.arange(S, dtype=seg_s.dtype)
+    pos = jnp.searchsorted(seg_s, want)
+    posc = jnp.minimum(pos, n - 1)
+    found = seg_s[posc] == want
+    regs = jnp.where(found, ids_s[posc], jnp.uint64(U64MAX))
+    # count of the current min = length of the first (seg, id) run in the
+    # segment: next (seg, id) change index after pos, via suffix-min
+    iota = jnp.arange(n, dtype=jnp.int32)
+    change = jnp.concatenate([
+        jnp.ones(1, bool),
+        (seg_s[1:] != seg_s[:-1]) | (ids_s[1:] != ids_s[:-1])])
+    nxt = jnp.where(change, iota, jnp.int32(n))
+    # run_end_excl[i] = min change index > i (default n)
+    suff = jax.lax.cummin(nxt[::-1])[::-1]
+    run_end = jnp.concatenate([suff[1:], jnp.full(1, n, jnp.int32)])
+    counts = jnp.where(found, (run_end[posc] - posc).astype(jnp.uint32),
+                       jnp.uint32(0))
     return regs.reshape(nseqs, m), counts.reshape(nseqs, m)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "seed", "want_counts",
+                                              "chunk"))
+def oph_sketch_rows(hashed: jnp.ndarray, valid: jnp.ndarray, *, m: int,
+                    seed: int = H.OPH_DEFAULT_SEED, want_counts: bool = True,
+                    chunk: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-wise OPH: each row of hashed (R, nk) is one item's k-mer
+    stream chunk; returns per-row (R, m) registers (+ min-multiplicity
+    counts). Dense bucket-one-hot min-reduce over nk — no sort, no
+    scatter; nk is scanned in `chunk` slices to bound the fused
+    (R, chunk, m) intermediate."""
+    ids = DH.oph_hash(hashed, seed)
+    idx = (ids % jnp.uint64(m)).astype(jnp.int32)
+    R, nk = ids.shape
+    pad = (-nk) % chunk
+    if pad:
+        ids = jnp.concatenate([ids, jnp.zeros((R, pad), ids.dtype)], 1)
+        idx = jnp.concatenate([idx, jnp.zeros((R, pad), idx.dtype)], 1)
+        valid = jnp.concatenate([valid, jnp.zeros((R, pad), bool)], 1)
+    nc = ids.shape[1] // chunk
+    ids_t = jnp.moveaxis(ids.reshape(R, nc, chunk), 1, 0)
+    idx_t = jnp.moveaxis(idx.reshape(R, nc, chunk), 1, 0)
+    val_t = jnp.moveaxis(valid.reshape(R, nc, chunk), 1, 0)
+    cols = jnp.arange(m, dtype=jnp.int32)
+
+    def body(regs, xs):
+        cids, cidx, cval = xs
+        on = (cidx[:, :, None] == cols[None, None, :]) & cval[:, :, None]
+        cmin = jnp.min(jnp.where(on, cids[:, :, None],
+                                 jnp.uint64(U64MAX)), axis=1)
+        return jnp.minimum(regs, cmin), None
+
+    init = jnp.full((R, m), U64MAX, jnp.uint64)
+    regs, _ = jax.lax.scan(body, init, (ids_t, idx_t, val_t))
+    if not want_counts:
+        return regs, jnp.zeros((R, m), jnp.uint32)
+
+    def cbody(counts, xs):
+        cids, cidx, cval = xs
+        ismin = ((cidx[:, :, None] == cols[None, None, :])
+                 & cval[:, :, None]
+                 & (cids[:, :, None] == regs[:, None, :]))
+        return counts + ismin.sum(1).astype(jnp.uint32), None
+
+    counts, _ = jax.lax.scan(cbody, jnp.zeros((R, m), jnp.uint32),
+                             (ids_t, idx_t, val_t))
+    return regs, counts
 
 
 def oph_to_sigs(regs: np.ndarray) -> np.ndarray:
