@@ -235,18 +235,19 @@ def _count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
 
 
 def _dispatch_measures(opts: Dashing2DistOptions, creps: CompressedReps,
-                       eq, gt, lt, lh, rh) -> np.ndarray:
+                       eq, gt, lt, lh, rh, xp=np) -> np.ndarray:
     m = opts.sketchsize
     msr = opts.measure
     k = opts.k
     if creps.data is not None:
         if creps.truncation > 0:
-            return E.bbit_measures(eq, m, opts.fd_level, lh, rh, msr, k)
+            return E.bbit_measures(eq, m, opts.fd_level, lh, rh, msr, k,
+                                   xp=xp)
         return E.compressed_ab_measures(gt, lt, m, creps.b, opts.fd_level,
-                                        lh, rh, msr, k)
+                                        lh, rh, msr, k, xp=xp)
     if gt is not None:
-        return E.full_setsketch_measures(gt, lt, m, lh, rh, msr, k)
-    return E.equality_measures(eq, m, lh, rh, msr, k)
+        return E.full_setsketch_measures(gt, lt, m, lh, rh, msr, k, xp=xp)
+    return E.equality_measures(eq, m, lh, rh, msr, k, xp=xp)
 
 
 def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
@@ -279,36 +280,71 @@ def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
                               ).astype(np.float32)
 
 
-def _self_count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
-                         creps: CompressedReps):
-    """(eq, gt, lt) for ALL pairs of the input set via the circulant
-    self-pairs kernels (~half the full-square compares; lt == gt.T).
-    Returns None when the representation wants a different engine
-    (nibble-range values ride the MXU full-square path instead)."""
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
+    """One jitted function per (representation kind, measure, shape
+    params): circulant self-pairs counts + the full measure epilogue
+    fused on device, so a single call and a single f32 matrix transfer
+    happen per all-pairs job (eager per-op dispatch over a remote TPU
+    tunnel costs ~100ms each)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(data, cards, b):
+        lh = cards[:, None]
+        rh = cards[None, :]
+        if kind in ("ab", "full"):
+            gt, lt = CK.count_gtlt_self(data)
+            if kind == "full":
+                out = E.full_setsketch_measures(gt, lt, m, lh, rh, msr, k,
+                                                xp=jnp)
+            else:
+                out = E.compressed_ab_measures(gt, lt, m, b, fd, lh, rh,
+                                               msr, k, xp=jnp)
+        else:
+            eq = CK.count_eq_self(data)
+            if kind == "bbit":
+                out = E.bbit_measures(eq, m, fd, lh, rh, msr, k, xp=jnp)
+            else:
+                out = E.equality_measures(eq, m, lh, rh, msr, k, xp=jnp)
+        return out.astype(jnp.float32)
+
+    return jax.jit(f)
+
+
+def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
+                       creps: CompressedReps):
+    """Full (n, n) f32 measure matrix for a symmetric all-pairs job via
+    the fused device self-pairs pipeline. Returns None when the
+    representation wants a different engine (nibble-range values ride
+    the MXU full-square path instead)."""
     if creps.data is not None:
         A = creps.data
         if creps.nibble_packed:
             return None  # MXU one-hot engine is faster for nibble values
-        if creps.truncation > 0:
-            if A.dtype != np.uint64 and A.max(initial=0) < 16 \
-                    and _kernel_mode() in ("mxu", "pallas"):
-                return None
-            return np.asarray(CK.count_eq_self(A)), None, None
         if A.dtype != np.uint64 and A.max(initial=0) < 16 \
                 and _kernel_mode() in ("mxu", "pallas"):
             return None
-        gt, lt = CK.count_gtlt_self(A)
-        return None, np.asarray(gt), np.asarray(lt)
-    sigs = result.signatures
-    if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
-        u = _ordered_bits(opts, sigs)
-        gt, lt = CK.count_gtlt_self(u)
-        return None, np.asarray(gt), np.asarray(lt)
-    use_kmers = (result.kmers is not None
-                 and result.kmers.size == sigs.size)
-    src = result.kmers if use_kmers else sigs.view(np.uint64).reshape(
-        sigs.shape)
-    return np.asarray(CK.count_eq_self(src)), None, None
+        kind = "bbit" if creps.truncation > 0 else "ab"
+        data = A
+    elif opts.sspace == SketchSpace.SPACE_SET \
+            and opts.truncation_method <= 0:
+        kind = "full"
+        data = _ordered_bits(opts, result.signatures)
+    else:
+        sigs = result.signatures
+        use_kmers = (result.kmers is not None
+                     and result.kmers.size == sigs.size)
+        kind = "eqfull"
+        data = result.kmers if use_kmers else sigs.view(np.uint64).reshape(
+            sigs.shape)
+    fn = _self_matrix_fn(kind, opts.sketchsize, opts.measure, opts.k,
+                         opts.fd_level)
+    return np.asarray(fn(data, np.asarray(result.cardinalities, np.float64),
+                         np.float64(max(creps.b, 1.0 + 1e-9))))
 
 
 def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
@@ -392,13 +428,8 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                                  or opts.measure == Measure.M_EDIT_DISTANCE)))
     if nq == 0 and 64 <= n <= self_max and counts_path \
             and result.signatures is not None:
-        counts = _self_count_matrices(opts, result, creps)
-        if counts is not None:
-            eq, gt, lt = counts
-            cards = result.cardinalities
-            mat = _dispatch_measures(
-                opts, creps, eq, gt, lt, cards[:, None], cards[None, :]
-            ).astype(np.float32)
+        mat = _self_pairs_matrix(opts, result, creps)
+        if mat is not None:
             for start in range(0, n, block):
                 yield start, mat[start:start + block]
             return

@@ -23,23 +23,26 @@ from ..enums import Measure
 FINF = np.float64(np.finfo(np.float32).max)
 
 
-def sim2dist(x: np.ndarray, k: int) -> np.ndarray:
+def sim2dist(x: np.ndarray, k: int, xp=np) -> np.ndarray:
     """Mash/Poisson distance transform (cmp_core.cpp:361):
     -log(2x / (1+x)) / k, +inf at x == 0."""
     pm = -1.0 / max(1, k)
     with np.errstate(divide="ignore", invalid="ignore"):
-        out = np.where(x > 0, np.log(2.0 * x / (1.0 + x)) * pm, np.inf)
+        out = xp.where(x > 0, xp.log(2.0 * x / (1.0 + x)) * pm, xp.inf)
     return out
 
 
-def g_b(b: float, arg: np.ndarray) -> np.ndarray:
+def g_b(b: float, arg: np.ndarray, xp=np) -> np.ndarray:
     """SetSketch truncation correction (cmp_core.cpp:323-325):
     (1 - b^-arg) / (1 - 1/b)."""
-    return (1.0 - np.power(b, -arg)) / (1.0 - 1.0 / b)
+    return (1.0 - xp.power(b, -arg)) / (1.0 - 1.0 / b)
 
 
-def _finalize(ret: np.ndarray) -> np.ndarray:
+def _finalize(ret: np.ndarray, xp=np) -> np.ndarray:
     """NaN/inf -> max float (cmp_core.cpp:573)."""
+    if xp is not np:
+        out = xp.asarray(ret, dtype=xp.float64)
+        return xp.where(xp.isfinite(out), out, FINF)
     out = np.asarray(ret, dtype=np.float64)
     bad = ~np.isfinite(out)
     if bad.any():
@@ -49,7 +52,7 @@ def _finalize(ret: np.ndarray) -> np.ndarray:
 
 def full_setsketch_measures(gt: np.ndarray, lt: np.ndarray, m: int,
                             lhcard: np.ndarray, rhcard: np.ndarray,
-                            measure: Measure, k: int) -> np.ndarray:
+                            measure: Measure, k: int, xp=np) -> np.ndarray:
     """Full-register SET-space estimator (cmp_core.cpp:458-494).
 
     alpha = gt/m, beta = lt/m, eq = 1-alpha-beta,
@@ -59,11 +62,11 @@ def full_setsketch_measures(gt: np.ndarray, lt: np.ndarray, m: int,
     alpha = gt * invm
     beta = lt * invm
     eq = 1.0 - alpha - beta
-    lh = np.asarray(lhcard)
-    rh = np.asarray(rhcard)
+    lh = xp.asarray(lhcard)
+    rh = xp.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
-        ucard = np.maximum((lh + rh) / (2.0 - alpha - beta), 0.0)
-        eq = np.where(eq <= 1e-15, 0.0, eq)
+        ucard = xp.maximum((lh + rh) / (2.0 - alpha - beta), 0.0)
+        eq = xp.where(eq <= 1e-15, 0.0, eq)
         isz = ucard * eq
         if measure == Measure.SIMILARITY:
             ret = eq
@@ -72,9 +75,9 @@ def full_setsketch_measures(gt: np.ndarray, lt: np.ndarray, m: int,
         elif measure == Measure.CONTAINMENT:
             ret = isz / rh
         elif measure == Measure.SYMMETRIC_CONTAINMENT:
-            ret = isz / np.minimum(lh, rh)
+            ret = isz / xp.minimum(lh, rh)
         elif measure == Measure.POISSON_LLR:
-            ret = sim2dist(eq, k)
+            ret = sim2dist(eq, k, xp)
         elif measure == Measure.UNION_SIZE:
             ret = lh + rh - isz
         else:
@@ -82,69 +85,69 @@ def full_setsketch_measures(gt: np.ndarray, lt: np.ndarray, m: int,
         # eq <= 0 -> 0 similarity (or max distance) (cmp_core.cpp:473-475)
         zero_mask = (1.0 - alpha - beta) <= 0
         if measure == Measure.POISSON_LLR:
-            ret = np.where(zero_mask, np.inf, ret)
+            ret = xp.where(zero_mask, xp.inf, ret)
         else:
-            ret = np.where(zero_mask, 0.0, ret)
-    return _finalize(ret)
+            ret = xp.where(zero_mask, 0.0, ret)
+    return _finalize(ret, xp)
 
 
 def equality_measures(eqc: np.ndarray, m: int, lhcard: np.ndarray,
-                      rhcard: np.ndarray, measure: Measure, k: int
+                      rhcard: np.ndarray, measure: Measure, k: int, xp=np
                       ) -> np.ndarray:
     """Equality-fraction estimator for MULTISET/PSET/full-register-kmer
     paths (cmp_core.cpp:495-517): sim = eq/m, union = (lh+rh)/(1+sim)."""
     sim = eqc / m
-    lh = np.asarray(lhcard)
-    rh = np.asarray(rhcard)
+    lh = xp.asarray(lhcard)
+    rh = xp.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
-        ucard = np.maximum((lh + rh) / (1.0 + sim), 0.0)
+        ucard = xp.maximum((lh + rh) / (1.0 + sim), 0.0)
         if measure == Measure.SIMILARITY:
             ret = sim
         elif measure == Measure.INTERSECTION:
             ret = sim * ucard
         elif measure == Measure.SYMMETRIC_CONTAINMENT:
-            ret = sim * ucard / np.minimum(lh, rh)
+            ret = sim * ucard / xp.minimum(lh, rh)
         elif measure == Measure.CONTAINMENT:
             ret = sim * ucard / lh
         elif measure == Measure.POISSON_LLR:
-            ret = sim2dist(sim, k)
+            ret = sim2dist(sim, k, xp)
         elif measure == Measure.UNION_SIZE:
             ret = lh + rh - sim * ucard
         else:
             raise ValueError(f"measure {measure} invalid here")
-    return _finalize(ret)
+    return _finalize(ret, xp)
 
 
 def bbit_measures(eqc: np.ndarray, m: int, fd_level: float,
                   lhcard: np.ndarray, rhcard: np.ndarray,
-                  measure: Measure, k: int) -> np.ndarray:
+                  measure: Measure, k: int, xp=np) -> np.ndarray:
     """b-bit compressed estimator (cmp_core.cpp:406-423): collision-corrected
     similarity ret = max(0, (eq/m + b2pow) / (1 + b2pow)),
     b2pow = -2^-(8*fd)."""
     b2pow = -np.ldexp(1.0, -int(fd_level * 8))
-    sim = np.maximum(0.0, (eqc / m + b2pow) / (1.0 + b2pow))
-    lh = np.asarray(lhcard)
-    rh = np.asarray(rhcard)
+    sim = xp.maximum(0.0, (eqc / m + b2pow) / (1.0 + b2pow))
+    lh = xp.asarray(lhcard)
+    rh = xp.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
         if measure in (Measure.INTERSECTION, Measure.UNION_SIZE):
-            isz = np.maximum((lh + rh) / (1.0 + sim), 0.0)
+            isz = xp.maximum((lh + rh) / (1.0 + sim), 0.0)
             ret = isz if measure == Measure.INTERSECTION else lh + rh - isz
         elif measure == Measure.CONTAINMENT:
-            ret = np.maximum((lh + rh) / (1.0 + sim), 0.0) * sim / lh
+            ret = xp.maximum((lh + rh) / (1.0 + sim), 0.0) * sim / lh
         elif measure == Measure.POISSON_LLR:
-            ret = sim2dist(sim, k)
+            ret = sim2dist(sim, k, xp)
         elif measure == Measure.SYMMETRIC_CONTAINMENT:
-            ret = np.maximum((lh + rh) / (1.0 + sim), 0.0) * sim / np.minimum(lh, rh)
+            ret = xp.maximum((lh + rh) / (1.0 + sim), 0.0) * sim / xp.minimum(lh, rh)
         else:  # SIMILARITY
             ret = sim
-    return _finalize(ret)
+    return _finalize(ret, xp)
 
 
 def compressed_ab_measures(gt: np.ndarray, lt: np.ndarray, m: int,
                            b: float, fd_level: float,
                            lhcard: np.ndarray, rhcard: np.ndarray,
                            measure: Measure, k: int,
-                           reg_bytes: float = 8.0) -> np.ndarray:
+                           reg_bytes: float = 8.0, xp=np) -> np.ndarray:
     """Setsketch-compressed (a,b-quantized) estimator
     (cmp_core.cpp:424-449): g_b-corrected alpha/beta, union from
     cardinalities, similarity = max(1 - alpha - beta, 0)."""
@@ -152,15 +155,15 @@ def compressed_ab_measures(gt: np.ndarray, lt: np.ndarray, m: int,
     alpha = gt * invm
     beta = lt * invm
     if fd_level < reg_bytes:
-        alpha = g_b(b, alpha)
-        beta = g_b(b, beta)
-    lh = np.asarray(lhcard)
-    rh = np.asarray(rhcard)
+        alpha = g_b(b, alpha, xp)
+        beta = g_b(b, beta, xp)
+    lh = xp.asarray(lhcard)
+    rh = xp.asarray(rhcard)
     with np.errstate(divide="ignore", invalid="ignore"):
         disjoint = (alpha + beta) >= 1.0
-        mu = np.where(disjoint, lh + rh,
-                      np.maximum((lh + rh) / (2.0 - alpha - beta), 0.0))
-        ret = np.maximum(1.0 - alpha - beta, 0.0)
+        mu = xp.where(disjoint, lh + rh,
+                      xp.maximum((lh + rh) / (2.0 - alpha - beta), 0.0))
+        ret = xp.maximum(1.0 - alpha - beta, 0.0)
         if measure == Measure.INTERSECTION:
             ret = ret * mu
         elif measure == Measure.UNION_SIZE:
@@ -168,10 +171,10 @@ def compressed_ab_measures(gt: np.ndarray, lt: np.ndarray, m: int,
         elif measure == Measure.CONTAINMENT:
             ret = ret * mu / lh
         elif measure == Measure.SYMMETRIC_CONTAINMENT:
-            ret = ret * mu / np.minimum(lh, rh)
+            ret = ret * mu / xp.minimum(lh, rh)
         elif measure == Measure.POISSON_LLR:
-            ret = sim2dist(ret, k)
-    return _finalize(ret)
+            ret = sim2dist(ret, k, xp)
+    return _finalize(ret, xp)
 
 
 def exact_measures(isz: np.ndarray, lhcard: np.ndarray, rhcard: np.ndarray,
