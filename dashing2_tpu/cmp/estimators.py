@@ -201,6 +201,99 @@ def exact_measures(isz: np.ndarray, lhcard: np.ndarray, rhcard: np.ndarray,
     return _finalize(ret)
 
 
+def brent_find_minima(func, a: float, b: float, bits: int = 24,
+                      maxiter: int = 200) -> tuple[float, float]:
+    """Brent's method minimizer on [a, b] (setsketch.h:34-86 /
+    boost::math::tools::brent_find_minima equivalent)."""
+    golden = 0.3819660112501051
+    tol = 2.0 ** (1 - bits)
+    x = w = v = a + golden * (b - a)
+    fx = fw = fv = func(x)
+    dd = e = 0.0
+    for _ in range(maxiter):
+        mid = 0.5 * (a + b)
+        tol1 = tol * abs(x) + 1e-300
+        tol2 = 2.0 * tol1
+        if abs(x - mid) <= tol2 - 0.5 * (b - a):
+            break
+        use_golden = True
+        if abs(e) > tol1:
+            r = (x - w) * (fx - fv)
+            q_ = (x - v) * (fx - fw)
+            p = (x - v) * q_ - (x - w) * r
+            q_ = 2.0 * (q_ - r)
+            if q_ > 0:
+                p = -p
+            q_ = abs(q_)
+            etemp = e
+            e = dd
+            if (abs(p) < abs(0.5 * q_ * etemp) and p > q_ * (a - x)
+                    and p < q_ * (b - x)):
+                dd = p / q_
+                u = x + dd
+                if (u - a) < tol2 or (b - u) < tol2:
+                    dd = tol1 if x < mid else -tol1
+                use_golden = False
+        if use_golden:
+            e = (b if x < mid else a) - x
+            dd = golden * e
+        u = x + (dd if abs(dd) >= tol1 else (tol1 if dd > 0 else -tol1))
+        fu = func(u)
+        if fu <= fx:
+            if u >= x:
+                a = x
+            else:
+                b = x
+            v, w, x = w, x, u
+            fv, fw, fx = fw, fx, fu
+        else:
+            if u < x:
+                a = u
+            else:
+                b = u
+            if fu <= fw or w == x:
+                v, w = w, u
+                fv, fw = fw, fu
+            elif fu <= fv or v == x or v == w:
+                v, fv = u, fu
+    return x, fx
+
+
+def jmle_simple(lhgt: int, rhgt: int, m: int, lhest: float, rhest: float,
+                base: float) -> float:
+    """Joint maximum-likelihood Jaccard from a SetSketch register pair's
+    (gt, lt) counts and cardinality estimates (setsketch.h:93-112,
+    used by SetSketch::jaccard_by_mle :810). Brent-minimizes the negative
+    log-likelihood over J in [0, min/max]."""
+    if not lhest and not rhest:
+        return 0.0
+    neq = m - (lhgt + rhgt)
+    sumest = lhest + rhest
+    bi = 1.0 / base
+    lbi = 1.0 / np.log(base)
+    z = (1.0 - bi) / sumest
+
+    def func(jaccard):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lhs = (lbi * np.log1p((rhest * jaccard - lhest) * z)
+                   if (neq or lhgt) else 0.0)
+            rhs = (lbi * np.log1p((lhest * jaccard - rhest) * z)
+                   if (neq or rhgt) else 0.0)
+            ret = 0.0
+            if neq:
+                ret += neq * np.log1p(lhs + rhs)
+            if lhgt:
+                ret += lhgt * np.log(-lhs)
+            if rhgt:
+                ret += rhgt * np.log(-rhs)
+        if np.isnan(ret):
+            return np.finfo(np.float64).max
+        return -ret
+
+    hi = min(lhest, rhest) / max(lhest, rhest)
+    return brent_find_minima(func, 0.0, hi, 24)[0]
+
+
 def optimal_parameters(minreg: float, maxreg: float, q: float
                        ) -> tuple[float, float]:
     """SetSketch (b, a) for a register value range (setsketch.cpp:7-10):

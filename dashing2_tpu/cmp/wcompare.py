@@ -36,6 +36,27 @@ def weighted_intersection_size(a: np.ndarray, ca: np.ndarray,
     return float(np.minimum(ca[hit], cb[idx_c[hit]]).sum())
 
 
+def cosine_compare(a: np.ndarray, ca: np.ndarray,
+                   b: np.ndarray, cb: np.ndarray) -> float:
+    """Dot product of two sparse count vectors keyed by sorted u64 hashes
+    (cosine_compare, wcompare.cpp:117-143; divide by the norms for cosine
+    similarity — the reference returns the raw dot product too)."""
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    idx = np.searchsorted(b, a)
+    idx_c = np.minimum(idx, len(b) - 1)
+    hit = b[idx_c] == a
+    return float((ca[hit] * cb[idx_c[hit]]).sum())
+
+
+def union_size_weighted(a: np.ndarray, ca: np.ndarray,
+                        b: np.ndarray, cb: np.ndarray) -> float:
+    """Sum of max(count_a, count_b) over the key union (weighted_compare
+    union semantics, wcompare.cpp:28-51)."""
+    isz = weighted_intersection_size(a, ca, b, cb)
+    return float(ca.sum() + cb.sum() - isz)
+
+
 def hamming_matches(a: np.ndarray, b: np.ndarray) -> float:
     """Equal positions over the overlap plus the length difference
     (hamming_compare, wcompare.cpp:52-55; the streaming hamming_compare_f

@@ -130,3 +130,22 @@ def test_pairwise_matrix_self_path_matches_blocked(tmp_path):
     assert blocks_self.keys() == blocks_gen.keys()
     for k in blocks_self:
         np.testing.assert_array_equal(blocks_self[k], blocks_gen[k])
+
+
+def test_brent_minimizer():
+    from dashing2_tpu.cmp.estimators import brent_find_minima
+    x, fx = brent_find_minima(lambda x: (x - 0.3) ** 2 + 1.0, 0.0, 1.0)
+    assert abs(x - 0.3) < 1e-6 and abs(fx - 1.0) < 1e-10
+
+
+def test_jmle_simple_recovers_jaccard():
+    """On synthetic gt/lt counts drawn at a known Jaccard, the MLE lands
+    near the truth (setsketch.h:93-112 semantics)."""
+    from dashing2_tpu.cmp.estimators import jmle_simple
+    m, b = 4096, 1.2
+    # symmetric case: equal cardinalities; E[gt] = E[lt] = m(1-J)/2
+    for j_true in (0.1, 0.5, 0.9):
+        gt = lt = int(m * (1 - j_true) / 2)
+        est = jmle_simple(gt, lt, m, 1e6, 1e6, b)
+        assert abs(est - j_true) < 0.05, (j_true, est)
+    assert jmle_simple(0, 0, m, 0.0, 0.0, b) == 0.0
