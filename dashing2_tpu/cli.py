@@ -245,7 +245,7 @@ def _build_opts(a: argparse.Namespace, presketched: bool = False
         cmp_batch_size=a.batch_size, nLSH=a.nlsh, maxcand=a.maxcand,
         sig_ram_limit=(a.sig_ram_limit if a.sig_ram_limit is not None
                        else 20 << 30),
-        regt32=a.regt32,
+        regt32=a.regt32, seqs_in_ram=a.seqs_in_ram,
     )
     return opts
 

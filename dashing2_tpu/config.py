@@ -97,6 +97,9 @@ class Dashing2Options:
     # comparisons run on f32-rounded signatures as ordered u32 bit
     # patterns (~1.4x faster compare matrices, half the compare traffic).
     regt32: bool = False
+    # keep raw sequences in RAM regardless of size (--seqs-in-ram; the
+    # default spills past 2 Gbp like tmpseqs.h / fastxsketchbyseq.cpp:172)
+    seqs_in_ram: bool = False
 
     # derived
     xormask: int = hashing.XORMASK

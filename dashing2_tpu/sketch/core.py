@@ -121,21 +121,25 @@ class _Item:
     """One sketchable item: a file group or a single sequence."""
     name: str
     codes: List[np.ndarray]
-    raw: Optional[bytes] = None  # kept for edit-distance space
 
 
-def _load_items(opts: Dashing2Options, groups: Sequence[str]) -> List[_Item]:
+def _load_items(opts: Dashing2Options, groups: Sequence[str]):
+    """Returns (items, seqstore). seqstore holds the raw sequences for
+    the edit-distance space — RAM below 2 Gbp, temp-file spill above
+    (tmpseqs.h semantics; --seqs-in-ram pins RAM)."""
+    from ..io.seqstore import SequenceStore
     items: List[_Item] = []
     keep_raw = opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE
+    store = SequenceStore(in_ram=opts.seqs_in_ram) if keep_raw else None
     for group in groups:
         if opts.parse_by_seq:
             for path in group.split():
                 if keep_raw:
                     for name, seq in fastx.read_fastx(path):
+                        store.append(bytes(seq))
                         items.append(_Item(
                             name=name,
-                            codes=[K.encode_ascii(seq, opts.alphabet)],
-                            raw=bytes(seq)))
+                            codes=[K.encode_ascii(seq, opts.alphabet)]))
                 else:
                     for name, codes in fastx.read_encoded(path,
                                                           opts.alphabet):
@@ -151,9 +155,10 @@ def _load_items(opts: Dashing2Options, groups: Sequence[str]) -> List[_Item]:
                 else:
                     for _, c in fastx.read_encoded(path, opts.alphabet):
                         codes.append(c)
-            items.append(_Item(name=group, codes=codes,
-                               raw=b"".join(raws) if keep_raw else None))
-    return items
+            if keep_raw:
+                store.append(b"".join(raws))
+            items.append(_Item(name=group, codes=codes))
+    return items, store
 
 
 def _iter_chunk_batches(opts: Dashing2Options, items: Sequence[_Item],
@@ -330,7 +335,7 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
 def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                        chunk_len: int = 1 << 15, rows_per_batch: int = 64
                        ) -> SketchingResult:
-    items = _load_items(opts, groups)
+    items, seqstore = _load_items(opts, groups)
     res = SketchingResult(names=[it.name for it in items])
     n = len(items)
     m = opts.sketchsize
@@ -347,7 +352,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         res.signatures = sigs.view(np.float64)
         res.cardinalities = np.array(
             [sum(len(c) for c in it.codes) for it in items], np.float64)
-        res.sequences = [it.raw or b"" for it in items]
+        res.sequences = seqstore
         return res
 
     fs = _filterset_array(opts)

@@ -276,3 +276,37 @@ def test_prefetch_iterator():
     import pytest
     with pytest.raises(RuntimeError, match="producer failed"):
         list(it)
+
+
+def test_sequence_store_spill():
+    from dashing2_tpu.io.seqstore import SequenceStore
+    st = SequenceStore(threshold=10)
+    seqs = [b"ACGTACGT", b"TTTT", b"", b"GGGGCCCCAAAA"]
+    for s in seqs:
+        st.append(s)
+    assert st._ram is None  # spilled past 10 bytes
+    assert len(st) == 4
+    assert [st[i] for i in range(4)] == seqs
+    st2 = SequenceStore(in_ram=True, threshold=1)
+    for s in seqs:
+        st2.append(s)
+    assert st2._ram is not None
+    assert list(st2) == seqs
+
+
+def test_edit_distance_space_with_spilled_seqs(fixtures, tmp_path):
+    out1 = tmp_path / "ed1.bin"
+    out2 = tmp_path / "ed2.bin"
+    base = ["sketch", "--edit-distance", "--exact-kmer-dist",
+            "--compute-edit-distance", "-k", "8", "-S", "64",
+            "--binary-output", "--parse-by-seq"]
+    run_cli(base + ["--cmpout", str(out1)] + fixtures[:2])
+    import dashing2_tpu.io.seqstore as ss
+    old = ss.RAM_THRESHOLD
+    ss.RAM_THRESHOLD = 1  # force disk spill
+    try:
+        run_cli(base + ["--cmpout", str(out2)] + fixtures[:2])
+    finally:
+        ss.RAM_THRESHOLD = old
+    np.testing.assert_array_equal(np.fromfile(out1, np.float32),
+                                  np.fromfile(out2, np.float32))
