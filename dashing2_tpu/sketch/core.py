@@ -518,9 +518,22 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
 
 def _filterset_array(opts: Dashing2Options) -> Optional[np.ndarray]:
     """Build the sorted-hash exclusion set from --filterset
-    (d2.cpp:45-98: FASTA of k-mers to skip, hashed like the data)."""
+    (d2.cpp:45-98). The argument may carry a ':suffix': a suffix other
+    than 'k'/'K' marks the file as a raw binary u64 k-mer-hash list
+    (e.g. a --save-kmers artifact) loaded verbatim; otherwise it is a
+    FASTA whose k-mers are hashed exactly like the data."""
     if not opts.filterset_path:
         return None
+    arg = opts.filterset_path
+    i = arg.rfind(":")
+    if i != -1:
+        path, suffix = arg[:i], arg[i + 1:]
+        if suffix[:1].upper() != "K":
+            from ..io.fastx import xopen
+            with xopen(path) as f:
+                raw = np.frombuffer(f.read(), dtype=np.uint64)
+            return np.unique(raw)
+        opts = dataclasses.replace(opts, filterset_path=path)
     sub = dataclasses.replace(opts, filterset_path="",
                               kmer_downsample_frac=1.0)
     hashes: List[np.ndarray] = []

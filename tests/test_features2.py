@@ -310,3 +310,24 @@ def test_edit_distance_space_with_spilled_seqs(fixtures, tmp_path):
         ss.RAM_THRESHOLD = old
     np.testing.assert_array_equal(np.fromfile(out1, np.float32),
                                   np.fromfile(out2, np.float32))
+
+
+def test_filterset_binary_kmer_list(fixtures, tmp_path):
+    """--filterset path:bin (non-'k' suffix) loads raw u64 hashes and
+    excludes them; excluding a file's own saved k-mers must change its
+    similarities (d2.cpp:45-77)."""
+    db = tmp_path / "db.bin"
+    run_cli(["sketch", "-k", "21", "-S", "128", "--save-kmers",
+             "-o", str(db)] + fixtures[:2])
+    kmers = np.fromfile(str(db) + ".kmer64", np.uint64, offset=24)
+    kf = tmp_path / "filter.u64"
+    kmers.tofile(kf)
+    out1 = tmp_path / "nofs.bin"
+    out2 = tmp_path / "fs.bin"
+    base = ["sketch", "-k", "21", "-S", "128", "--binary-output"]
+    run_cli(base + ["--cmpout", str(out1)] + fixtures[:2])
+    run_cli(base + ["--filterset", f"{kf}:bin", "--cmpout", str(out2)]
+            + fixtures[:2])
+    a = np.fromfile(out1, np.float32)
+    b = np.fromfile(out2, np.float32)
+    assert not np.array_equal(a, b)  # the filter removed shared k-mers
