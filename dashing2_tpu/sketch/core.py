@@ -454,9 +454,8 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
     use_countsketch = (opts.cssize > 0
                        and opts.sspace in (SketchSpace.SPACE_MULTISET,
                                            SketchSpace.SPACE_PSET))
-    uniq_list: List[np.ndarray] = []
-    cnt_list: List[np.ndarray] = []
-    for hv in per_item_hashes:
+
+    def _count_one(hv):
         if use_countsketch:
             # CountSketch with fixed memory (enums.h:44-57, counter.h):
             # bucket[h % cssize] += (h & 1) ? 1 : -1; weights = |bucket|,
@@ -473,8 +472,18 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         if opts.count_threshold > 1:
             keep = c >= opts.count_threshold
             u, c = u[keep], c[keep]
-        uniq_list.append(u.astype(np.uint64))
-        cnt_list.append(c.astype(np.float64))
+        return u.astype(np.uint64), c.astype(np.float64)
+
+    # -p threads parallelize the per-item host counting (numpy releases
+    # the GIL in sort/unique; the OMP-threads analogue, P1 in SURVEY §2.4)
+    if opts.nthreads > 1 and len(per_item_hashes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=opts.nthreads) as ex:
+            pairs = list(ex.map(_count_one, per_item_hashes))
+    else:
+        pairs = [_count_one(hv) for hv in per_item_hashes]
+    uniq_list: List[np.ndarray] = [p[0] for p in pairs]
+    cnt_list: List[np.ndarray] = [p[1] for p in pairs]
 
     if kres == KmerSketchResultType.FULL_MMER_SET:
         res.kmer_sets = uniq_list
