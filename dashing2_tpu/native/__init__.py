@@ -11,10 +11,7 @@ import threading
 from typing import Optional
 
 _lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
-
-_SRC = os.path.join(os.path.dirname(__file__), "fastx_reader.cpp")
+_libs: dict = {}
 
 
 def _build_dir() -> str:
@@ -25,37 +22,58 @@ def _build_dir() -> str:
     return d
 
 
-def load_fastx_lib() -> Optional[ctypes.CDLL]:
-    """Compile (once) and load the native reader; None if unavailable."""
-    global _lib, _tried
+def _load_lib(name: str, src_file: str, link: list) -> Optional[ctypes.CDLL]:
+    """Compile (once, content-hashed) and load a native component; None
+    when the toolchain is unavailable (callers fall back to Python)."""
     with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
+        if name in _libs:
+            return _libs[name]
+        lib = None
         try:
-            with open(_SRC, "rb") as f:
+            src = os.path.join(os.path.dirname(__file__), src_file)
+            with open(src, "rb") as f:
                 tag = hashlib.sha256(f.read()).hexdigest()[:16]
-            so = os.path.join(_build_dir(), f"libfastx-{tag}.so")
+            so = os.path.join(_build_dir(), f"lib{name}-{tag}.so")
             if not os.path.exists(so):
                 tmp = so + f".tmp{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     _SRC, "-o", tmp, "-lz"],
+                     src, "-o", tmp] + link,
                     check=True, capture_output=True)
                 os.replace(tmp, so)
             lib = ctypes.CDLL(so)
-            lib.fxr_open.restype = ctypes.c_void_p
-            lib.fxr_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
-            lib.fxr_next.restype = ctypes.c_long
-            lib.fxr_next.argtypes = [
-                ctypes.c_void_p,
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
-            lib.fxr_close.restype = None
-            lib.fxr_close.argtypes = [ctypes.c_void_p]
-            _lib = lib
         except Exception as e:  # toolchain missing etc: fall back silently
             if os.environ.get("DASHING2_TPU_DEBUG"):
-                print(f"native fastx unavailable: {e}", file=sys.stderr)
-            _lib = None
-        return _lib
+                print(f"native {name} unavailable: {e}", file=sys.stderr)
+        _libs[name] = lib
+        return lib
+
+
+def load_fastx_lib() -> Optional[ctypes.CDLL]:
+    """Native FASTA/FASTQ reader (zlib-aware, LUT encoding)."""
+    lib = _load_lib("fastx", "fastx_reader.cpp", ["-lz"])
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.fxr_open.restype = ctypes.c_void_p
+        lib.fxr_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.fxr_next.restype = ctypes.c_long
+        lib.fxr_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+        lib.fxr_close.restype = None
+        lib.fxr_close.argtypes = [ctypes.c_void_p]
+        lib._sigs_set = True
+    return lib
+
+
+def load_emit_lib() -> Optional[ctypes.CDLL]:
+    """Native float-row formatter (std::to_chars shortest round-trip,
+    the same formatting family as the reference's fmt '{}')."""
+    lib = _load_lib("emitfmt", "emit_fmt.cpp", [])
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.fmt_f32_rows.restype = ctypes.c_size_t
+        lib.fmt_f32_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+            ctypes.c_char, ctypes.c_char_p, ctypes.c_size_t]
+        lib._sigs_set = True
+    return lib

@@ -82,3 +82,17 @@ def test_lsh_index_save_load_roundtrip(tmp_path):
     idx.insert(0, 0)
     idx2.insert(0, 0)
     np.testing.assert_array_equal(idx.query(1, 8), idx2.query(1, 8))
+
+
+def test_native_row_formatter_roundtrip():
+    import numpy as np
+    from dashing2_tpu.io.emitters import _fmt_row
+    v = np.array([0.0, 1.0, 0.5, 3.14159, 1e-8, 2e20, np.inf, -np.inf,
+                  np.nan, 0.92578125], np.float32)
+    s = _fmt_row(v)
+    parts = s.split("\t")[1:]
+    assert len(parts) == len(v)
+    back = np.array([np.float32(x) for x in parts])
+    mask = ~np.isnan(v)
+    np.testing.assert_array_equal(back[mask], v[mask])
+    assert np.isnan(back[~mask]).all()
