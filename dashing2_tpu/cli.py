@@ -419,6 +419,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         opts.outfile_path = "/dev/stdout"
 
     from .timing import phase
+    import contextlib
+    import os as _os
+    profdir = _os.environ.get("DASHING2_TPU_PROFILE")
+    prof = contextlib.nullcontext()
+    if profdir:
+        import jax
+        prof = jax.profiler.trace(profdir)  # XLA/TPU trace for xprof
+    with prof:
+        return _run(a, top, opts, groups, nq, presketched, phase)
+
+
+def _run(a, top, opts, groups, nq, presketched, phase) -> int:
     if presketched:
         with phase("load-presketched", opts.verbosity):
             result = _load_presketched(opts, groups)

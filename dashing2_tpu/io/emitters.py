@@ -88,6 +88,10 @@ def emit_rectangular(opts: Dashing2DistOptions, result: SketchingResult,
     kind = opts.output_kind
     f = _open_out(opts.outfile_path)
     close = f is not sys.stdout.buffer
+    # overlap block computation with formatting/writes (the reference's
+    # async emit thread, emitrect.cpp:159-197 / SURVEY P8)
+    from .prefetch import prefetch
+    blocks = prefetch(blocks, depth=2)
     try:
         if opts.output_format == OutputFormat.HUMAN_READABLE:
             if kind == OutputKind.PHYLIP:
