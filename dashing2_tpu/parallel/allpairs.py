@@ -122,6 +122,73 @@ def sharded_similarity(mesh: Mesh, sigs_u64: jnp.ndarray,
     return jax.jit(step)(sigs_u64, sigs_u64, cards, cards)
 
 
+def sharded_selfpairs(mesh: Mesh, regs_u64: jnp.ndarray, t: int = 128
+                      ) -> jnp.ndarray:
+    """Multi-chip symmetric all-pairs gt matrix via the circulant band
+    decomposition: band d compares every block-row against block-rows
+    rolled by d, and bands shard evenly across devices — each chip does
+    1/D of the N(N-1)/2 unique-pair work with no duplication, then the
+    band tiles all-gather (tiny vs the compare work) and every chip
+    assembles the full matrix with one row-granular take.
+
+    Returns the (n, n) int32 gt matrix; lt == gt.T."""
+    from ..ops import cmp_kernels as CK
+
+    n0 = regs_u64.shape[0]
+    D = mesh.devices.size
+    t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
+    a = np.asarray(regs_u64, dtype=np.uint64)
+    pad = (-a.shape[0]) % t
+    if pad:
+        a = np.concatenate([a, np.zeros((pad, a.shape[1]), np.uint64)])
+    npad, m = a.shape
+    nt = npad // t
+    nd = nt // 2 + 1
+    ndpad = -(-nd // D) * D
+    bands = np.concatenate([np.arange(nd, dtype=np.int32),
+                            np.zeros(ndpad - nd, np.int32)])  # dup band 0
+    seg_idx = jnp.asarray(CK._circ_seg_index(npad, t))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None), P("rows")),
+        out_specs=(P("rows"), P("rows")))
+    def band_shard(av, my_bands):
+        ah, al = _split(av)
+        a3h = ah.reshape(nt, t, m)
+        a3l = al.reshape(nt, t, m)
+        a6h = jnp.concatenate([a3h, a3h])
+        a6l = jnp.concatenate([a3l, a3l])
+
+        def body(_, d):
+            zero = jnp.int32(0)
+            bh = jax.lax.dynamic_slice(a6h, (d, zero, zero), (nt, t, m))
+            bl = jax.lax.dynamic_slice(a6l, (d, zero, zero), (nt, t, m))
+            hi_eq = a3h[:, :, None, :] == bh[:, None, :, :]
+            gt = ((a3h[:, :, None, :] > bh[:, None, :, :]) |
+                  (hi_eq & (a3l[:, :, None, :] > bl[:, None, :, :]))
+                  ).sum(-1, dtype=jnp.int32)
+            lt = ((a3h[:, :, None, :] < bh[:, None, :, :]) |
+                  (hi_eq & (a3l[:, :, None, :] < bl[:, None, :, :]))
+                  ).sum(-1, dtype=jnp.int32)
+            return None, (gt, lt)
+
+        _, (gts, lts) = jax.lax.scan(body, None, my_bands)
+        return gts, lts
+
+    gts, lts = jax.jit(band_shard)(jnp.asarray(a), jnp.asarray(bands))
+    # band tiles -> full matrix (duplicated padding bands are sliced off)
+    gts = gts[:nd].reshape(-1, t, t)
+    lts = lts[:nd].reshape(-1, t, t)
+
+    @jax.jit
+    def assemble(gts, lts, idx):
+        src = jnp.concatenate([gts, jnp.swapaxes(lts, 1, 2)]).reshape(-1, t)
+        return jnp.take(src, idx, axis=0).reshape(npad, npad)
+
+    return assemble(gts, lts, seg_idx)[:n0, :n0]
+
+
 def sharded_pipeline_step(mesh: Mesh, hashed: jnp.ndarray,
                           valid: jnp.ndarray, seq_ids: jnp.ndarray,
                           *, nseqs: int, m: int) -> jnp.ndarray:

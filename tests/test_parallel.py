@@ -72,3 +72,17 @@ def test_graft_entry():
     out = fn(*args)
     assert out.shape == (64, 64)
     g.dryrun_multichip(8)
+
+
+def test_sharded_selfpairs_matches_single():
+    import jax
+    import numpy as np
+    from dashing2_tpu.parallel.allpairs import make_mesh, sharded_selfpairs
+    from dashing2_tpu.ops.cmp_kernels import count_gtlt
+    rng = np.random.default_rng(9)
+    n, m = 200, 64
+    a = rng.integers(0, 1 << 64, size=(n, m), dtype=np.uint64)
+    mesh = make_mesh(len(jax.devices()))
+    gt = np.asarray(sharded_selfpairs(mesh, a, t=32))
+    gt2, lt2 = count_gtlt(a, a)
+    np.testing.assert_array_equal(gt, np.asarray(gt2))
