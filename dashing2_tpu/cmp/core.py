@@ -123,7 +123,18 @@ def _prep(opts: Dashing2DistOptions, result: SketchingResult
     if opts.kmer_result == KmerSketchResultType.ONE_PERM and \
             result.signatures is not None:
         kmers = result.kmers
+        m = result.signatures.shape[1]
         for i in range(result.signatures.shape[0]):
+            # OPH signatures carry a per-sketch scale -1/(m - n_empty)
+            # (oph.h:253). Cross-sketch register comparisons need a
+            # UNIFORM scale or equal raw registers compare unequal when
+            # the sketches' empty counts differ (a reference pathology
+            # visible only for inputs small vs m: densify() fills slots
+            # but keeps the skewed scale). Deviation: rescale each row
+            # to the canonical -1/m before densifying.
+            nempty = int((result.signatures[i] == 0.0).sum())
+            if nempty:
+                result.signatures[i] *= (m - nempty) / m
             row, _ = SK.oph_densify(
                 result.signatures[i],
                 kmers[i] if kmers is not None else None)
