@@ -414,12 +414,17 @@ def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
 
 
 def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
-                    block: int = 1024) -> Iterator[Tuple[int, np.ndarray]]:
+                    block: int = 0) -> Iterator[Tuple[int, np.ndarray]]:
     """Yield (first_row_index, block measure matrix f32) covering all rows.
 
     PANEL: rows = references [0, nf), columns = queries [nf, n).
     Otherwise: full n x n (symmetric emitters slice the upper triangle).
     """
+    if block <= 0:
+        # row-block size from --batch-size, else the reference's cache
+        # heuristic shape (cmp_main.cpp:370-388) bounded to [64, 4096]
+        block = opts.cmp_batch_size if opts.cmp_batch_size > 0 else \
+            int(min(4096, max(64, (4 << 20) // max(opts.sketchsize, 1))))
     creps, result = _prep(opts, result)
     n = result.n if result.names else len(result.cardinalities)
     nq = result.nqueries()

@@ -134,18 +134,24 @@ class LSHIndex:
                 col = keys[:, j]
                 order = np.argsort(col, kind="stable")
                 sk = col[order]
-                boundaries = np.nonzero(np.concatenate(
-                    [[True], sk[1:] != sk[:-1], [True]]))[0]
-                for bi in range(len(boundaries) - 1):
-                    s, e = boundaries[bi], boundaries[bi + 1]
-                    if e - s < 2:
-                        continue
-                    members = order[s:min(e, s + bucket_cap)]
-                    a = np.repeat(members, len(members))
-                    b = np.tile(members, len(members))
-                    keep = a < b
-                    pair_chunks.append(
-                        np.stack([a[keep], b[keep]], axis=1))
+                # vectorized bucket self-join: run-length segment the
+                # sorted keys, cap run lengths, and emit all
+                # within-bucket pairs grouped by run length (no Python
+                # per-bucket loop — SURVEY P9 sort-based construction)
+                starts = np.nonzero(np.concatenate(
+                    [[True], sk[1:] != sk[:-1]]))[0]
+                lens = np.diff(np.concatenate([starts, [len(sk)]]))
+                big = lens >= 2
+                starts, lens = starts[big], np.minimum(lens[big],
+                                                       bucket_cap)
+                for L in np.unique(lens):
+                    s_l = starts[lens == L]          # (nb,) buckets of len L
+                    ii0, jj0 = np.triu_indices(int(L), k=1)
+                    a = order[s_l[:, None] + ii0[None, :]].reshape(-1)
+                    b = order[s_l[:, None] + jj0[None, :]].reshape(-1)
+                    lo = np.minimum(a, b)
+                    hi = np.maximum(a, b)
+                    pair_chunks.append(np.stack([lo, hi], axis=1))
         if not pair_chunks:
             return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                     np.zeros(0, np.int64))
