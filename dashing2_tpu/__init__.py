@@ -23,6 +23,21 @@ jax.config.update("jax_enable_x64", True)
 if _os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
+# Persistent compilation cache: CLI invocations recompile the same kernel
+# shapes every run otherwise (XLA compiles dominate short jobs). Disable
+# with DASHING2_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("DASHING2_TPU_NO_COMPILE_CACHE"):
+    try:
+        _cc = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "dashing2_tpu", "xla"))
+        _os.makedirs(_cc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from . import enums  # noqa: E402
 from .enums import (  # noqa: E402
     DataType,

@@ -388,8 +388,9 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                 r, c = SK.oph_sketch_rows(hashed, valid, m=m,
                                           seed=H.OPH_DEFAULT_SEED,
                                           want_counts=want_counts)
-                r = np.asarray(r)
-                c = np.asarray(c)
+                # one batched fetch (sequential np.asarray pulls pay the
+                # device->host latency twice)
+                r, c = jax.device_get((r, c))
                 for row, item_id in enumerate(ids):
                     if item_id < 0:
                         continue
@@ -426,8 +427,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             opts, items, chunk_len, rows_per_batch)):
         hashed, valid = _hash_chunk_batch(
             jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
-        hashed = np.asarray(hashed)
-        valid = np.asarray(valid)
+        hashed, valid = jax.device_get((hashed, valid))
         for row, item_id in enumerate(ids):
             if item_id < 0:
                 continue
