@@ -227,3 +227,45 @@ def test_leafcutter_sketch(tmp_path):
     vals = np.fromfile(out, np.float32)
     # s1 and s2 share one splice site of three -> similarity in (0, 1)
     assert 0.0 < vals[0] < 1.0
+
+
+def test_bigwig_by_chrom(tmp_path, monkeypatch):
+    """--by-chrom: one sketch entry per chromosome (sketch_core.cpp:65-94)."""
+    from dashing2_tpu.io import bigwig as bwmod
+    from dashing2_tpu.sketch import intervals as I
+    from dashing2_tpu.config import Dashing2Options
+    from dashing2_tpu.enums import DataType
+
+    fake = bwmod.BigWigFile(
+        chroms={0: "chr1", 1: "chr2"},
+        chrom_sizes={"chr1": 1000, "chr2": 1000},
+        intervals={"chr1": [(0, 50, 2.0), (100, 150, 1.0)],
+                   "chr2": [(10, 60, 3.0)]})
+    monkeypatch.setattr(bwmod, "read_bigwig", lambda p: fake)
+    opts = Dashing2Options(sketchsize=64, dtype=DataType.BIGWIG,
+                           sspace=1, kmer_result=1, by_chrom=True)
+    res = I.sketch_bigwig(opts, ["x.bw"])
+    assert res.n == 2
+    assert res.names[0].endswith(":chr1") and res.names[1].endswith(":chr2")
+    assert (res.cardinalities > 0).all()
+    opts2 = Dashing2Options(sketchsize=64, dtype=DataType.BIGWIG,
+                            sspace=1, kmer_result=1, by_chrom=False)
+    res2 = I.sketch_bigwig(opts2, ["x.bw"])
+    assert res2.n == 1
+
+
+def test_hp_compress_mmer_seq(fixtures, tmp_path):
+    """--hp-compress collapses consecutive identical minimizers in
+    --seq output (fastxsketchbyseq.cpp homopolymer compression)."""
+    o1 = tmp_path / "plain.mmers"
+    o2 = tmp_path / "hp.mmers"
+    base = ["sketch", "-k", "13", "-w", "40", "--seq"]
+    run_cli(base + ["-o", str(o1)] + fixtures[:1])
+    run_cli(base + ["--hp-compress", "-o", str(o2)] + fixtures[:1])
+    from dashing2_tpu.io import formats
+    s1 = formats.read_mmer_sequences(str(o1))["seqs"][0]
+    s2 = formats.read_mmer_sequences(str(o2))["seqs"][0]
+    # hp output = s1 with adjacent duplicates collapsed
+    import numpy as np
+    keep = np.concatenate([[True], s1[1:] != s1[:-1]])
+    np.testing.assert_array_equal(s1[keep], s2)
