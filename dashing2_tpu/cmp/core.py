@@ -422,9 +422,12 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     """
     if block <= 0:
         # row-block size from --batch-size, else the reference's cache
-        # heuristic shape (cmp_main.cpp:370-388) bounded to [64, 4096]
+        # heuristic (cmp_main.cpp:370-388; D2_CACHE_SIZE env, 4MiB
+        # default) bounded to [64, 4096]
+        import os
+        cache = int(os.environ.get("D2_CACHE_SIZE", 4 << 20))
         block = opts.cmp_batch_size if opts.cmp_batch_size > 0 else \
-            int(min(4096, max(64, (4 << 20) // max(opts.sketchsize, 1))))
+            int(min(4096, max(64, cache // max(opts.sketchsize, 1))))
     creps, result = _prep(opts, result)
     n = result.n if result.names else len(result.cardinalities)
     nq = result.nqueries()

@@ -143,3 +143,31 @@ def test_myers_edit_distance():
     xa = np.array([1, 2, 3, 4, 5], np.uint64)
     xb = np.array([1, 3, 4, 5, 6], np.uint64)
     assert span_edit_distance(xa, xb) == 2
+
+
+def test_exact_set_topk_bottomk_lsh(fixtures, tmp_path):
+    """Use 7 (README:254-267): KNN over exact k-mer sets with bottom-k
+    LSH candidate generation."""
+    out = tmp_path / "setknn.csr"
+    rc = run_cli(["sketch", "-k", "31", "-S", "128", "--set", "--topk", "2",
+                  "--binary-output", "--cmpout", str(out)] + fixtures)
+    assert rc == 0
+    from dashing2_tpu.io.formats import read_knn_csr
+    indptr, indices, data = read_knn_csr(str(out))
+    assert len(indptr) == len(fixtures) + 1
+    assert (data >= 0).all() and (data <= 1).all()
+    # closest fixtures (adjacent mutation rates) should be neighbors
+    assert 1 in indices[int(indptr[0]):int(indptr[1])]
+
+
+def test_edit_distance_knn(fixtures, tmp_path):
+    """Use 6 (README:241-250): OMH LSH + exact edit-distance refinement."""
+    out = tmp_path / "edknn.csr"
+    rc = run_cli(["sketch", "-k", "7", "-S", "64", "--parse-by-seq",
+                  "--edit-distance", "--compute-edit-distance",
+                  "--topk", "2", "--binary-output", "--cmpout", str(out)]
+                 + fixtures)
+    assert rc == 0
+    from dashing2_tpu.io.formats import read_knn_csr
+    indptr, indices, data = read_knn_csr(str(out))
+    assert (data >= 0).all()
