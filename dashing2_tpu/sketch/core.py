@@ -217,8 +217,20 @@ def _merge_oph(regs_a, counts_a, regs_b, counts_b):
 # main entry
 # ----------------------------------------------------------------------
 
+def _auto_chunk_len(items: Sequence["_Item"]) -> int:
+    """Smallest power-of-two chunk covering the longest sequence, in
+    [4096, 32768]: corpora of many short sequences would otherwise pad
+    every row to the 32k maximum (3x wasted device work at 10kb
+    genomes). One size per run keeps a single jit shape."""
+    longest = max((len(c) for it in items for c in it.codes), default=0)
+    cl = 4096
+    while cl < longest and cl < (1 << 15):
+        cl <<= 1
+    return cl
+
+
 def sketch_fastx(opts: Dashing2Options, groups: Sequence[str],
-                 chunk_len: int = 1 << 15, rows_per_batch: int = 64
+                 chunk_len: int = 0, rows_per_batch: int = 64
                  ) -> SketchingResult:
     """Sketch FASTA/FASTQ inputs with cache probe/write (--cache:
     parameter-keyed per-input artifacts, fastxsketch.cpp:313-380,461-524).
@@ -333,9 +345,11 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
 
 
 def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
-                       chunk_len: int = 1 << 15, rows_per_batch: int = 64
+                       chunk_len: int = 0, rows_per_batch: int = 64
                        ) -> SketchingResult:
     items, seqstore = _load_items(opts, groups)
+    if chunk_len <= 0:
+        chunk_len = _auto_chunk_len(items)
     res = SketchingResult(names=[it.name for it in items])
     n = len(items)
     m = opts.sketchsize
@@ -380,23 +394,49 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         # a v5e); on CPU that arithmetic is catastrophic, so the
         # work-efficient sort-based segment kernel runs there instead
         dense_rows = jax.default_backend() != "cpu"
-        for chunks, ids in prefetch(_iter_chunk_batches(
-                opts, items, chunk_len, rows_per_batch)):
-            hashed, valid = _hash_chunk_batch(
-                jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
-            if dense_rows:
+        if dense_rows:
+            # dispatch every batch asynchronously, fetch results in
+            # bounded groups: per-batch synchronous pulls pay the
+            # device<->host round-trip latency per batch (2s each over a
+            # remote chip; dispatch itself is fast and queues on device)
+            pack_rc = jax.jit(
+                lambda r, c: jnp.concatenate(
+                    [r, c.astype(jnp.uint64)], axis=1))
+            inflight: List[tuple] = []
+
+            def drain():
+                if not inflight:
+                    return
+                # one stacked device array -> ONE host transfer per drain
+                packed = np.asarray(jnp.stack([p for p, _ in inflight]))
+                for b, (_, bids) in enumerate(inflight):
+                    r = packed[b, :, :m]
+                    c = packed[b, :, m:].astype(np.uint32)
+                    for row, item_id in enumerate(bids):
+                        if item_id < 0:
+                            continue
+                        regs[item_id], counts[item_id] = _merge_oph(
+                            regs[item_id], counts[item_id], r[row], c[row])
+                inflight.clear()
+
+            for chunks, ids in prefetch(_iter_chunk_batches(
+                    opts, items, chunk_len, rows_per_batch)):
+                hashed, valid = _hash_chunk_batch(
+                    jnp.asarray(chunks), fs_dev, use_filterset=use_fs,
+                    **hkw)
                 r, c = SK.oph_sketch_rows(hashed, valid, m=m,
                                           seed=H.OPH_DEFAULT_SEED,
                                           want_counts=want_counts)
-                # one batched fetch (sequential np.asarray pulls pay the
-                # device->host latency twice)
-                r, c = jax.device_get((r, c))
-                for row, item_id in enumerate(ids):
-                    if item_id < 0:
-                        continue
-                    regs[item_id], counts[item_id] = _merge_oph(
-                        regs[item_id], counts[item_id], r[row], c[row])
-            else:
+                inflight.append((pack_rc(r, c), ids))
+                if len(inflight) >= 64:
+                    drain()
+            drain()
+        else:
+            for chunks, ids in prefetch(_iter_chunk_batches(
+                    opts, items, chunk_len, rows_per_batch)):
+                hashed, valid = _hash_chunk_batch(
+                    jnp.asarray(chunks), fs_dev, use_filterset=use_fs,
+                    **hkw)
                 nk = hashed.shape[1]
                 flat_ids = jnp.repeat(jnp.asarray(np.maximum(ids, 0)), nk)
                 flat_valid = valid.reshape(-1) & jnp.repeat(
