@@ -415,6 +415,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     groups, nq = _collect_inputs(a)
     presketched = getattr(a, "presketched", False)
     opts = _build_opts(a, presketched)
+    if opts.verbosity >= 1:
+        # version banner + reconstructed command line (d2.cpp:134-136)
+        from . import __version__
+        print(f"#dashing2-tpu v{__version__}; invocation: dashing2-tpu "
+              + " ".join(argv), file=sys.stderr)
     if a.command in ("cmp", "dist") and not opts.outfile_path:
         opts.outfile_path = "/dev/stdout"
 
