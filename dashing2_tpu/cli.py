@@ -332,13 +332,17 @@ def _do_cmp(opts: Dashing2DistOptions, result: SketchingResult) -> None:
 
 
 def _load_presketched(opts: Dashing2DistOptions,
-                      groups: List[str]) -> SketchingResult:
+                      groups: List[str], nq_files: int = 0
+                      ) -> SketchingResult:
     """Load pre-computed sketches: stacked signature files or per-input
     sketch-cache files, with suffix sniffing that also fixes the sketch
-    space/result type (cmp_main.cpp:24-198,305-352)."""
+    space/result type (cmp_main.cpp:24-198,305-352). `nq_files` trailing
+    paths are query files (PANEL): nq becomes the number of ITEMS they
+    contain (a stacked file holds many)."""
     result = SketchingResult()
     cards_all, sig_rows = [], []
     kmer_sets, kmer_counts = [], []
+    items_per_path = []
     for path in groups:
         if path.endswith((".opss", ".ss", ".bmh", ".pmh")):
             if path.endswith(".bmh"):
@@ -352,12 +356,14 @@ def _load_presketched(opts: Dashing2DistOptions,
             result.names.append(path)
             cards_all.append(np.array([card]))
             sig_rows.append(regs[None, :])
+            items_per_path.append(1)
         elif path.endswith((".kmerset64", ".kmerset128")):
             opts.kmer_result = KmerSketchResultType.FULL_MMER_SET
             kmers = np.fromfile(path, dtype=np.uint64)
             result.names.append(path)
             kmer_sets.append(np.sort(kmers))
             cards_all.append(np.array([float(len(kmers))]))
+            items_per_path.append(1)
         else:
             cards, sigs = formats.read_stacked_signatures(path)
             try:
@@ -367,6 +373,7 @@ def _load_presketched(opts: Dashing2DistOptions,
             result.names.extend(names)
             cards_all.append(cards)
             sig_rows.append(sigs)
+            items_per_path.append(len(cards))
     result.cardinalities = np.concatenate(cards_all)
     if sig_rows:
         result.signatures = np.vstack(sig_rows)
@@ -375,6 +382,8 @@ def _load_presketched(opts: Dashing2DistOptions,
     if kmer_sets:
         result.kmer_sets = kmer_sets
         opts.exact_kmer_dist = True
+    if nq_files:
+        result.nq = int(sum(items_per_path[-nq_files:]))
     return result
 
 
@@ -438,8 +447,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 def _run(a, top, opts, groups, nq, presketched, phase) -> int:
     if presketched:
         with phase("load-presketched", opts.verbosity):
-            result = _load_presketched(opts, groups)
-        result.nq = nq
+            result = _load_presketched(opts, groups, nq_files=nq)
     else:
         if not groups:
             top.error("no input files")

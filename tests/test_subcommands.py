@@ -269,3 +269,24 @@ def test_hp_compress_mmer_seq(fixtures, tmp_path):
     import numpy as np
     keep = np.concatenate([[True], s1[1:] != s1[:-1]])
     np.testing.assert_array_equal(s1[keep], s2)
+
+
+def test_presketched_panel_stacked(fixtures, tmp_path):
+    """cmp --presketched with -Q: queries are the ITEMS in the query
+    stacked file, not one per file (cmp_main.cpp panel semantics)."""
+    refs = tmp_path / "refs.bin"
+    qs = tmp_path / "qs.bin"
+    run_cli(["sketch", "-k", "21", "-S", "128", "-o", str(refs)]
+            + fixtures[:3])
+    run_cli(["sketch", "-k", "21", "-S", "128", "-o", str(qs)]
+            + fixtures[3:4] + fixtures[:1])
+    qlist = tmp_path / "q.txt"
+    qlist.write_text(f"{qs}\n")
+    out = tmp_path / "panel.bin"
+    rc = run_cli(["cmp", "--presketched", "-k", "21", "--binary-output",
+                  "--cmpout", str(out), "-Q", str(qlist), str(refs)])
+    assert rc == 0
+    import numpy as np
+    mat = np.fromfile(out, np.float32).reshape(3, 2)  # 3 refs x 2 queries
+    # second query IS fixtures[0] == first reference -> similarity 1
+    assert mat[0, 1] == 1.0
