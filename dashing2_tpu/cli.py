@@ -388,6 +388,20 @@ def _load_presketched(opts: Dashing2DistOptions,
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    """CLI entry: dispatch + clean error reporting (the reference's
+    THROW_EXCEPTION prints the message and aborts, enums.h:59-63).
+    Set DASHING2_TPU_DEBUG=1 or pass -v for full tracebacks."""
+    import os
+    try:
+        return _main(argv)
+    except (OSError, ValueError) as e:
+        if os.environ.get("DASHING2_TPU_DEBUG") or "-v" in (argv or sys.argv):
+            raise
+        print(f"dashing2-tpu: error: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv: Optional[Sequence[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     top = argparse.ArgumentParser(prog="dashing2-tpu")
     sub = top.add_subparsers(dest="command", required=True)
