@@ -101,11 +101,14 @@ def build_exact_lists(opts: Dashing2DistOptions, result: SketchingResult,
 
 def neighbor_graph_main(opts: Dashing2DistOptions,
                         result: SketchingResult) -> None:
+    from ..timing import phase
     creps, result = C._prep(opts, result)
     n = result.n
     if opts.output_kind == OutputKind.DEDUP:
-        ids, constituents = dedup_core(opts, result, creps)
-        dedup_emit(ids, constituents, opts, result)
+        with phase("dedup-cluster", opts.verbosity):
+            ids, constituents = dedup_core(opts, result, creps)
+        with phase("dedup-emit", opts.verbosity):
+            dedup_emit(ids, constituents, opts, result)
         return
     if os.environ.get("EXACT_KNN"):
         lists = build_exact_lists(opts, result, creps)
@@ -113,10 +116,14 @@ def neighbor_graph_main(opts: Dashing2DistOptions,
         ntoquery = (min(n - 1, int(opts.num_neighbors * INFLATE_FACTOR))
                     if opts.num_neighbors > 0
                     else (opts.maxcand if opts.maxcand > 0 else n - 1))
-        idx = _index_source(opts, result, creps)
-        ia, ib, _counts = idx.candidate_pairs(max_per_item=ntoquery)
-        lists = _refine_lists(opts, result, creps, ia, ib)
-    emit_neighbors(lists, opts, result)
+        with phase("lsh-index-build", opts.verbosity):
+            idx = _index_source(opts, result, creps)
+        with phase("lsh-candidates", opts.verbosity):
+            ia, ib, _counts = idx.candidate_pairs(max_per_item=ntoquery)
+        with phase("refine", opts.verbosity):
+            lists = _refine_lists(opts, result, creps, ia, ib)
+    with phase("emit-neighbors", opts.verbosity):
+        emit_neighbors(lists, opts, result)
 
 
 def emit_neighbors(lists, opts: Dashing2DistOptions,

@@ -126,11 +126,21 @@ class LSHIndex:
         if self.bottomk_mode:
             return self._candidate_pairs_bottomk(max_per_item, bucket_cap)
         pair_chunks = []
+        N = self.keys[0].shape[0] if self.keys else 0
+        # per-item saturation: once an item has gathered enough raw
+        # candidates from the more-specific tables, later pairs touching
+        # only saturated items are dropped — the vectorized counterpart
+        # of query_candidates' early stop (ssi.h:427-445), and the thing
+        # that keeps clustered corpora from emitting O(N * bucket^2) rows
+        sat_at = max(max_per_item, 1) * 4 if max_per_item > 0 else None
+        cand_count = np.zeros(N, np.int64)
         # most-specific table first (reference scans last table first)
         for t in range(len(self.keys) - 1, -1, -1):
             keys = self.keys[t]            # (N, nsub)
-            N, nsub = keys.shape
+            nsub = keys.shape[1]
             for j in range(nsub):
+                if sat_at is not None and (cand_count >= sat_at).all():
+                    break
                 col = keys[:, j]
                 order = np.argsort(col, kind="stable")
                 sk = col[order]
@@ -151,7 +161,14 @@ class LSHIndex:
                     b = order[s_l[:, None] + jj0[None, :]].reshape(-1)
                     lo = np.minimum(a, b)
                     hi = np.maximum(a, b)
-                    pair_chunks.append(np.stack([lo, hi], axis=1))
+                    if sat_at is not None:
+                        need = (cand_count[lo] < sat_at) | \
+                               (cand_count[hi] < sat_at)
+                        lo, hi = lo[need], hi[need]
+                        np.add.at(cand_count, lo, 1)
+                        np.add.at(cand_count, hi, 1)
+                    if len(lo):
+                        pair_chunks.append(np.stack([lo, hi], axis=1))
         if not pair_chunks:
             return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                     np.zeros(0, np.int64))
