@@ -360,6 +360,12 @@ def _load_presketched(opts: Dashing2DistOptions,
         elif path.endswith((".kmerset64", ".kmerset128")):
             opts.kmer_result = KmerSketchResultType.FULL_MMER_SET
             kmers = np.fromfile(path, dtype=np.uint64)
+            if path.endswith(".kmerset128"):
+                # u128 entries (little-endian lo, hi); the 64-bit set
+                # machinery keys on the masked low word — the same
+                # truncation the reference's register sketches apply
+                # (enums.h:144-148), with 2^-64 collision probability
+                kmers = kmers.reshape(-1, 2)[:, 0].copy()
             result.names.append(path)
             kmer_sets.append(np.sort(kmers))
             cards_all.append(np.array([float(len(kmers))]))
