@@ -93,9 +93,15 @@ def _similarity_epilogue(gt, lt, m: int, lh, rh):
 @functools.partial(jax.jit, static_argnames=("m",))
 def device_similarity(sigs_u64: jnp.ndarray, cards: jnp.ndarray, *, m: int
                       ) -> jnp.ndarray:
-    """Single-chip all-pairs similarity matrix (f32, N x N)."""
-    gt, lt = _gtlt_block(sigs_u64, sigs_u64)
-    return _similarity_epilogue(gt, lt, m, cards[:, None], cards[None, :])
+    """Single-chip all-pairs similarity matrix (f32, N x N) via the
+    circulant self-pairs kernel (half-square work; lt == gt.T)."""
+    from ..ops import cmp_kernels as CK
+    n0 = sigs_u64.shape[0]
+    t = max(8, min(128, 1 << max(n0 - 1, 1).bit_length()))
+    a = CK._pad_rows(sigs_u64, t)
+    seg_idx = jnp.asarray(CK._circ_seg_index(a.shape[0], t))
+    gt = CK._circ_self_counts(a, seg_idx, t=t)[:n0, :n0]
+    return _similarity_epilogue(gt, gt.T, m, cards[:, None], cards[None, :])
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
