@@ -331,3 +331,24 @@ def test_filterset_binary_kmer_list(fixtures, tmp_path):
     a = np.fromfile(out1, np.float32)
     b = np.fromfile(out2, np.float32)
     assert not np.array_equal(a, b)  # the filter removed shared k-mers
+
+
+def test_fastcmp_levels_track_full(fixtures, tmp_path):
+    """--fastcmp {0.5,1,2,4} (setsketch quantization) and --bbit-sigs
+    (b-bit truncation) must track the full-register similarities within
+    their quantization tolerance (make_compressed, cmp_core.cpp:209-322)."""
+    base = ["sketch", "-k", "21", "-S", "512", "--binary-output"]
+    ref = tmp_path / "full.bin"
+    run_cli(base + ["--cmpout", str(ref)] + fixtures[:3])
+    full = np.fromfile(ref, np.float32)
+    for fd, tol in (("0.5", 0.12), ("1", 0.06), ("2", 0.05), ("4", 0.05)):
+        out = tmp_path / f"fd{fd}.bin"
+        run_cli(base + ["--fastcmp", fd, "--cmpout", str(out)]
+                + fixtures[:3])
+        got = np.fromfile(out, np.float32)
+        np.testing.assert_allclose(got, full, atol=tol, err_msg=f"fd={fd}")
+    out = tmp_path / "bbit.bin"
+    run_cli(base + ["--fastcmp", "2", "--bbit-sigs", "--cmpout", str(out)]
+            + fixtures[:3])
+    got = np.fromfile(out, np.float32)
+    np.testing.assert_allclose(got, full, atol=0.06)
