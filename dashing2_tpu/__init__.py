@@ -28,10 +28,14 @@ if _os.environ.get("JAX_PLATFORMS"):
 # with DASHING2_TPU_NO_COMPILE_CACHE=1.
 if not _os.environ.get("DASHING2_TPU_NO_COMPILE_CACHE"):
     try:
+        # scope by platform+host: CPU AOT artifacts are machine-feature
+        # specific and must not be shared across nodes/backends
+        _scope = (_os.environ.get("JAX_PLATFORMS", "dev") + "-"
+                  + _os.uname().nodename)
         _cc = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache",
-                          "dashing2_tpu", "xla"))
+                          "dashing2_tpu", "xla-" + _scope))
         _os.makedirs(_cc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
