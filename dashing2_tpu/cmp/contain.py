@@ -17,6 +17,7 @@ from __future__ import annotations
 import sys
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,19 +66,36 @@ def contain_main(a) -> int:
     coverage = np.zeros((nq, nitems), np.float32)
     depth = np.zeros((nq, nitems), np.float32)
     for qi, q in enumerate(queries):
-        counts_all: List[np.ndarray] = []
-        hashes_all: List[np.ndarray] = []
+        # stream reads in bounded code batches (the reference's
+        # FastxParser thread pipeline bounds memory the same way,
+        # contain_main.cpp:76-114)
+        hv_parts: List[np.ndarray] = []
         codes = []
-        for path in q.split():
-            for _, seq in fastx.read_fastx(path):
-                codes.append(K.encode_ascii(seq, db.alphabet))
-        if codes:
+        pending = 0
+
+        def flush_codes():
+            nonlocal codes, pending
+            if not codes:
+                return
             chunks, _ = K.chunk_codes(codes, db.k, chunk_len=1 << 15,
                                       w=db.w if db.w > db.k else 0)
             h, v = _hash_chunk_batch(jnp.asarray(chunks),
                                      jnp.zeros(1, jnp.uint64),
                                      use_filterset=False, **hkw)
-            hv = np.asarray(h)[np.asarray(v)]
+            h, v = jax.device_get((h, v))
+            hv_parts.append(h[v])
+            codes, pending = [], 0
+
+        for path in q.split():
+            for _, seq in fastx.read_fastx(path):
+                c = K.encode_ascii(seq, db.alphabet)
+                codes.append(c)
+                pending += len(c)
+                if pending >= (64 << 20):
+                    flush_codes()
+        flush_codes()
+        if hv_parts:
+            hv = np.concatenate(hv_parts)
             # distinct query k-mers + multiplicities that hit the db
             uniq, counts = np.unique(hv, return_counts=True)
             pos = np.searchsorted(sorted_kmers, uniq)
