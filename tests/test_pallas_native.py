@@ -79,3 +79,16 @@ def test_native_reader_malformed(tmp_path):
     bad.write_text("this is not fasta\n")
     with pytest.raises(ValueError):
         list(read_encoded(str(bad), Alphabet.DNA))
+
+
+def test_gtlt_self_pallas_triangular():
+    """Scalar-prefetch triangular Pallas kernel == full-square counts."""
+    import numpy as np
+    from dashing2_tpu.ops.pallas_cmp import gtlt_self_pallas
+    from dashing2_tpu.ops.cmp_kernels import count_gtlt
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 1 << 64, size=(200, 128), dtype=np.uint64)
+    gt, lt = gtlt_self_pallas(a, t=64)
+    gt2, lt2 = count_gtlt(a, a)
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(gt2))
+    np.testing.assert_array_equal(np.asarray(lt), np.asarray(lt2))
