@@ -304,24 +304,61 @@ def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
     import jax
     import jax.numpy as jnp
 
+    def _epilogue(c1, c2, lh, rh, b):
+        """c1/c2: (eq, None) or (gt, lt) count blocks."""
+        if kind in ("ab", "nibble-ab"):
+            return E.compressed_ab_measures(c1, c2, m, b, fd, lh, rh,
+                                            msr, k, xp=jnp)
+        if kind == "full":
+            return E.full_setsketch_measures(c1, c2, m, lh, rh, msr, k,
+                                             xp=jnp)
+        if kind in ("bbit", "nibble-bbit"):
+            return E.bbit_measures(c1, m, fd, lh, rh, msr, k, xp=jnp)
+        return E.equality_measures(c1, m, lh, rh, msr, k, xp=jnp)
+
     def f(data, cards, b):
-        lh = cards[:, None]
-        rh = cards[None, :]
-        if kind in ("ab", "full"):
-            gt, lt = CK.count_gtlt_self(data)
-            if kind == "full":
-                out = E.full_setsketch_measures(gt, lt, m, lh, rh, msr, k,
-                                                xp=jnp)
-            else:
-                out = E.compressed_ab_measures(gt, lt, m, b, fd, lh, rh,
-                                               msr, k, xp=jnp)
+        n = data.shape[0]
+        if kind.startswith("nibble"):
+            from ..ops.pallas_cmp import _nibble_mxu
+            lo = data & jnp.uint8(0xF)
+            hi = data >> jnp.uint8(4)
+            regs = jnp.concatenate([lo, hi], axis=1)
+            eq, gt, lt = _nibble_mxu(regs, regs,
+                                     want_gtlt=(kind == "nibble-ab"))
+            c1, c2 = (gt, lt) if kind == "nibble-ab" else (eq, None)
+        elif kind in ("ab", "full"):
+            c1, c2 = CK.count_gtlt_self(data)
         else:
-            eq = CK.count_eq_self(data)
-            if kind == "bbit":
-                out = E.bbit_measures(eq, m, fd, lh, rh, msr, k, xp=jnp)
-            else:
-                out = E.equality_measures(eq, m, lh, rh, msr, k, xp=jnp)
-        return out.astype(jnp.float32)
+            c1, c2 = CK.count_eq_self(data), None
+        rh = cards[None, :]
+        if n <= 4096:
+            return _epilogue(c1, c2, cards[:, None], rh, b
+                             ).astype(jnp.float32)
+        # large n: scan the f64 measure math over row tiles so its
+        # temporaries stay bounded (whole-matrix f64 intermediates at
+        # n=10k are ~800MB each and blow HBM)
+        TB = 1024
+        pad = (-n) % TB
+        c1p = jnp.concatenate(
+            [c1, jnp.zeros((pad, n), c1.dtype)]) if pad else c1
+        c2p = (jnp.concatenate([c2, jnp.zeros((pad, n), c2.dtype)])
+               if (c2 is not None and pad) else c2)
+        cp = jnp.concatenate([cards, jnp.ones(pad, cards.dtype)]) \
+            if pad else cards
+        nb = (n + pad) // TB
+        xs = (c1p.reshape(nb, TB, n),
+              (c2p.reshape(nb, TB, n) if c2 is not None
+               else jnp.zeros((nb, 1, 1), jnp.int32)),
+              cp.reshape(nb, TB))
+
+        def body(_, x):
+            b1, b2, lhb = x
+            return None, _epilogue(
+                b1, b2 if c2 is not None else None, lhb[:, None], rh, b
+            ).astype(jnp.float32)
+
+        _, ys = jax.lax.scan(body, None, xs)
+        return ys.reshape(nb * TB, n)[:n]
 
     return jax.jit(f)
 
@@ -335,12 +372,15 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     if creps.data is not None:
         A = creps.data
         if creps.nibble_packed:
-            return None  # MXU one-hot engine is faster for nibble values
-        if A.dtype != np.uint64 and A.max(initial=0) < 16 \
+            # fused MXU one-hot engine (counts + epilogue in one jit)
+            kind = ("nibble-bbit" if creps.truncation > 0 else "nibble-ab")
+            data = A
+        elif A.dtype != np.uint64 and A.max(initial=0) < 16 \
                 and _kernel_mode() in ("mxu", "pallas"):
             return None
-        kind = "bbit" if creps.truncation > 0 else "ab"
-        data = A
+        else:
+            kind = "bbit" if creps.truncation > 0 else "ab"
+            data = A
     elif opts.sspace == SketchSpace.SPACE_SET \
             and opts.truncation_method <= 0:
         kind = "full"
