@@ -145,11 +145,12 @@ def _prep(opts: Dashing2DistOptions, result: SketchingResult
 
 
 def _kernel_mode() -> str:
-    """Comparison-engine policy. Measured on one v5e (4096 x 4096, m=1024):
-    XLA tiled gtlt 39 ms/matrix (0.43 G pairs/s) beats the Pallas row
-    kernel (67 ms), while the MXU one-hot path runs nibble registers at
-    3.3 ms (5.1 G pairs/s). Default: 'mxu' = MXU for nibble-range
-    registers on TPU, XLA tiles elsewhere. Override with
+    """Comparison-engine policy. Measured on one v5e (4096 x 4096,
+    m=1024, unique-pairs accounting): circulant self-pairs XLA ~30 ms
+    per delivered matrix (0.28 G unique-pairs/s) vs full-square XLA
+    38 ms and full-square Pallas 79 ms; the MXU one-hot path runs nibble
+    registers at ~3 ms (2.7 G unique-pairs/s). Default: 'mxu' = MXU for
+    nibble-range registers on TPU, XLA engines elsewhere. Override with
     DASHING2_TPU_KERNEL=xla|pallas|mxu."""
     import os
 
