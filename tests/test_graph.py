@@ -171,3 +171,35 @@ def test_edit_distance_knn(fixtures, tmp_path):
     from dashing2_tpu.io.formats import read_knn_csr
     indptr, indices, data = read_knn_csr(str(out))
     assert (data >= 0).all()
+
+
+def test_refine_exact_drops_compression(fixtures, tmp_path):
+    """--refine-exact: LSH candidates over compressed registers, final
+    values re-scored on full registers (refine.cpp:10-16). The refined
+    KNN distances must equal the uncompressed run's."""
+    base = ["sketch", "-k", "21", "-S", "256", "--topk", "2",
+            "--binary-output"]
+    o1 = tmp_path / "full.csr"
+    o2 = tmp_path / "refined.csr"
+    run_cli(base + ["--cmpout", str(o1)] + fixtures)
+    run_cli(base + ["--fastcmp", "1", "--refine-exact",
+                    "--cmpout", str(o2)] + fixtures)
+    from dashing2_tpu.io.formats import read_knn_csr
+    p1, i1, d1 = read_knn_csr(str(o1))
+    p2, i2, d2 = read_knn_csr(str(o2))
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(d1, d2)  # exact re-scoring == full run
+
+
+def test_refine_exact_kmer_sets(fixtures, tmp_path):
+    """--set --refine-exact: candidates via bottom-k LSH, final values
+    from exact sorted-set intersections."""
+    out = tmp_path / "setref.csr"
+    rc = run_cli(["sketch", "-k", "21", "-S", "128", "--set",
+                  "--refine-exact", "--topk", "2", "--binary-output",
+                  "--cmpout", str(out)] + fixtures)
+    assert rc == 0
+    from dashing2_tpu.io.formats import read_knn_csr
+    _, _, data = read_knn_csr(str(out))
+    assert (data >= 0).all() and (data <= 1).all()
