@@ -439,9 +439,11 @@ def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
     else:
         sigs = result.signatures
         if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
-            u = _ordered_bits(opts, sigs)
-            A = u[ia]
-            B = u[ib]
+            # gather the pair rows FIRST: converting the whole signature
+            # matrix per call costs O(N*m) for an O(P*m) comparison (the
+            # dedup/refine loops call this thousands of times)
+            A = _ordered_bits(opts, sigs[ia])
+            B = _ordered_bits(opts, sigs[ib])
             gt = (A > B).sum(1, dtype=np.int64)
             lt = (A < B).sum(1, dtype=np.int64)
         else:
