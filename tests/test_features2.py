@@ -352,3 +352,25 @@ def test_fastcmp_levels_track_full(fixtures, tmp_path):
             + fixtures[:3])
     got = np.fromfile(out, np.float32)
     np.testing.assert_allclose(got, full, atol=0.06)
+
+
+def test_makedest_parameter_keying(tmp_path):
+    """Cache artifact names must change with every content-affecting
+    parameter (fastxmerge.cpp:70-120)."""
+    import dataclasses
+    from dashing2_tpu.config import Dashing2Options
+    from dashing2_tpu.io.cache import makedest
+    base = Dashing2Options(k=21, sketchsize=256)
+    name0 = makedest(base, "in.fa")
+    variants = [
+        dict(k=22), dict(w=40), dict(sketchsize=512), dict(seedseed=7),
+        dict(canonicalize=False), dict(count_threshold=2.0),
+        dict(sspace=1, kmer_result=1), dict(kmer_result=2),
+        dict(alphabet=2, canonicalize=False),
+    ]
+    names = {name0}
+    for kv in variants:
+        nm = makedest(dataclasses.replace(base, **kv), "in.fa")
+        assert nm not in names, (kv, nm)
+        names.add(nm)
+    assert name0.endswith(".opss")
