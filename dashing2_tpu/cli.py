@@ -36,6 +36,9 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--greedy", type=str)
     p.add_argument("--fastcmp", "--regsize", "--regbytes", dest="fastcmp",
                    type=float)
+    p.add_argument("--fastcmp-nibbles", action="store_true",
+                   help="same as --fastcmp 0.5 (listed but disabled in "
+                        "the reference's option table, options.h:126,214)")
     p.add_argument("--fastcmp-bytes", action="store_true")
     p.add_argument("--fastcmp-shorts", action="store_true")
     p.add_argument("--fastcmp-words", action="store_true")
@@ -210,6 +213,8 @@ def _build_opts(a: argparse.Namespace, presketched: bool = False
 
     fd = a.fastcmp if a.fastcmp is not None else 8.0
     ca = cb = -1.0
+    if a.fastcmp_nibbles:
+        fd = 0.5
     if a.fastcmp_bytes:
         ca, cb, fd = 20.0, 1.2, 1.0
     if a.fastcmp_shorts:
