@@ -42,6 +42,10 @@ def main():
 
     rng = np.random.default_rng(0)
     n, m, t = 4096, 1024, 128
+    if jax.default_backend() == "cpu":
+        # defensive: the dense device kernels are TPU-shaped; a CPU-only
+        # environment still completes (at a small size) instead of hanging
+        n = 512
     sigs = np.abs(rng.normal(size=(n, m))) + 1e-9
     su = jnp.asarray(f64_to_ordered_u64(sigs))
     seg = jnp.asarray(_circ_seg_index(n, t))
