@@ -61,19 +61,21 @@ def _gtlt_block(a: jnp.ndarray, b: jnp.ndarray, tm: int = 16
     tiles = tuple(p.reshape(nt, tm, -1) for p in parts_a)
 
     def body(_, tile):
+        # lt derives from trichotomy (lt = m - gt - eq; eq mask is
+        # cheaper than the lt mask)
         if len(tile) == 1:
             (tv,), (bv,) = tile, parts_b
-            gt_mask = tv[:, None, :] > bv[None, :, :]
-            lt_mask = tv[:, None, :] < bv[None, :, :]
+            gt = (tv[:, None, :] > bv[None, :, :]).sum(-1, dtype=jnp.int32)
+            eq = (tv[:, None, :] == bv[None, :, :]).sum(-1, dtype=jnp.int32)
         else:
             (th, tl), (bh, bl) = tile, parts_b
             hi_eq = th[:, None, :] == bh[None, :, :]
-            gt_mask = ((th[:, None, :] > bh[None, :, :]) |
-                       (hi_eq & (tl[:, None, :] > bl[None, :, :])))
-            lt_mask = ((th[:, None, :] < bh[None, :, :]) |
-                       (hi_eq & (tl[:, None, :] < bl[None, :, :])))
-        return None, (gt_mask.sum(-1, dtype=jnp.int32),
-                      lt_mask.sum(-1, dtype=jnp.int32))
+            gt = ((th[:, None, :] > bh[None, :, :]) |
+                  (hi_eq & (tl[:, None, :] > bl[None, :, :]))
+                  ).sum(-1, dtype=jnp.int32)
+            eq = (hi_eq & (tl[:, None, :] == bl[None, :, :])
+                  ).sum(-1, dtype=jnp.int32)
+        return None, (gt, jnp.int32(parts_b[0].shape[-1]) - gt - eq)
 
     _, (gts, lts) = jax.lax.scan(body, None, tiles)
     gt = gts.reshape(nt * tm, -1)[:na]
@@ -174,10 +176,9 @@ def sharded_selfpairs(mesh: Mesh, regs_u64: jnp.ndarray, t: int = 128
             gt = ((a3h[:, :, None, :] > bh[:, None, :, :]) |
                   (hi_eq & (a3l[:, :, None, :] > bl[:, None, :, :]))
                   ).sum(-1, dtype=jnp.int32)
-            lt = ((a3h[:, :, None, :] < bh[:, None, :, :]) |
-                  (hi_eq & (a3l[:, :, None, :] < bl[:, None, :, :]))
+            eq = (hi_eq & (a3l[:, :, None, :] == bl[:, None, :, :])
                   ).sum(-1, dtype=jnp.int32)
-            return None, (gt, lt)
+            return None, (gt, jnp.int32(m) - gt - eq)
 
         _, (gts, lts) = jax.lax.scan(body, None, my_bands)
         return gts, lts
