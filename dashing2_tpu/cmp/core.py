@@ -122,23 +122,21 @@ def _prep(opts: Dashing2DistOptions, result: SketchingResult
           ) -> Tuple[CompressedReps, SketchingResult]:
     if opts.kmer_result == KmerSketchResultType.ONE_PERM and \
             result.signatures is not None:
-        kmers = result.kmers
-        m = result.signatures.shape[1]
-        for i in range(result.signatures.shape[0]):
-            # OPH signatures carry a per-sketch scale -1/(m - n_empty)
-            # (oph.h:253). Cross-sketch register comparisons need a
-            # UNIFORM scale or equal raw registers compare unequal when
-            # the sketches' empty counts differ (a reference pathology
-            # visible only for inputs small vs m: densify() fills slots
-            # but keeps the skewed scale). Deviation: rescale each row
-            # to the canonical -1/m before densifying.
-            nempty = int((result.signatures[i] == 0.0).sum())
-            if nempty:
-                result.signatures[i] *= (m - nempty) / m
-            row, _ = SK.oph_densify(
-                result.signatures[i],
-                kmers[i] if kmers is not None else None)
-            result.signatures[i] = row
+        sigs = result.signatures
+        m = sigs.shape[1]
+        # OPH signatures carry a per-sketch scale -1/(m - n_empty)
+        # (oph.h:253). Cross-sketch register comparisons need a UNIFORM
+        # scale or equal raw registers compare unequal when the sketches'
+        # empty counts differ (a reference pathology visible only for
+        # inputs small vs m: densify() fills slots but keeps the skewed
+        # scale). Deviation: rescale each row to the canonical -1/m
+        # before densifying (README "Documented deviations").
+        nempty = (sigs == 0.0).sum(axis=1)
+        scale = np.where(nempty > 0, (m - nempty) / m, 1.0)
+        sigs *= scale[:, None]
+        kmers = (result.kmers if result.kmers is not None
+                 and result.kmers.shape == sigs.shape else None)
+        SK.oph_densify_rows(sigs, kmers)
     creps = (make_compressed(opts, result.signatures, result.kmers)
              if result.signatures is not None else CompressedReps(data=None))
     return creps, result
@@ -417,10 +415,8 @@ def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
         from .wcompare import mmer_sequence_pairs
         return mmer_sequence_pairs(opts, result, ia, ib).astype(np.float32)
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
-        from .wcompare import exact_intersections
-        isz = np.array([
-            exact_intersections(result, np.array([i]), np.array([j]))[0, 0]
-            for i, j in zip(ia, ib)])
+        from .wcompare import exact_intersections_pairs
+        isz = exact_intersections_pairs(result, ia, ib)
         return E.exact_measures(isz, lh, rh, msr, k).astype(np.float32)
     eq = gt = lt = None
     if creps.data is not None:

@@ -161,44 +161,94 @@ def emit_neighbors(lists, opts: Dashing2DistOptions,
 def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
                creps: C.CompressedReps
                ) -> Tuple[List[int], List[List[int]]]:
+    """Greedy clustering in batched rounds: items are processed in
+    cardinality order as before, but each round of `chunk` items issues
+    ONE device comparison batch covering (a) every item's LSH candidates
+    among existing representatives and (b) intra-round candidate pairs
+    (items that share a bucket with an earlier round member that may
+    become a rep). The greedy decisions then replay serially on the host
+    over the precomputed similarities — the round result equals the
+    serial walk whenever the per-item candidate cap is not the binding
+    constraint (the reference's own parallel mode, par_reduce merging of
+    per-thread clusterings at dedup_core.cpp:86-171, relaxes order far
+    more). Kills the one-dispatch-per-item pattern (10K items = 10K tiny
+    device calls)."""
     n = result.n
     cards = result.cardinalities
     order = np.argsort(-cards, kind="stable")
     simt = opts.min_similarity if opts.min_similarity > 0 else 0.9
     isdist = measure_is_distance(opts.measure)
     maxcands = default_candidates(n, opts.maxcand)
+    chunk = int(os.environ.get("DASHING2_TPU_DEDUP_CHUNK", 256))
     ids: List[int] = []
     constituents: List[List[int]] = []
     idx = None
     if not opts.exhaustive_dedup:
         idx = _index_source(opts, result, creps)
-    for oid in order:
-        oid = int(oid)
+
+    def _passes(v: float) -> bool:
+        return (v < simt) if isdist else (v >= simt)
+
+    for cs in range(0, n, chunk):
+        batch = [int(x) for x in order[cs:cs + chunk]]
+        Cn = len(batch)
+        # 1. candidates vs existing reps (store ids), per item
+        rep_cands: List[np.ndarray] = []
+        for oid in batch:
+            if opts.exhaustive_dedup:
+                rep_cands.append(np.arange(len(ids), dtype=np.int64))
+            else:
+                rep_cands.append(idx.query(oid, maxcands))
+        # 2. intra-round candidate pairs (positions lo < hi)
         if opts.exhaustive_dedup:
-            cand = np.arange(len(ids))
+            hi0, lo0 = np.tril_indices(Cn, k=-1)
         else:
-            cand = idx.query(oid, maxcands)
-        if len(cand):
-            reps = np.array([ids[c] for c in cand])
-            vals = C.measure_pairs(opts, result, creps,
-                                   np.full(len(reps), oid), reps)
-            best = int(np.argmin(vals) if isdist else np.argmax(vals))
-            bestv = float(vals[best])
-            passed = (bestv < simt) if isdist else (bestv >= simt)
-        else:
-            passed = False
-        if not passed:
-            if idx is not None:
-                idx.insert(oid, len(ids))
-            ids.append(oid)
-            constituents.append([])
-        else:
-            cid = int(cand[best])
-            constituents[cid].append(oid)
-            # keep highest-cardinality member as representative
-            if cards[oid] > cards[ids[cid]]:
-                constituents[cid][-1] = ids[cid]
-                ids[cid] = oid
+            lo0, hi0 = idx.intra_candidates(np.asarray(batch))
+        # 3. one batched measure for everything this round needs
+        ia = [np.full(len(c), batch[p], np.int64)
+              for p, c in enumerate(rep_cands)]
+        ib = [np.array([ids[int(c)] for c in cand], np.int64)
+              for cand in rep_cands]
+        ia.append(np.array([batch[p] for p in hi0], np.int64))
+        ib.append(np.array([batch[q] for q in lo0], np.int64))
+        ia_all = np.concatenate(ia) if ia else np.zeros(0, np.int64)
+        ib_all = np.concatenate(ib) if ib else np.zeros(0, np.int64)
+        vals = (C.measure_pairs(opts, result, creps, ia_all, ib_all)
+                if len(ia_all) else np.zeros(0, np.float32))
+        # split back
+        off = 0
+        rep_vals: List[np.ndarray] = []
+        for cand in rep_cands:
+            rep_vals.append(vals[off:off + len(cand)])
+            off += len(cand)
+        intra_vals = vals[off:]
+        intra_of: List[List[Tuple[int, float]]] = [[] for _ in range(Cn)]
+        for (q, p, v) in zip(lo0, hi0, intra_vals):
+            intra_of[int(p)].append((int(q), float(v)))
+        # 4. serial greedy replay on host
+        newrep = [-1] * Cn          # position -> store id if it founded
+        for p, oid in enumerate(batch):
+            best_cid, best_v = -1, None
+            for c, v in zip(rep_cands[p], rep_vals[p]):
+                v = float(v)
+                if best_v is None or (v < best_v if isdist else v > best_v):
+                    best_v, best_cid = v, int(c)
+            for q, v in intra_of[p]:
+                if newrep[q] < 0:
+                    continue
+                if best_v is None or (v < best_v if isdist else v > best_v):
+                    best_v, best_cid = v, newrep[q]
+            if best_v is not None and _passes(best_v):
+                constituents[best_cid].append(oid)
+                if cards[oid] > cards[ids[best_cid]]:
+                    constituents[best_cid][-1] = ids[best_cid]
+                    ids[best_cid] = oid
+            else:
+                if idx is not None:
+                    idx.insert(oid, len(ids))
+                newrep[p] = len(ids)
+                ids.append(oid)
+                constituents.append([])
     return ids, constituents
 
 

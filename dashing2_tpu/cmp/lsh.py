@@ -193,26 +193,43 @@ class LSHIndex:
 
     def _candidate_pairs_bottomk(self, max_per_item: int, bucket_cap: int):
         """Exact-mode candidates: items sharing bottom-k k-mer hashes
-        (ssi.h:213-254)."""
-        inv: Dict[int, List[int]] = {}
-        for i, hs in enumerate(self._bottomk):
-            for v in hs.tolist():
-                inv.setdefault(v, []).append(i)
-        pair_counts: Dict[int, int] = {}
+        (ssi.h:213-254). Sort-join over the concatenated (hash, owner)
+        stream — one lexsort + run-length bucket expansion instead of the
+        per-hash Python dict walk."""
         N = len(self._bottomk)
-        for members in inv.values():
-            if len(members) < 2:
-                continue
-            members = members[:bucket_cap]
-            for x in range(len(members)):
-                for y in range(x + 1, len(members)):
-                    code = members[x] * N + members[y]
-                    pair_counts[code] = pair_counts.get(code, 0) + 1
-        if not pair_counts:
+        sizes = np.array([len(h) for h in self._bottomk], np.int64)
+        if sizes.sum() == 0:
             return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                     np.zeros(0, np.int64))
-        codes = np.fromiter(pair_counts.keys(), dtype=np.int64)
-        counts = np.fromiter(pair_counts.values(), dtype=np.int64)
+        keys = np.concatenate([np.asarray(h, np.uint64)
+                               for h in self._bottomk])
+        owner = np.repeat(np.arange(N, dtype=np.int64), sizes)
+        order = np.lexsort((owner, keys))
+        sk, so = keys[order], owner[order]
+        starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+        lens = np.diff(np.concatenate([starts, [len(sk)]]))
+        big = lens >= 2
+        starts, lens = starts[big], np.minimum(lens[big], bucket_cap)
+        chunks = []
+        for L in np.unique(lens):
+            s_l = starts[lens == L]
+            x, y = np.triu_indices(int(L), k=1)
+            a = so[s_l[:, None] + x[None, :]].reshape(-1)
+            b = so[s_l[:, None] + y[None, :]].reshape(-1)
+            # owners sorted within a run -> a < b already, but keep the
+            # normalization for safety with duplicate hashes per item
+            chunks.append(np.stack([np.minimum(a, b),
+                                    np.maximum(a, b)], 1))
+        if not chunks:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        allp = np.concatenate(chunks)
+        allp = allp[allp[:, 0] != allp[:, 1]]
+        if not len(allp):
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        codes, counts = np.unique(allp[:, 0] * N + allp[:, 1],
+                                  return_counts=True)
         ia, ib = codes // N, codes % N
         if max_per_item > 0:
             keep = np.zeros(len(ia), dtype=bool)
@@ -231,12 +248,20 @@ class LSHIndex:
     # ------------------------------------------------------------------
     def _ensure_buckets(self):
         if self.buckets is None:
-            self.buckets = [[{} for _ in range(k.shape[1])]
-                            for k in self.keys]
+            if self.bottomk_mode:
+                self.buckets = [[{}]]
+            else:
+                self.buckets = [[{} for _ in range(k.shape[1])]
+                                for k in self.keys]
 
     def insert(self, item_idx: int, store_id: int) -> None:
         """Insert precomputed keys of item `item_idx` under id `store_id`."""
         self._ensure_buckets()
+        if self.bottomk_mode:
+            b = self.buckets[0][0]
+            for v in self._bottomk[item_idx].tolist():
+                b.setdefault(int(v), []).append(store_id)
+            return
         for t, keys in enumerate(self.keys):
             for j in range(keys.shape[1]):
                 self.buckets[t][j].setdefault(
@@ -248,6 +273,16 @@ class LSHIndex:
         self._ensure_buckets()
         seen: Dict[int, int] = {}
         order: List[int] = []
+        if self.bottomk_mode:
+            b = self.buckets[0][0]
+            for v in self._bottomk[item_idx].tolist():
+                for sid in b.get(int(v), ()):
+                    if sid not in seen:
+                        seen[sid] = 1
+                        order.append(sid)
+                        if len(order) >= maxcand:
+                            return np.asarray(order, dtype=np.int64)
+            return np.asarray(order, dtype=np.int64)
         for t in range(len(self.keys) - 1, -1, -1):
             keys = self.keys[t]
             for j in range(keys.shape[1]):
@@ -265,6 +300,71 @@ class LSHIndex:
             if len(order) >= maxcand:
                 break
         return np.asarray(order, dtype=np.int64)
+
+    def intra_candidates(self, items: np.ndarray, bucket_cap: int = 64
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Candidate pairs WITHIN an item subset: (lo, hi) position pairs
+        (lo < hi, positions into `items`) that share at least one subtable
+        key. One lexsort over all (subtable, key) cells of the chunk —
+        the vectorized form of inserting the chunk then querying it."""
+        items = np.asarray(items, dtype=np.int64)
+        C = len(items)
+        if C < 2:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if self.bottomk_mode:
+            inv: Dict[int, List[int]] = {}
+            for p, it in enumerate(items):
+                for v in self._bottomk[int(it)].tolist():
+                    inv.setdefault(v, []).append(p)
+            chunks = []
+            for members in inv.values():
+                if len(members) < 2:
+                    continue
+                members = members[:bucket_cap]
+                mm = np.asarray(members)
+                x, y = np.triu_indices(len(mm), k=1)
+                chunks.append(np.stack([mm[x], mm[y]], 1))
+            if not chunks:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            allp = np.concatenate(chunks)
+        else:
+            cols = []  # flattened (cell_id, key) streams per table
+            pos = []
+            base = 0
+            for t, keys in enumerate(self.keys):
+                sub = keys[items]                 # (C, nsub)
+                nsub = sub.shape[1]
+                cols.append((np.tile(np.arange(nsub, dtype=np.int64), C)
+                             + base))
+                base += nsub
+                pos.append(np.repeat(np.arange(C, dtype=np.int64), nsub))
+            keyflat = np.concatenate([k[items].reshape(-1)
+                                      for k in self.keys])
+            cellflat = np.concatenate(cols)
+            posflat = np.concatenate(pos)
+            order = np.lexsort((posflat, keyflat, cellflat))
+            sk = keyflat[order]
+            sc = cellflat[order]
+            sp = posflat[order]
+            brk = np.concatenate([[True], (sk[1:] != sk[:-1])
+                                  | (sc[1:] != sc[:-1])])
+            starts = np.nonzero(brk)[0]
+            lens = np.diff(np.concatenate([starts, [len(sk)]]))
+            big = lens >= 2
+            starts, lens = starts[big], np.minimum(lens[big], bucket_cap)
+            chunks = []
+            for L in np.unique(lens):
+                s_l = starts[lens == L]
+                x, y = np.triu_indices(int(L), k=1)
+                a = sp[s_l[:, None] + x[None, :]].reshape(-1)
+                b = sp[s_l[:, None] + y[None, :]].reshape(-1)
+                chunks.append(np.stack([np.minimum(a, b),
+                                        np.maximum(a, b)], 1))
+            if not chunks:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            allp = np.concatenate(chunks)
+        codes = np.unique(allp[:, 0] * C + allp[:, 1])
+        return codes // C, codes % C
 
 
     # ------------------------------------------------------------------

@@ -87,15 +87,80 @@ def mmer_sequence_pairs(opts, result: SketchingResult, ia: np.ndarray,
 
 def exact_intersections(result: SketchingResult, rows: np.ndarray,
                         cols: np.ndarray) -> np.ndarray:
-    """Intersection-size matrix for exact k-mer representations."""
+    """Intersection-size matrix for exact k-mer representations.
+
+    Vectorized posting-list join (replaces the reference's per-pair
+    sorted merges, wcompare.cpp:28-51/:111, with one sort + one
+    searchsorted + a ragged expansion per row block): concatenate the
+    column sets into a key-sorted table, match every row key against the
+    unique-key groups, expand matches to (row, col) contributions, and
+    accumulate with one bincount. Weighted mode contributes
+    min(count_row, count_col) per shared key."""
     sets = result.kmer_sets
     counts = result.kmer_set_counts
-    out = np.zeros((len(rows), len(cols)), dtype=np.float64)
-    for ii, i in enumerate(rows):
-        for jj, j in enumerate(cols):
-            if counts is not None:
-                out[ii, jj] = weighted_intersection_size(
-                    sets[i], counts[i], sets[j], counts[j])
-            else:
-                out[ii, jj] = set_intersection_size(sets[i], sets[j])
+    nr, nc = len(rows), len(cols)
+    out = np.zeros((nr, nc), dtype=np.float64)
+    if nr == 0 or nc == 0:
+        return out
+    col_sizes = np.array([len(sets[int(j)]) for j in cols], np.int64)
+    if col_sizes.sum() == 0:
+        return out
+    ck = np.concatenate([sets[int(j)] for j in cols])
+    co = np.repeat(np.arange(nc, dtype=np.int64), col_sizes)
+    cc = (np.concatenate([counts[int(j)] for j in cols])
+          if counts is not None else None)
+    order = np.argsort(ck, kind="stable")
+    ck, co = ck[order], co[order]
+    if cc is not None:
+        cc = cc[order]
+    grp_start = np.nonzero(np.concatenate([[True], ck[1:] != ck[:-1]]))[0]
+    uk = ck[grp_start]
+    glen = np.diff(np.concatenate([grp_start, [len(ck)]]))
+
+    row_sizes = np.array([len(sets[int(i)]) for i in rows], np.int64)
+    if row_sizes.sum() == 0:
+        return out
+    rk = np.concatenate([sets[int(i)] for i in rows])
+    ro = np.repeat(np.arange(nr, dtype=np.int64), row_sizes)
+    rc = (np.concatenate([counts[int(i)] for i in rows])
+          if counts is not None else None)
+    pos = np.searchsorted(uk, rk)
+    pos = np.minimum(pos, len(uk) - 1)
+    hit = uk[pos] == rk
+    gl = glen[pos[hit]]
+    gs = grp_start[pos[hit]]
+    total = int(gl.sum())
+    if total == 0:
+        return out
+    # ragged expansion: each row-key match fans out over its col group
+    offs = np.repeat(np.cumsum(gl) - gl, gl)
+    within = np.arange(total, dtype=np.int64) - offs
+    src = np.repeat(gs, gl) + within
+    flat = np.repeat(ro[hit], gl) * nc + co[src]
+    if counts is not None:
+        vals = np.minimum(np.repeat(rc[hit], gl), cc[src]).astype(np.float64)
+        out = np.bincount(flat, weights=vals,
+                          minlength=nr * nc).reshape(nr, nc)
+    else:
+        out = np.bincount(flat, minlength=nr * nc).astype(
+            np.float64).reshape(nr, nc)
+    return out
+
+
+def exact_intersections_pairs(result: SketchingResult, ia: np.ndarray,
+                              ib: np.ndarray) -> np.ndarray:
+    """Intersection sizes for an explicit pair list, grouped by the left
+    item so each group is one vectorized posting join (the refine/dedup
+    loops previously did one doubly-nested call per pair)."""
+    ia = np.asarray(ia)
+    ib = np.asarray(ib)
+    out = np.empty(len(ia), dtype=np.float64)
+    order = np.argsort(ia, kind="stable")
+    sia = ia[order]
+    starts = np.nonzero(np.concatenate([[True], sia[1:] != sia[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(sia)]])
+    for s, e in zip(starts, ends):
+        grp = order[s:e]
+        out[grp] = exact_intersections(
+            result, sia[s:s + 1], ib[grp])[0]
     return out

@@ -203,3 +203,57 @@ def test_refine_exact_kmer_sets(fixtures, tmp_path):
     from dashing2_tpu.io.formats import read_knn_csr
     _, _, data = read_knn_csr(str(out))
     assert (data >= 0).all() and (data <= 1).all()
+
+
+def test_dedup_batched_rounds_match_serial(fixtures, tmp_path):
+    """Chunked-round dedup must match chunk=1 (the serial greedy walk)
+    on both the LSH and exhaustive paths."""
+    import dashing2_tpu.cmp.graph as G
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.sketch.core import sketch_fastx
+
+    inputs = fixtures + fixtures[:4]
+    for exhaustive in (False, True):
+        # non-binding candidate cap: the round batching preserves the
+        # serial result exactly only when the per-item cap is not the
+        # binding constraint (see dedup_core docstring)
+        opts = Dashing2DistOptions(k=21, sketchsize=256,
+                                   min_similarity=0.9, maxcand=1000,
+                                   exhaustive_dedup=exhaustive)
+        result = sketch_fastx(opts, inputs)
+        creps, result = C._prep(opts, result)
+        os.environ["DASHING2_TPU_DEDUP_CHUNK"] = "1"
+        try:
+            ids1, cons1 = G.dedup_core(opts, result, creps)
+        finally:
+            os.environ["DASHING2_TPU_DEDUP_CHUNK"] = "5"
+        try:
+            ids2, cons2 = G.dedup_core(opts, result, creps)
+        finally:
+            del os.environ["DASHING2_TPU_DEDUP_CHUNK"]
+        assert ids1 == ids2, exhaustive
+        assert cons1 == cons2, exhaustive
+
+
+def test_lsh_intra_candidates_match_insert_query():
+    """intra_candidates must find exactly the pairs that incremental
+    insert-then-query would connect (same buckets)."""
+    from dashing2_tpu.cmp.lsh import LSHIndex
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(1, 64))
+    regs = np.repeat(base, 12, axis=0) + np.where(
+        rng.random((12, 64)) < 0.3, rng.normal(size=(12, 64)), 0.0)
+    regs[6:] = rng.normal(size=(6, 64))  # unrelated tail
+    idx = LSHIndex.build(regs, 2)
+    items = np.arange(12)
+    lo, hi = idx.intra_candidates(items)
+    got = set(zip(lo.tolist(), hi.tolist()))
+    # reference: incremental insert + query
+    ref = set()
+    idx2 = LSHIndex.build(regs, 2)
+    for i in range(12):
+        for c in idx2.query(i, 1000).tolist():
+            ref.add((min(c, i), max(c, i)))
+        idx2.insert(i, i)
+    assert got == ref

@@ -96,6 +96,44 @@ def test_oph_densify_fills_and_is_deterministic():
     assert ne == 8 and (z == 0).all()
 
 
+def test_oph_densify_rows_matches_scalar():
+    """Vectorized all-rows densify must be bit-exact with the per-row
+    scalar loop, including kmer co-assignment."""
+    rng = np.random.default_rng(7)
+    m = 64
+    sigs = np.abs(rng.normal(size=(40, m)))
+    # varied sparsity incl. a nearly-empty row (deep redraw chains) and
+    # boundary rows (no empties / all empty)
+    for i in range(40):
+        k = int(rng.integers(0, m))
+        sigs[i, rng.choice(m, size=k, replace=False)] = 0.0
+    sigs[0, :] = 1.0
+    sigs[1, :] = 0.0
+    sigs[2, 1:] = 0.0
+    kmers = rng.integers(0, 2 ** 63, size=(40, m)).astype(np.uint64)
+
+    ref_sigs = sigs.copy()
+    ref_kmers = kmers.copy()
+    for i in range(40):
+        row, _ = SK.oph_densify(ref_sigs[i], ref_kmers[i])
+        ref_sigs[i] = row
+
+    got_sigs = sigs.copy()
+    got_kmers = kmers.copy()
+    ne = SK.oph_densify_rows(got_sigs, got_kmers, block=16)
+    assert np.array_equal(got_sigs, ref_sigs)
+    assert np.array_equal(got_kmers, ref_kmers)
+    assert np.array_equal(ne, (sigs == 0).sum(axis=1))
+
+    # u64 raw-register form (empty = u64max)
+    regs = rng.integers(1, 2 ** 63, size=(8, m)).astype(np.uint64)
+    regs[regs % np.uint64(3) == 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    ref = np.stack([SK.oph_densify(r)[0] for r in regs])
+    got = regs.copy()
+    SK.oph_densify_rows(got)
+    assert np.array_equal(got, ref)
+
+
 def test_css_filter_pass_matches_bruteforce():
     """The threshold-filtered sketch must equal the brute-force min over
     ALL items' draws under the same RNG construction."""
