@@ -161,6 +161,59 @@ def _load_items(opts: Dashing2Options, groups: Sequence[str]):
     return items, store
 
 
+def _should_stream(opts: Dashing2Options, groups: Sequence[str]) -> bool:
+    """Streaming ingest policy: iterate items lazily (one group's codes
+    in RAM at a time) instead of materializing the whole corpus. On by
+    default above DASHING2_TPU_STREAM_BYTES (2 GiB) of input, forced
+    with DASHING2_TPU_STREAM=1, off with =0. Mirrors the reference's
+    per-file streaming with O(file) buffers (fastxsketch.cpp:302-424)."""
+    mode = os.environ.get("DASHING2_TPU_STREAM", "")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    thresh = int(os.environ.get("DASHING2_TPU_STREAM_BYTES", 2 << 30))
+    total = 0
+    for g in groups:
+        for path in g.split():
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                pass
+        if total > thresh:
+            return True
+    return False
+
+
+def _iter_items_lazy(opts: Dashing2Options, groups: Sequence[str]
+                     ) -> Iterable[_Item]:
+    """Yield one _Item per group, loading its encoded sequences on
+    demand — host RSS stays O(largest group), not O(corpus)."""
+    for group in groups:
+        if opts.parse_by_seq:
+            for path in group.split():
+                for name, codes in fastx.read_encoded(path, opts.alphabet):
+                    yield _Item(name=name, codes=[codes])
+        else:
+            codes = []
+            for path in group.split():
+                for _, c in fastx.read_encoded(path, opts.alphabet):
+                    codes.append(c)
+            yield _Item(name=group, codes=codes)
+
+
+def _count_records(opts: Dashing2Options, groups: Sequence[str]
+                   ) -> List[str]:
+    """Counting pass for --parse-by-seq streaming (the reference's
+    two-pass design, fastxsketchbyseq.cpp:146-171): record names only."""
+    names: List[str] = []
+    for group in groups:
+        for path in group.split():
+            for name, _ in fastx.read_fastx(path):
+                names.append(name)
+    return names
+
+
 def _iter_chunk_batches(opts: Dashing2Options, items: Sequence[_Item],
                         chunk_len: int, rows_per_batch: int
                         ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
@@ -347,11 +400,31 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
 def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                        chunk_len: int = 0, rows_per_batch: int = 64
                        ) -> SketchingResult:
-    items, seqstore = _load_items(opts, groups)
-    if chunk_len <= 0:
-        chunk_len = _auto_chunk_len(items)
-    res = SketchingResult(names=[it.name for it in items])
-    n = len(items)
+    stream = (_should_stream(opts, groups)
+              and opts.sspace != SketchSpace.SPACE_EDIT_DISTANCE)
+    if stream:
+        names = (_count_records(opts, groups) if opts.parse_by_seq
+                 else list(groups))
+        seqstore = None
+        items = None
+
+        def items_iter():
+            return _iter_items_lazy(opts, groups)
+        if chunk_len <= 0:
+            # one fixed jit shape; the eager path sizes this from the
+            # longest sequence, which streaming cannot know cheaply
+            chunk_len = int(os.environ.get("DASHING2_TPU_CHUNK_LEN",
+                                           1 << 15))
+    else:
+        items, seqstore = _load_items(opts, groups)
+        names = [it.name for it in items]
+
+        def items_iter():
+            return items
+        if chunk_len <= 0:
+            chunk_len = _auto_chunk_len(items)
+    res = SketchingResult(names=list(names))
+    n = len(names)
     m = opts.sketchsize
     kres = opts.kmer_result
 
@@ -420,7 +493,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                 inflight.clear()
 
             for chunks, ids in prefetch(_iter_chunk_batches(
-                    opts, items, chunk_len, rows_per_batch)):
+                    opts, items_iter(), chunk_len, rows_per_batch)):
                 hashed, valid = _hash_chunk_batch(
                     jnp.asarray(chunks), fs_dev, use_filterset=use_fs,
                     **hkw)
@@ -433,7 +506,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             drain()
         else:
             for chunks, ids in prefetch(_iter_chunk_batches(
-                    opts, items, chunk_len, rows_per_batch)):
+                    opts, items_iter(), chunk_len, rows_per_batch)):
                 hashed, valid = _hash_chunk_batch(
                     jnp.asarray(chunks), fs_dev, use_filterset=use_fs,
                     **hkw)
@@ -461,27 +534,30 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             res.kmercounts = counts.astype(np.float32)
         return res
 
-    # streaming paths: gather each item's hashed k-mers on host first
-    per_item_hashes: List[np.ndarray] = [None] * n  # type: ignore
-    for chunks, ids in prefetch(_iter_chunk_batches(
-            opts, items, chunk_len, rows_per_batch)):
-        hashed, valid = _hash_chunk_batch(
-            jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
-        hashed, valid = jax.device_get((hashed, valid))
-        for row, item_id in enumerate(ids):
-            if item_id < 0:
-                continue
-            hv = hashed[row][valid[row]]
-            prev = per_item_hashes[item_id]
-            per_item_hashes[item_id] = hv if prev is None else \
-                np.concatenate([prev, hv])
-    for i in range(n):
-        if per_item_hashes[i] is None:
-            per_item_hashes[i] = np.zeros(0, dtype=np.uint64)
-
+    # streaming paths. Batches arrive in item order, so an item is
+    # complete the moment the stream advances past it: its raw hash
+    # buffer is finalized (counted/compacted) and freed immediately.
+    # Host RSS stays O(largest item + compact results), matching the
+    # reference's per-file O(1)-buffer streaming (fastxsketch.cpp:302-424)
+    # instead of holding every occurrence of every item to the end.
     if kres == KmerSketchResultType.FULL_MMER_SEQUENCE:
+        # ordered minimizer streams: the representation itself is the
+        # full stream (kept per item; homopolymer compression applied
+        # at finalize)
+        acc: List[List[np.ndarray]] = [[] for _ in range(n)]
+        for chunks, ids in prefetch(_iter_chunk_batches(
+                opts, items_iter(), chunk_len, rows_per_batch)):
+            hashed, valid = _hash_chunk_batch(
+                jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
+            hashed, valid = jax.device_get((hashed, valid))
+            for row, item_id in enumerate(ids):
+                if item_id < 0:
+                    continue
+                acc[item_id].append(hashed[row][valid[row]])
         seqs = []
-        for hv in per_item_hashes:
+        for parts in acc:
+            hv = (np.concatenate(parts) if parts
+                  else np.zeros(0, dtype=np.uint64))
             if opts.homopolymer_compress_minimizers and len(hv):
                 keep = np.concatenate([[True], hv[1:] != hv[:-1]])
                 hv = hv[keep]
@@ -514,16 +590,51 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             u, c = u[keep], c[keep]
         return u.astype(np.uint64), c.astype(np.float64)
 
-    # -p threads parallelize the per-item host counting (numpy releases
-    # the GIL in sort/unique; the OMP-threads analogue, P1 in SURVEY §2.4)
-    if opts.nthreads > 1 and len(per_item_hashes) > 1:
+    # -p threads overlap per-item host counting with the device stream
+    # (numpy releases the GIL in sort/unique; OMP analogue, SURVEY P1)
+    pool = None
+    if opts.nthreads > 1 and n > 1:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=opts.nthreads) as ex:
-            pairs = list(ex.map(_count_one, per_item_hashes))
-    else:
-        pairs = [_count_one(hv) for hv in per_item_hashes]
-    uniq_list: List[np.ndarray] = [p[0] for p in pairs]
-    cnt_list: List[np.ndarray] = [p[1] for p in pairs]
+        pool = ThreadPoolExecutor(max_workers=opts.nthreads)
+    results: List = [None] * n
+    pending: List[tuple] = []
+    raws: List[np.ndarray] = []
+    cur = -1
+
+    def _finalize(i: int):
+        hv = (np.concatenate(raws) if raws else np.zeros(0, np.uint64))
+        raws.clear()
+        if pool is not None:
+            pending.append((i, pool.submit(_count_one, hv)))
+            # bound in-flight raw buffers
+            while len(pending) > 2 * opts.nthreads:
+                j, fut = pending.pop(0)
+                results[j] = fut.result()
+        else:
+            results[i] = _count_one(hv)
+
+    for chunks, ids in prefetch(_iter_chunk_batches(
+            opts, items_iter(), chunk_len, rows_per_batch)):
+        hashed, valid = _hash_chunk_batch(
+            jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
+        hashed, valid = jax.device_get((hashed, valid))
+        for row, item_id in enumerate(ids):
+            if item_id < 0:
+                continue
+            if item_id != cur:
+                if cur >= 0:
+                    _finalize(cur)
+                cur = item_id
+            raws.append(hashed[row][valid[row]])
+    if cur >= 0:
+        _finalize(cur)
+    for j, fut in pending:
+        results[j] = fut.result()
+    if pool is not None:
+        pool.shutdown()
+    empty = (np.zeros(0, np.uint64), np.zeros(0, np.float64))
+    uniq_list: List[np.ndarray] = [(r or empty)[0] for r in results]
+    cnt_list: List[np.ndarray] = [(r or empty)[1] for r in results]
 
     if kres == KmerSketchResultType.FULL_MMER_SET:
         res.kmer_sets = uniq_list
