@@ -293,6 +293,56 @@ def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
 import functools
 
 
+def _measure_epilogue(kind: str, m: int, msr: Measure, k: int, fd: float,
+                      c1, c2, lh, rh, b, xp):
+    """Measure math for one count block; c1/c2: (eq, None) or (gt, lt)."""
+    if kind in ("ab", "nibble-ab"):
+        return E.compressed_ab_measures(c1, c2, m, b, fd, lh, rh, msr, k,
+                                        xp=xp)
+    if kind == "full":
+        return E.full_setsketch_measures(c1, c2, m, lh, rh, msr, k, xp=xp)
+    if kind in ("bbit", "nibble-bbit"):
+        return E.bbit_measures(c1, m, fd, lh, rh, msr, k, xp=xp)
+    return E.equality_measures(c1, m, lh, rh, msr, k, xp=xp)
+
+
+def _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh_cards, rh_cards, b):
+    """Traced: counts -> f32 measure matrix, row-tiled for bounded f64
+    temporaries (whole-matrix f64 intermediates at n=10k are ~800MB each
+    and blow HBM). Rows (lh_cards) and columns (rh_cards) may differ
+    (the distributed row-block path)."""
+    import jax
+    import jax.numpy as jnp
+    nr = c1.shape[0]
+    nc = c1.shape[1]
+    rh = rh_cards[None, :]
+    if nr <= 4096:
+        return _measure_epilogue(kind, m, msr, k, fd, c1, c2,
+                                 lh_cards[:, None], rh, b, jnp
+                                 ).astype(jnp.float32)
+    TB = 1024
+    pad = (-nr) % TB
+    c1p = jnp.concatenate([c1, jnp.zeros((pad, nc), c1.dtype)]) if pad else c1
+    c2p = (jnp.concatenate([c2, jnp.zeros((pad, nc), c2.dtype)])
+           if (c2 is not None and pad) else c2)
+    cp = jnp.concatenate([lh_cards, jnp.ones(pad, lh_cards.dtype)]) \
+        if pad else lh_cards
+    nb = (nr + pad) // TB
+    xs = (c1p.reshape(nb, TB, nc),
+          (c2p.reshape(nb, TB, nc) if c2 is not None
+           else jnp.zeros((nb, 1, 1), jnp.int32)),
+          cp.reshape(nb, TB))
+
+    def body(_, x):
+        b1, b2, lhb = x
+        return None, _measure_epilogue(
+            kind, m, msr, k, fd, b1, b2 if c2 is not None else None,
+            lhb[:, None], rh, b, jnp).astype(jnp.float32)
+
+    _, ys = jax.lax.scan(body, None, xs)
+    return ys.reshape(nb * TB, nc)[:nr]
+
+
 @functools.lru_cache(maxsize=64)
 def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
     """One jitted function per (representation kind, measure, shape
@@ -303,20 +353,7 @@ def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
     import jax
     import jax.numpy as jnp
 
-    def _epilogue(c1, c2, lh, rh, b):
-        """c1/c2: (eq, None) or (gt, lt) count blocks."""
-        if kind in ("ab", "nibble-ab"):
-            return E.compressed_ab_measures(c1, c2, m, b, fd, lh, rh,
-                                            msr, k, xp=jnp)
-        if kind == "full":
-            return E.full_setsketch_measures(c1, c2, m, lh, rh, msr, k,
-                                             xp=jnp)
-        if kind in ("bbit", "nibble-bbit"):
-            return E.bbit_measures(c1, m, fd, lh, rh, msr, k, xp=jnp)
-        return E.equality_measures(c1, m, lh, rh, msr, k, xp=jnp)
-
     def f(data, cards, b):
-        n = data.shape[0]
         if kind.startswith("nibble"):
             from ..ops.pallas_cmp import _nibble_mxu
             lo = data & jnp.uint8(0xF)
@@ -329,37 +366,76 @@ def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
             c1, c2 = CK.count_gtlt_self(data)
         else:
             c1, c2 = CK.count_eq_self(data), None
-        rh = cards[None, :]
-        if n <= 4096:
-            return _epilogue(c1, c2, cards[:, None], rh, b
-                             ).astype(jnp.float32)
-        # large n: scan the f64 measure math over row tiles so its
-        # temporaries stay bounded (whole-matrix f64 intermediates at
-        # n=10k are ~800MB each and blow HBM)
-        TB = 1024
-        pad = (-n) % TB
-        c1p = jnp.concatenate(
-            [c1, jnp.zeros((pad, n), c1.dtype)]) if pad else c1
-        c2p = (jnp.concatenate([c2, jnp.zeros((pad, n), c2.dtype)])
-               if (c2 is not None and pad) else c2)
-        cp = jnp.concatenate([cards, jnp.ones(pad, cards.dtype)]) \
-            if pad else cards
-        nb = (n + pad) // TB
-        xs = (c1p.reshape(nb, TB, n),
-              (c2p.reshape(nb, TB, n) if c2 is not None
-               else jnp.zeros((nb, 1, 1), jnp.int32)),
-              cp.reshape(nb, TB))
-
-        def body(_, x):
-            b1, b2, lhb = x
-            return None, _epilogue(
-                b1, b2 if c2 is not None else None, lhb[:, None], rh, b
-            ).astype(jnp.float32)
-
-        _, ys = jax.lax.scan(body, None, xs)
-        return ys.reshape(nb * TB, n)[:n]
+        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2, cards, cards, b)
 
     return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _counts_epilogue_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
+    """Jitted epilogue over a precomputed full gt count matrix (the
+    multi-chip path: lt == gt.T, eq == m - gt - gt.T by trichotomy)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(gt, cards, b):
+        if kind in ("ab", "full", "nibble-ab"):
+            c1, c2 = gt, gt.T
+        else:
+            c1, c2 = jnp.int32(m) - gt - gt.T, None
+        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2, cards, cards, b)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _block_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
+    """Fused row-block engine: (rows, m) x (N, m) u64 registers -> f32
+    measure block in ONE jitted call (counts + epilogue). Used by the
+    multi-host driver for its owned row range."""
+    import jax
+
+    def f(rows_data, all_data, lh_cards, rh_cards, b):
+        if kind in ("ab", "full", "nibble-ab"):
+            c1, c2 = CK.count_gtlt(rows_data, all_data)
+        else:
+            c1, c2 = CK.count_eq(rows_data, all_data), None
+        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2,
+                               lh_cards, rh_cards, b)
+
+    return jax.jit(f)
+
+
+def _multichip_mesh():
+    """Mesh over all local devices when more than one is attached and
+    multichip routing is not disabled (DASHING2_TPU_MULTICHIP=0)."""
+    import os
+
+    import jax
+    if os.environ.get("DASHING2_TPU_MULTICHIP", "1") == "0":
+        return None
+    if jax.device_count() <= 1:
+        return None
+    from ..parallel.allpairs import make_mesh
+    return make_mesh()
+
+
+def _representation(opts: Dashing2DistOptions, result: SketchingResult,
+                    creps: CompressedReps):
+    """(kind, data) for the fused device count engines."""
+    if creps.data is not None:
+        A = creps.data
+        if creps.nibble_packed:
+            return ("nibble-bbit" if creps.truncation > 0
+                    else "nibble-ab"), A
+        return ("bbit" if creps.truncation > 0 else "ab"), A
+    if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
+        return "full", _ordered_bits(opts, result.signatures)
+    sigs = result.signatures
+    use_kmers = (result.kmers is not None
+                 and result.kmers.size == sigs.size)
+    return "eqfull", (result.kmers if use_kmers
+                      else sigs.view(np.uint64).reshape(sigs.shape))
 
 
 def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
@@ -367,7 +443,11 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     """Full (n, n) f32 measure matrix for a symmetric all-pairs job via
     the fused device self-pairs pipeline. Returns None when the
     representation wants a different engine (nibble-range values ride
-    the MXU full-square path instead)."""
+    the MXU full-square path instead). With >1 device attached the gt
+    counts come from the band-sharded multi-chip kernel
+    (parallel.allpairs.sharded_selfpairs) — each chip owns 1/D of the
+    unique-pair work — and the measure epilogue runs jitted on the
+    replicated count matrix."""
     if creps.data is not None:
         A = creps.data
         if creps.nibble_packed:
@@ -375,7 +455,8 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
             kind = ("nibble-bbit" if creps.truncation > 0 else "nibble-ab")
             data = A
         elif A.dtype != np.uint64 and A.max(initial=0) < 16 \
-                and _kernel_mode() in ("mxu", "pallas"):
+                and _kernel_mode() in ("mxu", "pallas") \
+                and _multichip_mesh() is None:
             return None
         else:
             kind = "bbit" if creps.truncation > 0 else "ab"
@@ -391,10 +472,23 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
         kind = "eqfull"
         data = result.kmers if use_kmers else sigs.view(np.uint64).reshape(
             sigs.shape)
+    cards = np.asarray(result.cardinalities, np.float64)
+    b = np.float64(max(creps.b, 1.0 + 1e-9))
+    mesh = _multichip_mesh()
+    if mesh is not None:
+        from ..parallel.allpairs import sharded_selfpairs
+        d64 = data
+        if kind.startswith("nibble"):
+            d64 = _unpack_nibbles(np.asarray(d64))
+        if d64.dtype != np.uint64:
+            d64 = np.asarray(d64).astype(np.uint64)
+        gt = sharded_selfpairs(mesh, d64)
+        fn = _counts_epilogue_fn(kind, opts.sketchsize, opts.measure,
+                                 opts.k, opts.fd_level)
+        return np.asarray(fn(gt, cards, b))
     fn = _self_matrix_fn(kind, opts.sketchsize, opts.measure, opts.k,
                          opts.fd_level)
-    return np.asarray(fn(data, np.asarray(result.cardinalities, np.float64),
-                         np.float64(max(creps.b, 1.0 + 1e-9))))
+    return np.asarray(fn(data, cards, b))
 
 
 def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,

@@ -45,6 +45,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
             os.environ.get("JAX_NUM_PROCESSES", "1"))
         process_id = process_id if process_id is not None else int(
             os.environ.get("JAX_PROCESS_ID", "0"))
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # multi-process CPU backend needs gloo collectives, and the
+            # platform must be pinned before the first backend creation
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
@@ -146,13 +151,37 @@ def distributed_sketch_cmp(opts, groups: Sequence[str],
     full.signatures = sigs
     full.cardinalities = cards
     lo, hi = my_row_range(n, pi, pc)
-    # compute only this host's rows via the blocked general path
-    from ..cmp.core import _measure_block, _prep
+    # compute only this host's rows via the FUSED device engine (one
+    # jitted counts+epilogue call), falling back to the blocked general
+    # path for representations without a counts engine
+    from ..cmp.core import (_block_matrix_fn, _measure_block, _prep,
+                            _representation, _unpack_nibbles)
+    from ..enums import KmerSketchResultType, Measure, SketchSpace
     creps, full = _prep(opts, full)
     rows = np.arange(lo, hi)
     cols = np.arange(n)
-    block = _measure_block(opts, full, creps, rows, cols) if len(rows) \
-        else np.zeros((0, n), np.float32)
+    counts_path = (opts.kmer_result < KmerSketchResultType.FULL_MMER_SET
+                   and not (opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE
+                            and (opts.exact_kmer_dist
+                                 or opts.measure == Measure.M_EDIT_DISTANCE))
+                   and full.signatures is not None)
+    if not len(rows):
+        block = np.zeros((0, n), np.float32)
+    elif counts_path:
+        kind, data = _representation(opts, full, creps)
+        if kind.startswith("nibble"):
+            data = _unpack_nibbles(np.asarray(data))
+        data = np.ascontiguousarray(data)
+        if data.dtype != np.uint64:
+            data = data.astype(np.uint64)
+        fn = _block_matrix_fn(kind, opts.sketchsize, opts.measure,
+                              opts.k, opts.fd_level)
+        block = np.asarray(fn(
+            data[lo:hi], data, np.asarray(cards[lo:hi], np.float64),
+            np.asarray(cards, np.float64),
+            np.float64(max(creps.b, 1.0 + 1e-9))))
+    else:
+        block = _measure_block(opts, full, creps, rows, cols)
     if outfile:
         block.astype(np.float32).tofile(f"{outfile}.rows.{lo}-{hi}")
     return block

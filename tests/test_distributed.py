@@ -86,3 +86,49 @@ def test_distributed_driver_single_process(fixtures, tmp_path):
     assert len(files) == 1
     disk = np.fromfile(files[0], np.float32).reshape(len(fixtures), -1)
     np.testing.assert_array_equal(disk, block)
+
+
+def test_two_process_jax_distributed(fixtures, tmp_path):
+    """REAL multi-process: two jax.distributed CPU processes (gloo
+    collectives) each sketch their input shard, all-gather sketches via
+    multihost_utils.process_allgather, compute their owned row block,
+    and write it; the concatenation must equal the single-node matrix."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = str(tmp_path / "dist.bin")
+    here = os.path.dirname(__file__)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(here, "dist_worker.py"),
+         str(pid), "2", str(port), out] + list(fixtures),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    n = len(fixtures)
+    from dashing2_tpu.parallel.distributed import my_row_range
+    blocks = []
+    for pid in range(2):
+        lo, hi = my_row_range(n, pid, 2)
+        blk = np.fromfile(f"{out}.rows.{lo}-{hi}", np.float32)
+        blocks.append(blk.reshape(hi - lo, n))
+    got = np.concatenate(blocks)
+
+    # single-node reference through the production compare path
+    from dashing2_tpu.cmp.core import pairwise_matrix
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.sketch.core import sketch_fastx
+    opts = Dashing2DistOptions(k=21, sketchsize=128)
+    res = sketch_fastx(opts, list(fixtures))
+    ref = np.concatenate([b for _, b in pairwise_matrix(opts, res)])
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=1e-6), np.abs(got - ref).max()
