@@ -80,17 +80,61 @@ def span_edit_distance(a: np.ndarray, b: np.ndarray) -> int:
     return int(prev[-1])
 
 
+def myers_batch_native(seqs: Sequence[bytes], ia: np.ndarray,
+                       ib: np.ndarray, nthreads: int = 0
+                       ) -> np.ndarray | None:
+    """Batch Levenshtein via the native blocked-Myers library
+    (native/myers_ed.cpp), fanned across threads. None when the
+    toolchain is unavailable."""
+    import ctypes
+    import os
+
+    from ..native import load_myers_lib
+    lib = load_myers_lib()
+    if lib is None:
+        return None
+    needed = sorted({int(x) for x in ia} | {int(x) for x in ib})
+    remap = {g: l for l, g in enumerate(needed)}
+    offsets = np.zeros(len(needed) + 1, np.int64)
+    bufs = []
+    for l, g in enumerate(needed):
+        s = bytes(seqs[g])
+        bufs.append(s)
+        offsets[l + 1] = offsets[l] + len(s)
+    concat = np.frombuffer(b"".join(bufs), dtype=np.uint8) if bufs else \
+        np.zeros(0, np.uint8)
+    if concat.size == 0:
+        concat = np.zeros(1, np.uint8)  # non-null base pointer
+    ia_l = np.asarray([remap[int(x)] for x in ia], np.int64)
+    ib_l = np.asarray([remap[int(x)] for x in ib], np.int64)
+    out = np.empty(len(ia), np.int64)
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    lib.myers_batch(concat.ctypes.data_as(u8p),
+                    offsets.ctypes.data_as(i64p),
+                    ia_l.ctypes.data_as(i64p), ib_l.ctypes.data_as(i64p),
+                    len(ia), nthreads, out.ctypes.data_as(i64p))
+    return out.astype(np.float64)
+
+
 def edit_distances_pairs(result: SketchingResult, ia: np.ndarray,
                          ib: np.ndarray) -> np.ndarray:
-    out = np.empty(len(ia), dtype=np.float64)
     seqs = result.sequences
     if seqs is not None:
+        if len(ia):
+            native = myers_batch_native(seqs, ia, ib)
+            if native is not None:
+                return native
+        out = np.empty(len(ia), dtype=np.float64)
         for p, (i, j) in enumerate(zip(ia, ib)):
             out[p] = myers_edit_distance(seqs[int(i)], seqs[int(j)])
-    else:
-        mseqs = result.mmer_sequences
-        for p, (i, j) in enumerate(zip(ia, ib)):
-            out[p] = span_edit_distance(mseqs[int(i)], mseqs[int(j)])
+        return out
+    out = np.empty(len(ia), dtype=np.float64)
+    mseqs = result.mmer_sequences
+    for p, (i, j) in enumerate(zip(ia, ib)):
+        out[p] = span_edit_distance(mseqs[int(i)], mseqs[int(j)])
     return out
 
 

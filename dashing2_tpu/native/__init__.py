@@ -66,6 +66,21 @@ def load_fastx_lib() -> Optional[ctypes.CDLL]:
     return lib
 
 
+def load_myers_lib() -> Optional[ctypes.CDLL]:
+    """Blocked Myers bit-parallel edit distance (batch + threads)."""
+    lib = _load_lib("myersed", "myers_ed.cpp", ["-lpthread"])
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        lib.myers_batch.restype = None
+        lib.myers_batch.argtypes = [u8p, i64p, i64p, i64p,
+                                    ctypes.c_int64, ctypes.c_int, i64p]
+        lib.myers_one.restype = ctypes.c_int64
+        lib.myers_one.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib._sigs_set = True
+    return lib
+
+
 def load_emit_lib() -> Optional[ctypes.CDLL]:
     """Native float-row formatter (std::to_chars shortest round-trip,
     the same formatting family as the reference's fmt '{}')."""
