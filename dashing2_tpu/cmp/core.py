@@ -165,6 +165,11 @@ def _ordered_bits(opts: Dashing2DistOptions, sigs: np.ndarray) -> np.ndarray:
     round to f32 and compare as u32 (both sides round identically, so
     the estimator sees the float build's gt/lt counts)."""
     if opts.regt32:
+        # same loud failure as f64_to_ordered_u64: a negative signature
+        # would silently invert the gt/lt ordering under the u32 view
+        if np.signbit(sigs).any():
+            raise ValueError("negative signature values cannot be "
+                             "order-mapped to u32")
         return sigs.astype(np.float32).view(np.uint32)
     return CK.f64_to_ordered_u64(sigs)
 
@@ -250,6 +255,15 @@ def _dispatch_measures(opts: Dashing2DistOptions, creps: CompressedReps,
     msr = opts.measure
     k = opts.k
     if creps.data is not None:
+        if creps.nibble_packed:
+            # f32 estimator variants shared with the device fused path
+            # (see _measure_epilogue) so CPU == TPU bit-for-bit
+            if creps.truncation > 0:
+                return E.bbit_measures32(eq, m, opts.fd_level, lh, rh,
+                                         msr, k, xp=xp)
+            return E.compressed_ab_measures32(
+                gt, lt, m, max(creps.b, 1.0 + 1e-9), opts.fd_level,
+                lh, rh, msr, k, xp=xp)
         if creps.truncation > 0:
             return E.bbit_measures(eq, m, opts.fd_level, lh, rh, msr, k,
                                    xp=xp)
@@ -294,19 +308,32 @@ import functools
 
 
 def _measure_epilogue(kind: str, m: int, msr: Measure, k: int, fd: float,
-                      c1, c2, lh, rh, b, xp):
-    """Measure math for one count block; c1/c2: (eq, None) or (gt, lt)."""
-    if kind in ("ab", "nibble-ab"):
+                      c1, c2, lh, rh, b, xp, gb=None):
+    """Measure math for one count block; c1/c2: (eq, None) or (gt, lt).
+
+    The nibble fastcmp kinds run the f32 estimator variants (the f64
+    forms need an emulated-f64 pow on TPU that costs ~7x the MXU counts
+    kernel); gb = (bit-product table, 1/(1-1/b)) precomputed on host —
+    see estimators.gb_bit_table. CPU paths use the same f32 math, so
+    cross-backend outputs stay bit-identical."""
+    if kind == "nibble-ab":
+        t, gi = gb if gb is not None else (None, None)
+        return E.compressed_ab_measures32(c1, c2, m, b, fd, lh, rh, msr, k,
+                                          xp=xp, table=t, gbinv=gi)
+    if kind == "nibble-bbit":
+        return E.bbit_measures32(c1, m, fd, lh, rh, msr, k, xp=xp)
+    if kind == "ab":
         return E.compressed_ab_measures(c1, c2, m, b, fd, lh, rh, msr, k,
                                         xp=xp)
     if kind == "full":
         return E.full_setsketch_measures(c1, c2, m, lh, rh, msr, k, xp=xp)
-    if kind in ("bbit", "nibble-bbit"):
+    if kind == "bbit":
         return E.bbit_measures(c1, m, fd, lh, rh, msr, k, xp=xp)
     return E.equality_measures(c1, m, lh, rh, msr, k, xp=xp)
 
 
-def _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh_cards, rh_cards, b):
+def _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh_cards, rh_cards, b,
+                    gb=None):
     """Traced: counts -> f32 measure matrix, row-tiled for bounded f64
     temporaries (whole-matrix f64 intermediates at n=10k are ~800MB each
     and blow HBM). Rows (lh_cards) and columns (rh_cards) may differ
@@ -318,7 +345,7 @@ def _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh_cards, rh_cards, b):
     rh = rh_cards[None, :]
     if nr <= 4096:
         return _measure_epilogue(kind, m, msr, k, fd, c1, c2,
-                                 lh_cards[:, None], rh, b, jnp
+                                 lh_cards[:, None], rh, b, jnp, gb
                                  ).astype(jnp.float32)
     TB = 1024
     pad = (-nr) % TB
@@ -337,7 +364,7 @@ def _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh_cards, rh_cards, b):
         b1, b2, lhb = x
         return None, _measure_epilogue(
             kind, m, msr, k, fd, b1, b2 if c2 is not None else None,
-            lhb[:, None], rh, b, jnp).astype(jnp.float32)
+            lhb[:, None], rh, b, jnp, gb).astype(jnp.float32)
 
     _, ys = jax.lax.scan(body, None, xs)
     return ys.reshape(nb * TB, nc)[:nr]
@@ -353,20 +380,29 @@ def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
     import jax
     import jax.numpy as jnp
 
-    def f(data, cards, b):
+    def f(data, cards, b, gbt, gbinv):
+        gb = (gbt, gbinv)
         if kind.startswith("nibble"):
-            from ..ops.pallas_cmp import _nibble_mxu
+            from ..ops.pallas_cmp import (_nibble_mxu,
+                                          counts_nibble_tri_self,
+                                          tri_self_counts_available)
             lo = data & jnp.uint8(0xF)
             hi = data >> jnp.uint8(4)
             regs = jnp.concatenate([lo, hi], axis=1)
-            eq, gt, lt = _nibble_mxu(regs, regs,
-                                     want_gtlt=(kind == "nibble-ab"))
+            if tri_self_counts_available(regs.shape[0], regs.shape[1]):
+                # triangular single-matmul MXU engine (half-square work;
+                # fastest measured --fastcmp 0.5 engine, 7 G pairs/s)
+                eq, gt, lt = counts_nibble_tri_self(regs)
+            else:
+                eq, gt, lt = _nibble_mxu(regs, regs,
+                                         want_gtlt=(kind == "nibble-ab"))
             c1, c2 = (gt, lt) if kind == "nibble-ab" else (eq, None)
         elif kind in ("ab", "full"):
             c1, c2 = CK.count_gtlt_self(data)
         else:
             c1, c2 = CK.count_eq_self(data), None
-        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2, cards, cards, b)
+        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2, cards, cards,
+                               b, gb)
 
     return jax.jit(f)
 
@@ -378,12 +414,13 @@ def _counts_epilogue_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
     import jax
     import jax.numpy as jnp
 
-    def f(gt, cards, b):
+    def f(gt, cards, b, gbt, gbinv):
         if kind in ("ab", "full", "nibble-ab"):
             c1, c2 = gt, gt.T
         else:
             c1, c2 = jnp.int32(m) - gt - gt.T, None
-        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2, cards, cards, b)
+        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2, cards, cards,
+                               b, (gbt, gbinv))
 
     return jax.jit(f)
 
@@ -395,15 +432,22 @@ def _block_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
     multi-host driver for its owned row range."""
     import jax
 
-    def f(rows_data, all_data, lh_cards, rh_cards, b):
+    def f(rows_data, all_data, lh_cards, rh_cards, b, gbt, gbinv):
         if kind in ("ab", "full", "nibble-ab"):
             c1, c2 = CK.count_gtlt(rows_data, all_data)
         else:
             c1, c2 = CK.count_eq(rows_data, all_data), None
         return _tiled_epilogue(kind, m, msr, k, fd, c1, c2,
-                               lh_cards, rh_cards, b)
+                               lh_cards, rh_cards, b, (gbt, gbinv))
 
     return jax.jit(f)
+
+
+def _gb_args(b: float, m: int):
+    """(bit-product table, 1/(1-1/b)) runtime args for the f32 nibble
+    epilogue (estimators.gb_bit_table)."""
+    return (E.gb_bit_table(b, m),
+            np.float32(1.0 / (1.0 - 1.0 / np.float64(b))))
 
 
 def _multichip_mesh():
@@ -473,7 +517,9 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
         data = result.kmers if use_kmers else sigs.view(np.uint64).reshape(
             sigs.shape)
     cards = np.asarray(result.cardinalities, np.float64)
-    b = np.float64(max(creps.b, 1.0 + 1e-9))
+    bf = max(creps.b, 1.0 + 1e-9)
+    b = np.float64(bf)
+    gbt, gbinv = _gb_args(bf, opts.sketchsize)
     mesh = _multichip_mesh()
     if mesh is not None:
         from ..parallel.allpairs import sharded_selfpairs
@@ -485,10 +531,10 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
         gt = sharded_selfpairs(mesh, d64)
         fn = _counts_epilogue_fn(kind, opts.sketchsize, opts.measure,
                                  opts.k, opts.fd_level)
-        return np.asarray(fn(gt, cards, b))
+        return np.asarray(fn(gt, cards, b, gbt, gbinv))
     fn = _self_matrix_fn(kind, opts.sketchsize, opts.measure, opts.k,
                          opts.fd_level)
-    return np.asarray(fn(data, cards, b))
+    return np.asarray(fn(data, cards, b, gbt, gbinv))
 
 
 def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,

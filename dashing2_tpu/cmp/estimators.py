@@ -177,6 +177,109 @@ def compressed_ab_measures(gt: np.ndarray, lt: np.ndarray, m: int,
     return _finalize(ret, xp)
 
 
+def gb_bit_table(b: float, m: int) -> np.ndarray:
+    """f32 constants c_k = b^(-2^k / m) for the bit-product power: for an
+    integer count c, b^(-c/m) = prod_k c_k^{bit_k(c)}. The constants are
+    computed once in f64 on the host; the selected product is pure f32
+    IEEE multiplies, so every backend produces identical bits (unlike
+    pow/exp, whose implementations differ between numpy and XLA)."""
+    nbits = max(1, int(m).bit_length())
+    return np.array([np.power(np.float64(b), -(float(1 << k) / m))
+                     for k in range(nbits)], dtype=np.float32)
+
+
+def _pow_b_neg32(counts, table: np.ndarray, xp=np):
+    """b^(-c/m) for integer count arrays via the bit-product table."""
+    c = counts.astype(np.int32) if xp is np else counts.astype("int32")
+    r = xp.full(c.shape, np.float32(1.0), dtype=np.float32)
+    one = np.float32(1.0)
+    for k in range(len(table)):
+        bit = ((c >> k) & 1).astype(bool)
+        r = r * xp.where(bit, table[k], one)
+    return r
+
+
+def compressed_ab_measures32(gtc, ltc, m: int, b: float, fd_level: float,
+                             lhcard, rhcard, measure: Measure, k: int,
+                             reg_bytes: float = 8.0, xp=np,
+                             table=None, gbinv=None):
+    """f32 variant of compressed_ab_measures operating on integer gt/lt
+    COUNT matrices, used for the nibble fastcmp path where the f64
+    epilogue (emulated f64 pow on TPU) would dominate the MXU counts
+    kernel. g_b is the bit-product power; all arithmetic is f32 and
+    identical across backends. Relative deviation from the f64 form is
+    <= ~1e-6 — far below the m=1024 sketch estimator noise.
+
+    Pass (table, gbinv) explicitly inside jits where b is traced
+    (gb_bit_table needs a concrete b)."""
+    f32 = np.float32
+    if fd_level < reg_bytes:
+        if table is None:
+            table = gb_bit_table(b, m)
+            gbinv = f32(1.0 / (1.0 - 1.0 / np.float64(b)))
+        alpha = (f32(1.0) - _pow_b_neg32(gtc, table, xp)) * gbinv
+        beta = (f32(1.0) - _pow_b_neg32(ltc, table, xp)) * gbinv
+    else:
+        invm = f32(1.0 / m)
+        alpha = gtc.astype(np.float32) * invm
+        beta = ltc.astype(np.float32) * invm
+    lh = xp.asarray(lhcard).astype(np.float32)
+    rh = xp.asarray(rhcard).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        disjoint = (alpha + beta) >= f32(1.0)
+        mu = xp.where(disjoint, lh + rh,
+                      xp.maximum((lh + rh) / (f32(2.0) - alpha - beta),
+                                 f32(0.0)))
+        ret = xp.maximum(f32(1.0) - alpha - beta, f32(0.0))
+        if measure == Measure.INTERSECTION:
+            ret = ret * mu
+        elif measure == Measure.UNION_SIZE:
+            ret = lh + rh - ret * mu
+        elif measure == Measure.CONTAINMENT:
+            ret = ret * mu / lh
+        elif measure == Measure.SYMMETRIC_CONTAINMENT:
+            ret = ret * mu / xp.minimum(lh, rh)
+        elif measure == Measure.POISSON_LLR:
+            pm = f32(-1.0 / max(1, k))
+            ret = xp.where(ret > 0,
+                           xp.log(f32(2.0) * ret / (f32(1.0) + ret)) * pm,
+                           f32(np.inf))
+    ret = ret.astype(np.float32)
+    return xp.where(xp.isfinite(ret), ret, f32(FINF))
+
+
+def bbit_measures32(eqc, m: int, fd_level: float, lhcard, rhcard,
+                    measure: Measure, k: int, xp=np):
+    """f32 variant of bbit_measures on integer eq COUNT matrices (same
+    rationale as compressed_ab_measures32)."""
+    f32 = np.float32
+    b2pow = f32(-np.ldexp(1.0, -int(fd_level * 8)))
+    sim = xp.maximum(f32(0.0),
+                     (eqc.astype(np.float32) * f32(1.0 / m) + b2pow)
+                     / (f32(1.0) + b2pow))
+    lh = xp.asarray(lhcard).astype(np.float32)
+    rh = xp.asarray(rhcard).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        if measure in (Measure.INTERSECTION, Measure.UNION_SIZE):
+            isz = xp.maximum((lh + rh) / (f32(1.0) + sim), f32(0.0))
+            ret = isz if measure == Measure.INTERSECTION else lh + rh - isz
+        elif measure == Measure.CONTAINMENT:
+            ret = xp.maximum((lh + rh) / (f32(1.0) + sim), f32(0.0)) \
+                * sim / lh
+        elif measure == Measure.POISSON_LLR:
+            pm = f32(-1.0 / max(1, k))
+            ret = xp.where(sim > 0,
+                           xp.log(f32(2.0) * sim / (f32(1.0) + sim)) * pm,
+                           f32(np.inf))
+        elif measure == Measure.SYMMETRIC_CONTAINMENT:
+            ret = xp.maximum((lh + rh) / (f32(1.0) + sim), f32(0.0)) \
+                * sim / xp.minimum(lh, rh)
+        else:
+            ret = sim
+    ret = ret.astype(np.float32)
+    return xp.where(xp.isfinite(ret), ret, f32(FINF))
+
+
 def exact_measures(isz: np.ndarray, lhcard: np.ndarray, rhcard: np.ndarray,
                    measure: Measure, k: int) -> np.ndarray:
     """Exact-mode correction (cmp_core.cpp:519-526 CORRECT_RES): from true

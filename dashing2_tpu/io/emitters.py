@@ -24,18 +24,19 @@ from ..result import SketchingResult
 
 
 def _fmt(x: np.float32) -> str:
-    """Shortest round-trip float32 text (fmt's default "{}" behavior)."""
+    """Shortest round-trip float32 text, replicating std::to_chars'
+    format selection (the native fast path in emit_fmt.cpp) so text
+    output is byte-identical with or without the C++ toolchain:
+    to_chars picks fixed or scientific by whichever string is SHORTER,
+    fixed winning ties — not by an exponent-range rule."""
     v = float(x)
     if v != v or v in (float("inf"), float("-inf")):
         return str(v)
     if v == 0:
-        return "0"
-    av = abs(v)
-    if 1e-5 <= av < 1e16:
-        s = np.format_float_positional(np.float32(v), unique=True, trim="-")
-    else:
-        s = np.format_float_scientific(np.float32(v), unique=True, trim="-")
-    return s
+        return "-0" if np.signbit(np.float32(x)) else "0"
+    pos = np.format_float_positional(np.float32(v), unique=True, trim="-")
+    sci = np.format_float_scientific(np.float32(v), unique=True, trim="-")
+    return pos if len(pos) <= len(sci) else sci
 
 
 _EMIT_LIB = "unset"

@@ -295,6 +295,163 @@ def counts_int_pallas(a, b, tm: int = 16, tn: int = 512):
 
 
 # ----------------------------------------------------------------------
+# triangular single-matmul MXU engine for nibble registers (self-pairs)
+# ----------------------------------------------------------------------
+#
+# The fastest engine for --fastcmp 0.5 all-pairs (measured 7.0 G unique
+# pairs/s at N=10240 m=1024 on one v5e vs 2.8 G for the full-square
+# 2-matmul form):
+#
+# * lower-triangle block pairs only (half-square work), mapped to a
+#   STATIC rectangular grid by pairing block-rows u and T-1-u:
+#   grid (T/2, T+1, K/bk) covers each pair exactly once;
+# * ONE int8 matmul yields both counts: one operand encodes
+#   ct[(r,v), j] = [b_jr == v] - 128*[b_jr < v]  (int8 {-128, 0, 1}),
+#   contracted in 64-register chunks (bk = 64*16 k-rows) so each
+#   partial = eq_chunk - 128*gt_chunk is exactly decodable
+#   (eq_chunk <= 64 < 128):  gt_c = (127 - partial) >> 7,
+#   eq_c = partial + (gt_c << 7), accumulated on the VPU;
+# * BOTH operands are built TRANSPOSED, (16m, N) register-major: from
+#   a.T the encode intermediate is (m, 16, N) whose minor dim is N — no
+#   lane padding (an (..., 16)-minor intermediate would be padded
+#   16->128 by the TPU layout, 8x traffic) and no relayout copy. The
+#   kernel contracts dimension 0 of both blocks.
+
+_TRI_BM = 1024    # block rows; T = Npad / bm must be even
+_TRI_BK = 1024    # 64 registers * 16 levels per k-step (decode bound)
+
+
+def enc_onehot_T(a: jnp.ndarray, dt=jnp.int8) -> jnp.ndarray:
+    """(16m, N) one-hot of nibble registers, register-major k."""
+    n, m = a.shape
+    lv = jnp.arange(16, dtype=jnp.uint8)
+    at = a.T
+    return (at[:, None, :] == lv[None, :, None]).astype(dt).reshape(
+        16 * m, n)
+
+
+def enc_combined_T(a: jnp.ndarray) -> jnp.ndarray:
+    """(16m, N) int8 combined encoding [b==v] - 128*[b<v], reg-major."""
+    n, m = a.shape
+    lv = jnp.arange(16, dtype=jnp.uint8)
+    at = a.T
+    eq = (at[:, None, :] == lv[None, :, None]).astype(jnp.int8)
+    lt = (at[:, None, :] < lv[None, :, None]).astype(jnp.int8)
+    return (eq + lt * jnp.int8(-128)).reshape(16 * m, n)
+
+
+def _tri_comb_kernel(oht_ref, ct_ref, eq_ref, gt_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        eq_ref[0] = jnp.zeros_like(eq_ref[0])
+        gt_ref[0] = jnp.zeros_like(gt_ref[0])
+    partial = jax.lax.dot_general(oht_ref[:], ct_ref[:],
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+    t = (jnp.int32(127) - partial) >> 7
+    gt_ref[0] += t
+    eq_ref[0] += partial + (t << 7)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bk", "T", "interpret"))
+def _tri_comb_call(oht, ct, *, bm: int, bk: int, T: int, interpret: bool):
+    K, N = oht.shape
+    H = T // 2
+    P = H * (T + 1)
+
+    def row(u, v):
+        return jax.lax.select(v <= u, u, T - 1 - u)
+
+    def col(u, v):
+        return jax.lax.select(v <= u, v, v - u - 1)
+
+    return pl.pallas_call(
+        _tri_comb_kernel,
+        grid=(H, T + 1, K // bk),
+        in_specs=[
+            pl.BlockSpec((bk, bm), lambda u, v, k: (k, row(u, v))),
+            pl.BlockSpec((bk, bm), lambda u, v, k: (k, col(u, v))),
+        ],
+        out_specs=[pl.BlockSpec((1, bm, bm),
+                                lambda u, v, k: (u * (T + 1) + v, 0, 0))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((P, bm, bm), jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+        interpret=interpret,
+    )(oht, ct)
+
+
+@functools.lru_cache(maxsize=16)
+def _tri_pair_slot(T: int) -> np.ndarray:
+    """slot[bi, bj] = output index p for lower-triangle pair (bi >= bj)."""
+    H = T // 2
+    slot = np.full((T, T), -1, np.int64)
+    for u in range(H):
+        for v in range(T + 1):
+            if v <= u:
+                slot[u, v] = u * (T + 1) + v
+            else:
+                slot[T - 1 - u, v - u - 1] = u * (T + 1) + v
+    return slot
+
+
+def _tri_assemble_counts(eq_t, gt_t, T: int, m: int):
+    """Tiles -> full (eq, gt, lt) matrices. Lower blocks come from the
+    tiles; upper from trichotomy on the transposed mirror tile
+    (gt(i,j) = lt(j,i) = m - eq(j,i) - gt(j,i))."""
+    slot = _tri_pair_slot(T)
+    rows_eq, rows_gt = [], []
+    for bi in range(T):
+        cols_eq, cols_gt = [], []
+        for bj in range(T):
+            if bi >= bj:
+                p = int(slot[bi, bj])
+                cols_eq.append(eq_t[p])
+                cols_gt.append(gt_t[p])
+            else:
+                p = int(slot[bj, bi])
+                cols_eq.append(eq_t[p].T)
+                cols_gt.append(jnp.int32(m) - eq_t[p].T - gt_t[p].T)
+        rows_eq.append(jnp.concatenate(cols_eq, axis=1))
+        rows_gt.append(jnp.concatenate(cols_gt, axis=1))
+    eq = jnp.concatenate(rows_eq, axis=0)
+    gt = jnp.concatenate(rows_gt, axis=0)
+    return eq, gt
+
+
+def tri_self_counts_available(n: int, m: int) -> bool:
+    """The tri engine needs a TPU, enough rows to beat the full-square
+    form's padding, and a k-chunking-compatible register count."""
+    return _on_tpu() and n > _TRI_BM and (m % 64 == 0 or m <= 64)
+
+
+def counts_nibble_tri_self(a_nib: jnp.ndarray, bm: int = 0):
+    """(eq, gt, lt) for all pairs of one unpacked nibble matrix (N, m)
+    via the triangular single-matmul MXU engine. Traceable (fixed pad
+    shape per N)."""
+    n, m = a_nib.shape
+    bm = bm or _TRI_BM
+    bk = min(_TRI_BK, 16 * m)
+    T = -(-n // bm)
+    if T % 2:
+        T += 1
+    npad = T * bm
+    if npad != n:
+        a_nib = jnp.concatenate(
+            [a_nib, jnp.zeros((npad - n, m), a_nib.dtype)])
+    oht = enc_onehot_T(a_nib)
+    ct = enc_combined_T(a_nib)
+    with jax.enable_x64(False):
+        eq_t, gt_t = _tri_comb_call(oht, ct, bm=bm, bk=bk, T=T,
+                                    interpret=not _on_tpu())
+    eq, gt = _tri_assemble_counts(eq_t, gt_t, T, m)
+    eq = eq[:n, :n]
+    gt = gt[:n, :n]
+    return eq, gt, jnp.int32(m) - eq - gt
+
+
+# ----------------------------------------------------------------------
 # MXU one-hot path for nibble registers
 # ----------------------------------------------------------------------
 

@@ -64,9 +64,13 @@ def _gtlt_block(a: jnp.ndarray, b: jnp.ndarray, tm: int = 16
         # lt derives from trichotomy (lt = m - gt - eq; eq mask is
         # cheaper than the lt mask)
         if len(tile) == 1:
+            # float branch: trichotomy holds only for totally ordered
+            # values — a NaN register would count as lt (fails >, ==,
+            # <), so compare lt directly instead
             (tv,), (bv,) = tile, parts_b
             gt = (tv[:, None, :] > bv[None, :, :]).sum(-1, dtype=jnp.int32)
-            eq = (tv[:, None, :] == bv[None, :, :]).sum(-1, dtype=jnp.int32)
+            lt = (tv[:, None, :] < bv[None, :, :]).sum(-1, dtype=jnp.int32)
+            return None, (gt, lt)
         else:
             (th, tl), (bh, bl) = tile, parts_b
             hi_eq = th[:, None, :] == bh[None, :, :]

@@ -176,10 +176,12 @@ def distributed_sketch_cmp(opts, groups: Sequence[str],
             data = data.astype(np.uint64)
         fn = _block_matrix_fn(kind, opts.sketchsize, opts.measure,
                               opts.k, opts.fd_level)
+        from ..cmp.core import _gb_args
+        bf = max(creps.b, 1.0 + 1e-9)
+        gbt, gbinv = _gb_args(bf, opts.sketchsize)
         block = np.asarray(fn(
             data[lo:hi], data, np.asarray(cards[lo:hi], np.float64),
-            np.asarray(cards, np.float64),
-            np.float64(max(creps.b, 1.0 + 1e-9))))
+            np.asarray(cards, np.float64), np.float64(bf), gbt, gbinv))
     else:
         block = _measure_block(opts, full, creps, rows, cols)
     if outfile:

@@ -92,3 +92,23 @@ def test_gtlt_self_pallas_triangular():
     gt2, lt2 = count_gtlt(a, a)
     np.testing.assert_array_equal(np.asarray(gt), np.asarray(gt2))
     np.testing.assert_array_equal(np.asarray(lt), np.asarray(lt2))
+
+
+def test_tri_comb_counts_match_reference():
+    """Triangular single-matmul engine (interpret mode off-TPU) must
+    produce exact eq/gt/lt incl. padding rows sliced off and the
+    eq_chunk==64 decode boundary (identical rows)."""
+    import jax.numpy as jnp
+    from dashing2_tpu.ops.pallas_cmp import counts_nibble_tri_self
+    rng = np.random.default_rng(11)
+    for n, m in ((300, 128), (512, 64)):
+        a = rng.integers(0, 16, size=(n, m)).astype(np.uint8)
+        a[7] = a[3]         # identical pair
+        a[20] = 0           # constant rows
+        a[21] = 15
+        eq, gt, lt = counts_nibble_tri_self(jnp.asarray(a), bm=128)
+        eq_ref = (a[:, None, :] == a[None, :, :]).sum(2)
+        gt_ref = (a[:, None, :] > a[None, :, :]).sum(2)
+        assert np.array_equal(np.asarray(eq), eq_ref), (n, m)
+        assert np.array_equal(np.asarray(gt), gt_ref), (n, m)
+        assert np.array_equal(np.asarray(lt), m - eq_ref - gt_ref), (n, m)
