@@ -78,6 +78,25 @@ def registers_as_u64(data: np.ndarray) -> np.ndarray:
     return data.astype(np.uint64)
 
 
+
+
+def cap_per_item(ia: np.ndarray, ib: np.ndarray, counts: np.ndarray,
+                 max_per_item: int):
+    """Keep each item's max_per_item highest-count pairs (deterministic
+    lexsort ranking; shared by single-host and merged multi-host runs)."""
+    if max_per_item <= 0 or not len(ia):
+        return ia, ib, counts
+    keep = np.zeros(len(ia), dtype=bool)
+    for side in (ia, ib):
+        order = np.lexsort((-counts, side))
+        sside = side[order]
+        first = np.concatenate([[True], sside[1:] != sside[:-1]])
+        rank = np.arange(len(sside)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(sside)), 0))
+        keep[order[rank < max_per_item]] = True
+    return ia[keep], ib[keep], counts[keep]
+
+
 @dataclasses.dataclass
 class LSHIndex:
     """Precomputed keys (dense form, for all-pairs candidate generation)
@@ -114,7 +133,8 @@ class LSHIndex:
 
     # ------------------------------------------------------------------
     def candidate_pairs(self, max_per_item: int,
-                        bucket_cap: int = 256
+                        bucket_cap: int = 256,
+                        column_shard: Tuple[int, int] | None = None
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All-items candidate generation (vectorized self-join).
 
@@ -122,9 +142,17 @@ class LSHIndex:
         by shared-bucket count during selection. Buckets larger than
         bucket_cap are truncated (the reference's per-item early stop
         bounds work the same way).
+
+        column_shard=(i, n): process only every n-th subtable column
+        starting at i — the multi-host partition of candidate
+        generation. Sharded runs disable per-item saturation (it is
+        generation-order-dependent) so the union of all shards' pairs,
+        merged with merge_candidate_shards, equals a single unsaturated
+        run exactly.
         """
         if self.bottomk_mode:
-            return self._candidate_pairs_bottomk(max_per_item, bucket_cap)
+            return self._candidate_pairs_bottomk(max_per_item, bucket_cap,
+                                                 column_shard)
         pair_chunks = []
         N = self.keys[0].shape[0] if self.keys else 0
         # per-item saturation: once an item has gathered enough raw
@@ -132,13 +160,19 @@ class LSHIndex:
         # only saturated items are dropped — the vectorized counterpart
         # of query_candidates' early stop (ssi.h:427-445), and the thing
         # that keeps clustered corpora from emitting O(N * bucket^2) rows
-        sat_at = max(max_per_item, 1) * 4 if max_per_item > 0 else None
+        sat_at = (max(max_per_item, 1) * 4
+                  if max_per_item > 0 and column_shard is None else None)
         cand_count = np.zeros(N, np.int64)
+        col_no = -1
         # most-specific table first (reference scans last table first)
         for t in range(len(self.keys) - 1, -1, -1):
             keys = self.keys[t]            # (N, nsub)
             nsub = keys.shape[1]
             for j in range(nsub):
+                col_no += 1
+                if column_shard is not None and \
+                        col_no % column_shard[1] != column_shard[0]:
+                    continue
                 if sat_at is not None and (cand_count >= sat_at).all():
                     break
                 col = keys[:, j]
@@ -178,24 +212,18 @@ class LSHIndex:
         uniq, counts = np.unique(codes, return_counts=True)
         ia = uniq // N
         ib = uniq % N
-        # per-item cap: keep the max_per_item highest-count pairs per item
-        if max_per_item > 0 and len(ia):
-            keep = np.zeros(len(ia), dtype=bool)
-            for side in (ia, ib):
-                order = np.lexsort((-counts, side))
-                sside = side[order]
-                first = np.concatenate([[True], sside[1:] != sside[:-1]])
-                rank = np.arange(len(sside)) - np.maximum.accumulate(
-                    np.where(first, np.arange(len(sside)), 0))
-                keep[order[rank < max_per_item]] = True
-            ia, ib, counts = ia[keep], ib[keep], counts[keep]
-        return ia, ib, counts
+        if column_shard is not None:
+            # cap applies AFTER the cross-host merge
+            return ia, ib, counts
+        return cap_per_item(ia, ib, counts, max_per_item)
 
-    def _candidate_pairs_bottomk(self, max_per_item: int, bucket_cap: int):
+    def _candidate_pairs_bottomk(self, max_per_item: int, bucket_cap: int,
+                                 column_shard=None):
         """Exact-mode candidates: items sharing bottom-k k-mer hashes
         (ssi.h:213-254). Sort-join over the concatenated (hash, owner)
         stream — one lexsort + run-length bucket expansion instead of the
-        per-hash Python dict walk."""
+        per-hash Python dict walk. column_shard partitions the
+        unique-hash groups across hosts."""
         N = len(self._bottomk)
         sizes = np.array([len(h) for h in self._bottomk], np.int64)
         if sizes.sum() == 0:
@@ -208,6 +236,10 @@ class LSHIndex:
         sk, so = keys[order], owner[order]
         starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
         lens = np.diff(np.concatenate([starts, [len(sk)]]))
+        if column_shard is not None:
+            own = (np.arange(len(starts)) % column_shard[1]
+                   == column_shard[0])
+            starts, lens = starts[own], lens[own]
         big = lens >= 2
         starts, lens = starts[big], np.minimum(lens[big], bucket_cap)
         chunks = []
@@ -231,17 +263,9 @@ class LSHIndex:
         codes, counts = np.unique(allp[:, 0] * N + allp[:, 1],
                                   return_counts=True)
         ia, ib = codes // N, codes % N
-        if max_per_item > 0:
-            keep = np.zeros(len(ia), dtype=bool)
-            for side in (ia, ib):
-                order = np.lexsort((-counts, side))
-                sside = side[order]
-                first = np.concatenate([[True], sside[1:] != sside[:-1]])
-                rank = np.arange(len(sside)) - np.maximum.accumulate(
-                    np.where(first, np.arange(len(sside)), 0))
-                keep[order[rank < max_per_item]] = True
-            ia, ib, counts = ia[keep], ib[keep], counts[keep]
-        return ia, ib, counts
+        if column_shard is not None:
+            return ia, ib, counts
+        return cap_per_item(ia, ib, counts, max_per_item)
 
     # ------------------------------------------------------------------
     # incremental interface (greedy dedup)
@@ -422,3 +446,26 @@ def default_candidates(nitems: int, maxcand_global: int = -1) -> int:
     if nitems <= 1000000:
         return int(np.ceil(np.cbrt(nitems)))
     return int(np.ceil(np.log(nitems) ** 3))
+
+
+def merge_candidate_shards(shards, n_items: int, max_per_item: int):
+    """Combine per-host candidate shards (ia, ib, counts) — disjoint
+    column partitions of the same index — into the global candidate
+    set: sum counts per pair, then apply the shared per-item cap. With
+    saturation disabled the result equals a single unsaturated
+    candidate_pairs run exactly (tested)."""
+    ias = [s[0] for s in shards if len(s[0])]
+    if not ias:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    codes = np.concatenate([s[0].astype(np.int64) * n_items + s[1]
+                            for s in shards if len(s[0])])
+    cnts = np.concatenate([s[2] for s in shards if len(s[0])])
+    order = np.argsort(codes, kind="stable")
+    codes, cnts = codes[order], cnts[order]
+    starts = np.nonzero(np.concatenate([[True],
+                                        codes[1:] != codes[:-1]]))[0]
+    total = np.add.reduceat(cnts, starts)
+    uniq = codes[starts]
+    return cap_per_item(uniq // n_items, uniq % n_items, total,
+                        max_per_item)

@@ -124,6 +124,68 @@ def my_row_range(n: int, process_index: int, process_count: int
     return lo, min(lo + per, n)
 
 
+def gather_candidate_shards(ia: np.ndarray, ib: np.ndarray,
+                            counts: np.ndarray) -> List[tuple]:
+    """All-gather this host's candidate shard. Multi-process: padded
+    fixed-width payload over process_allgather; single process: the
+    local shard alone."""
+    import jax
+    if jax.process_count() == 1:
+        return [(ia, ib, counts)]
+    from jax.experimental import multihost_utils
+    n = np.array([len(ia)], np.int64)
+    nmax = int(np.asarray(multihost_utils.process_allgather(n)).max())
+    pad = nmax - len(ia)
+
+    def _p(x):
+        return np.concatenate([x.astype(np.int64),
+                               np.full(pad, -1, np.int64)])
+    g = multihost_utils.process_allgather(
+        np.stack([_p(ia), _p(ib), _p(counts)]))
+    out = []
+    for h in range(jax.process_count()):
+        row = np.asarray(g[h])
+        live = row[0] >= 0
+        out.append((row[0][live], row[1][live], row[2][live]))
+    return out
+
+
+def distributed_neighbor_lists(opts, result, creps,
+                               process_index: Optional[int] = None,
+                               process_count: Optional[int] = None):
+    """Multi-host KNN/threshold graph: the LSH index is built
+    replicated (key hashing is one vectorized pass), candidate
+    generation is partitioned by subtable COLUMN across hosts (the
+    sort-joins are the expensive part), shards merge into the exact
+    global candidate set (lsh.merge_candidate_shards), and every host
+    refines + selects identically — per-host outputs are byte-identical
+    to the single-host graph (SURVEY §5 'multi-host LSH build').
+
+    process_index/count override jax.process_* for simulated-host
+    tests."""
+    import jax
+
+    from ..cmp.graph import INFLATE_FACTOR, _index_source, _refine_lists
+    from ..cmp.lsh import merge_candidate_shards
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    n = result.n
+    ntoquery = (min(n - 1, int(opts.num_neighbors * INFLATE_FACTOR))
+                if opts.num_neighbors > 0
+                else (opts.maxcand if opts.maxcand > 0 else n - 1))
+    idx = _index_source(opts, result, creps)
+    if process_index is None:
+        shards = gather_candidate_shards(*idx.candidate_pairs(
+            max_per_item=ntoquery, column_shard=(pi, pc)))
+    else:
+        # simulated hosts: run every shard in this process
+        shards = [idx.candidate_pairs(max_per_item=ntoquery,
+                                      column_shard=(h, pc))
+                  for h in range(pc)]
+    ia, ib, _ = merge_candidate_shards(shards, n, ntoquery)
+    return _refine_lists(opts, result, creps, ia, ib)
+
+
 def distributed_sketch_cmp(opts, groups: Sequence[str],
                            outfile: Optional[str] = None) -> np.ndarray:
     """Full multi-host pipeline: shard inputs -> sketch locally ->

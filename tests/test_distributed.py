@@ -132,3 +132,56 @@ def test_two_process_jax_distributed(fixtures, tmp_path):
     ref = np.concatenate([b for _, b in pairwise_matrix(opts, res)])
     assert got.shape == ref.shape
     assert np.allclose(got, ref, atol=1e-6), np.abs(got - ref).max()
+
+
+def test_distributed_lsh_candidates_match_single(fixtures):
+    """Column-sharded candidate generation merged across simulated hosts
+    must equal a single unsaturated run exactly, and the distributed
+    KNN lists must match the single-host graph byte-for-byte."""
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.cmp.graph import _index_source, _refine_lists
+    from dashing2_tpu.cmp.lsh import merge_candidate_shards
+    from dashing2_tpu.sketch.core import sketch_fastx
+
+    opts = Dashing2DistOptions(k=21, sketchsize=256, num_neighbors=2)
+    result = sketch_fastx(opts, list(fixtures))
+    creps, result = C._prep(opts, result)
+    n = result.n
+    idx = _index_source(opts, result, creps)
+    ntoquery = min(n - 1, int(2 * 3.5))
+
+    ia1, ib1, c1 = idx.candidate_pairs(max_per_item=ntoquery,
+                                       column_shard=(0, 1))
+    from dashing2_tpu.cmp.lsh import cap_per_item
+    ia1, ib1, c1 = cap_per_item(ia1, ib1, c1, ntoquery)
+
+    shards = [idx.candidate_pairs(max_per_item=ntoquery,
+                                  column_shard=(h, 3)) for h in range(3)]
+    ia3, ib3, c3 = merge_candidate_shards(shards, n, ntoquery)
+    assert np.array_equal(ia1, ia3)
+    assert np.array_equal(ib1, ib3)
+    assert np.array_equal(c1, c3)
+
+    # end-to-end simulated-host KNN == single-host refine on same pairs
+    from dashing2_tpu.parallel.distributed import distributed_neighbor_lists
+    lists_d = distributed_neighbor_lists(opts, result, creps,
+                                         process_index=0, process_count=3)
+    lists_s = _refine_lists(opts, result, creps, ia1, ib1)
+    assert lists_d == lists_s
+
+
+def test_distributed_lsh_candidates_bottomk(fixtures):
+    """Sharded bottom-k (exact-mode) candidates merge to the single run."""
+    from dashing2_tpu.cmp.lsh import (LSHIndex, cap_per_item,
+                                      merge_candidate_shards)
+    rng = np.random.default_rng(5)
+    uni = rng.integers(0, 300, size=600).astype(np.uint64)
+    bk = [np.unique(rng.choice(uni, size=40)) for _ in range(12)]
+    idx = LSHIndex.build(np.zeros((0, 0)), 2, bottomk=bk)
+    ia1, ib1, c1 = idx.candidate_pairs(max_per_item=4, column_shard=(0, 1))
+    ia1, ib1, c1 = cap_per_item(ia1, ib1, c1, 4)
+    shards = [idx.candidate_pairs(max_per_item=4, column_shard=(h, 4))
+              for h in range(4)]
+    ia4, ib4, c4 = merge_candidate_shards(shards, 12, 4)
+    assert np.array_equal(ia1, ia4) and np.array_equal(ib1, ib4)
+    assert np.array_equal(c1, c4)
