@@ -1,0 +1,182 @@
+"""End-to-end benchmarks for the five BASELINE.md configurations.
+
+Each config runs the real pipeline (sketch -> compare -> emit) through
+the library entry points on generated fixtures and reports wall-clock
+phase times, sketching throughput (bases/s) and comparison throughput
+(unique pairs/s). Prints one JSON line per config plus a summary line.
+
+Scale knobs (defaults are CI-sized; the README numbers use the env):
+  DASHING2_TPU_BENCH_N       genomes for configs 1/2/4/5 (default 200)
+  DASHING2_TPU_BENCH_LEN     genome length (default 200_000)
+  DASHING2_TPU_BENCH_TOPK_N  genomes for the LSH graph config (default
+                             = BENCH_N; the north-star uses 10000)
+
+Usage: python bench_e2e.py [config ...]   (default: all five)
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+N = int(os.environ.get("DASHING2_TPU_BENCH_N", 200))
+LEN = int(os.environ.get("DASHING2_TPU_BENCH_LEN", 200_000))
+TOPK_N = int(os.environ.get("DASHING2_TPU_BENCH_TOPK_N", N))
+
+
+def _gen_fastas(d, n, length, seed=7):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from make_fixtures import make
+    return make(d, n_genomes=n, length=length, seed=seed)
+
+
+def _gen_bed_bw(d):
+    from dashing2_tpu.io import bigwig as BW
+    rng = np.random.default_rng(3)
+    beds = []
+    for i in range(8):
+        p = os.path.join(d, f"iv{i}.bed")
+        with open(p, "w") as f:
+            pos = np.sort(rng.integers(0, 1_000_000, size=400))
+            for s in pos:
+                f.write(f"chr1\t{s}\t{s + int(rng.integers(50, 500))}\n")
+        beds.append(p)
+    del BW
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from test_subcommands import _write_minimal_bigwig
+    bws = []
+    for i in range(4):
+        p = os.path.join(d, f"cov{i}.bw")
+        starts = np.sort(rng.choice(9000, size=200, replace=False)) * 100
+        iv = [(int(s), int(s) + 100, float(rng.random() + 0.1))
+              for s in starts]
+        _write_minimal_bigwig(p, intervals=tuple(iv))
+        bws.append(p)
+    return beds, bws
+
+
+def _emit(name, **fields):
+    print(json.dumps({"config": name, **fields}), flush=True)
+    return fields
+
+
+def _pairs(n):
+    return n * (n - 1) / 2
+
+
+def bench_default(d):
+    """Config 1: default OPH SetSketch, all-pairs PHYLIP."""
+    from dashing2_tpu.cli import main
+    fas = _gen_fastas(os.path.join(d, "c1"), N, LEN)
+    out = os.path.join(d, "c1.phy")
+    t0 = time.perf_counter()
+    rc = main(["sketch", "-k", "31", "-S", "1024", "--cmpout", out] + fas)
+    dt = time.perf_counter() - t0
+    assert rc == 0
+    return _emit("default-setsketch", n=N, seconds=round(dt, 3),
+                 bases_per_s=round(N * LEN / dt),
+                 pairs_per_s=round(_pairs(N) / dt))
+
+
+def bench_weighted(d):
+    from dashing2_tpu.cli import main
+    fas = _gen_fastas(os.path.join(d, "c2"), N, LEN)
+    res = {}
+    for flag, nm in (("--multiset", "bagminhash"), ("--prob", "probminhash")):
+        out = os.path.join(d, f"c2{nm}.bin")
+        t0 = time.perf_counter()
+        rc = main(["sketch", "-k", "31", "-S", "1024", flag,
+                   "--binary-output", "--cmpout", out] + fas)
+        dt = time.perf_counter() - t0
+        assert rc == 0
+        res[nm] = _emit(f"weighted-{nm}", n=N, seconds=round(dt, 3),
+                        bases_per_s=round(N * LEN / dt),
+                        pairs_per_s=round(_pairs(N) / dt))
+    return res
+
+
+def bench_intervals(d):
+    from dashing2_tpu.cli import main
+    beds, bws = _gen_bed_bw(d)
+    out = os.path.join(d, "c3.phy")
+    t0 = time.perf_counter()
+    rc = main(["sketch", "-S", "1024", "--bed", "--multiset",
+               "--normalize-intervals", "--cmpout", out] + beds)
+    dt = time.perf_counter() - t0
+    assert rc == 0
+    r = _emit("intervals-bed", n=len(beds), seconds=round(dt, 3),
+              pairs_per_s=round(_pairs(len(beds)) / dt))
+    if bws:
+        out = os.path.join(d, "c3b.phy")
+        t0 = time.perf_counter()
+        rc = main(["sketch", "-S", "1024", "--bigwig", "--multiset",
+                   "--normalize-intervals", "--cmpout", out] + bws)
+        dt = time.perf_counter() - t0
+        assert rc == 0
+        _emit("intervals-bigwig", n=len(bws), seconds=round(dt, 3))
+    return r
+
+
+def bench_topk(d):
+    from dashing2_tpu.cli import main
+    n = TOPK_N
+    fas = _gen_fastas(os.path.join(d, "c4"), n, LEN)
+    out = os.path.join(d, "c4.bin")
+    t0 = time.perf_counter()
+    rc = main(["sketch", "-k", "31", "-S", "1024", "--topk", "10",
+               "--binary-output", "--cmpout", out] + fas)
+    dt = time.perf_counter() - t0
+    assert rc == 0
+    return _emit("lsh-topk10", n=n, seconds=round(dt, 3),
+                 items_per_s=round(n / dt))
+
+
+def bench_refine_exact(d):
+    from dashing2_tpu.cli import main
+    n = max(N // 4, 8)
+    fas = _gen_fastas(os.path.join(d, "c5"), n, LEN)
+    out = os.path.join(d, "c5.bin")
+    t0 = time.perf_counter()
+    rc = main(["sketch", "-k", "31", "--set", "--topk", "5",
+               "--refine-exact", "--binary-output", "--cmpout", out] + fas)
+    dt = time.perf_counter() - t0
+    assert rc == 0
+    r = _emit("set-refine-exact", n=n, seconds=round(dt, 3))
+    out = os.path.join(d, "c5s.bin")
+    t0 = time.perf_counter()
+    rc = main(["sketch", "-k", "31", "-S", "64", "--seq", "--topk", "5",
+               "--exact-kmer-dist", "--binary-output", "--cmpout", out]
+              + fas)
+    dt = time.perf_counter() - t0
+    assert rc == 0
+    _emit("seq-editdist-knn", n=n, seconds=round(dt, 3))
+    return r
+
+
+ALL = {
+    "default": bench_default,
+    "weighted": bench_weighted,
+    "intervals": bench_intervals,
+    "topk": bench_topk,
+    "refine": bench_refine_exact,
+}
+
+
+def main():
+    which = sys.argv[1:] or list(ALL)
+    d = tempfile.mkdtemp(prefix="d2bench_")
+    try:
+        for w in which:
+            ALL[w](d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -385,14 +385,20 @@ def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
         if kind.startswith("nibble"):
             from ..ops.pallas_cmp import (_nibble_mxu,
                                           counts_nibble_tri_self,
+                                          eq_nibble_tri_self,
                                           tri_self_counts_available)
             lo = data & jnp.uint8(0xF)
             hi = data >> jnp.uint8(4)
             regs = jnp.concatenate([lo, hi], axis=1)
             if tri_self_counts_available(regs.shape[0], regs.shape[1]):
-                # triangular single-matmul MXU engine (half-square work;
-                # fastest measured --fastcmp 0.5 engine, 7 G pairs/s)
-                eq, gt, lt = counts_nibble_tri_self(regs)
+                # triangular MXU engines (half-square work): single
+                # combined matmul for gtlt, plain one-hot matmul for the
+                # eq-only b-bit estimator (fastest measured fastcmp
+                # engines: ~7 G unique-pairs/s counts at N=10240)
+                if kind == "nibble-ab":
+                    eq, gt, lt = counts_nibble_tri_self(regs)
+                else:
+                    eq, gt, lt = eq_nibble_tri_self(regs), None, None
             else:
                 eq, gt, lt = _nibble_mxu(regs, regs,
                                          want_gtlt=(kind == "nibble-ab"))

@@ -40,6 +40,12 @@ def _index_source(opts: Dashing2DistOptions, result: SketchingResult,
     """What the LSH index is built over (index_build.cpp:70-99): the
     compressed registers when sketching was compressed (>= 1 byte), else
     full signatures; exact modes index bottom-k k-mer hashes."""
+    if opts.kmer_result == KmerSketchResultType.FULL_MMER_SEQUENCE:
+        # --seq candidates: items sharing bottom-k minimizers (the
+        # minimizer streams ARE the representation; no registers exist)
+        k = max(opts.sketchsize, 1)
+        bk = [np.unique(s)[:k] for s in result.mmer_sequences]
+        return LSHIndex.build(np.zeros((0, 0)), opts.nLSH, bottomk=bk)
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
         k = max(opts.sketchsize, 1)
         bk = [s[:k] for s in result.kmer_sets]

@@ -420,6 +420,76 @@ def _tri_assemble_counts(eq_t, gt_t, T: int, m: int):
     return eq, gt
 
 
+def _tri_eq_kernel(oht_ref, ohb_ref, eq_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        eq_ref[0] = jnp.zeros_like(eq_ref[0])
+    eq_ref[0] += jax.lax.dot_general(oht_ref[:], ohb_ref[:],
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bk", "T", "interpret"))
+def _tri_eq_call(oht, *, bm: int, bk: int, T: int, interpret: bool):
+    K, N = oht.shape
+    H = T // 2
+    P = H * (T + 1)
+
+    def row(u, v):
+        return jax.lax.select(v <= u, u, T - 1 - u)
+
+    def col(u, v):
+        return jax.lax.select(v <= u, v, v - u - 1)
+
+    return pl.pallas_call(
+        _tri_eq_kernel,
+        grid=(H, T + 1, K // bk),
+        in_specs=[
+            pl.BlockSpec((bk, bm), lambda u, v, k: (k, row(u, v))),
+            pl.BlockSpec((bk, bm), lambda u, v, k: (k, col(u, v))),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bm),
+                               lambda u, v, k: (u * (T + 1) + v, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, bm, bm), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+        interpret=interpret,
+    )(oht, oht)
+
+
+def eq_nibble_tri_self(a_nib: jnp.ndarray, bm: int = 0) -> jnp.ndarray:
+    """Full (N, N) eq count matrix for self-pairs via the triangular
+    one-hot matmul — ONE int8 matmul per lower block pair, no decode
+    (the --fastcmp --bbit-sigs b-bit estimator consumes eq only). Upper
+    blocks are the mirrored tiles transposed (eq is symmetric)."""
+    n, m = a_nib.shape
+    bm = bm or _TRI_BM
+    bk = min(_TRI_BK, 16 * m)
+    T = -(-n // bm)
+    if T % 2:
+        T += 1
+    npad = T * bm
+    if npad != n:
+        a_nib = jnp.concatenate(
+            [a_nib, jnp.zeros((npad - n, m), a_nib.dtype)])
+    oht = enc_onehot_T(a_nib)
+    with jax.enable_x64(False):
+        eq_t = _tri_eq_call(oht, bm=bm, bk=bk, T=T,
+                            interpret=not _on_tpu())
+    slot = _tri_pair_slot(T)
+    rows = []
+    for bi in range(T):
+        cols = []
+        for bj in range(T):
+            if bi >= bj:
+                cols.append(eq_t[int(slot[bi, bj])])
+            else:
+                cols.append(eq_t[int(slot[bj, bi])].T)
+        rows.append(jnp.concatenate(cols, axis=1))
+    return jnp.concatenate(rows, axis=0)[:n, :n]
+
+
 def tri_self_counts_available(n: int, m: int) -> bool:
     """The tri engine needs a TPU, enough rows to beat the full-square
     form's padding, and a k-chunking-compatible register count."""

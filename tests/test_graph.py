@@ -257,3 +257,20 @@ def test_lsh_intra_candidates_match_insert_query():
             ref.add((min(c, i), max(c, i)))
         idx2.insert(i, i)
     assert got == ref
+
+
+def test_seq_editdist_topk(fixtures, tmp_path):
+    """--seq minimizer sequences + --topk uses the bottom-k minimizer
+    LSH (previously crashed: no index source for FULL_MMER_SEQUENCE)."""
+    out = tmp_path / "seqknn.bin"
+    rc = run_cli(["sketch", "-k", "21", "-S", "64", "--seq", "--topk", "2",
+                  "--exact-kmer-dist", "--binary-output",
+                  "--cmpout", str(out)] + fixtures)
+    assert rc == 0
+    from dashing2_tpu.io import formats
+    indptr, indices, data = formats.read_knn_csr(str(out))
+    assert len(indptr) == len(fixtures) + 1
+    assert (np.diff(indptr.astype(np.int64)) >= 1).all()
+    # distances: genome 1's nearest neighbors should include 0 or 2
+    row1 = indices[int(indptr[1]):int(indptr[1 + 1])]
+    assert row1[0] in (0, 2)

@@ -112,3 +112,14 @@ def test_tri_comb_counts_match_reference():
         assert np.array_equal(np.asarray(eq), eq_ref), (n, m)
         assert np.array_equal(np.asarray(gt), gt_ref), (n, m)
         assert np.array_equal(np.asarray(lt), m - eq_ref - gt_ref), (n, m)
+
+
+def test_tri_eq_counts_match_reference():
+    import jax.numpy as jnp
+    from dashing2_tpu.ops.pallas_cmp import eq_nibble_tri_self
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 16, size=(300, 128)).astype(np.uint8)
+    a[5] = a[2]
+    eq = np.asarray(eq_nibble_tri_self(jnp.asarray(a), bm=128))
+    ref = (a[:, None, :] == a[None, :, :]).sum(2)
+    assert np.array_equal(eq, ref)
