@@ -283,7 +283,7 @@ def _auto_chunk_len(items: Sequence["_Item"]) -> int:
 
 
 def sketch_fastx(opts: Dashing2Options, groups: Sequence[str],
-                 chunk_len: int = 0, rows_per_batch: int = 64
+                 chunk_len: int = 0, rows_per_batch: int = 0
                  ) -> SketchingResult:
     """Sketch FASTA/FASTQ inputs with cache probe/write (--cache:
     parameter-keyed per-input artifacts, fastxsketch.cpp:313-380,461-524).
@@ -296,7 +296,7 @@ def sketch_fastx(opts: Dashing2Options, groups: Sequence[str],
 
 
 def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
-                         chunk_len: int, rows_per_batch: int
+                         chunk_len: int = 0, rows_per_batch: int = 0
                          ) -> SketchingResult:
     from ..io import formats
     from ..io.cache import makedest
@@ -398,7 +398,7 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
 
 
 def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
-                       chunk_len: int = 0, rows_per_batch: int = 64
+                       chunk_len: int = 0, rows_per_batch: int = 0
                        ) -> SketchingResult:
     stream = (_should_stream(opts, groups)
               and opts.sspace != SketchSpace.SPACE_EDIT_DISTANCE)
@@ -423,6 +423,12 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             return items
         if chunk_len <= 0:
             chunk_len = _auto_chunk_len(items)
+    if rows_per_batch <= 0:
+        # size batches for ~8MB device pushes: the host->device hop has
+        # a large fixed per-call latency (tunnel/PCIe dispatch), so few
+        # big uploads beat many small ones
+        rows_per_batch = int(min(512, max(64, (8 << 20) // max(chunk_len,
+                                                               1))))
     res = SketchingResult(names=list(names))
     n = len(names)
     m = opts.sketchsize
