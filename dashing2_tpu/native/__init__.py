@@ -33,12 +33,22 @@ def _load_lib(name: str, src_file: str, link: list) -> Optional[ctypes.CDLL]:
             src = os.path.join(os.path.dirname(__file__), src_file)
             with open(src, "rb") as f:
                 tag = hashlib.sha256(f.read()).hexdigest()[:16]
+            # DASHING2_TPU_SANITIZE=address|undefined builds the native
+            # components under ASan/UBSan (the reference's dashing2-add
+            # target, Makefile:102-103); tests then exercise them
+            # instrumented. Requires LD_PRELOAD of the matching runtime
+            # when the host process itself is uninstrumented python.
+            san = os.environ.get("DASHING2_TPU_SANITIZE", "")
+            flags = [f"-fsanitize={san}", "-fno-omit-frame-pointer"] \
+                if san else []
+            if san:
+                tag = f"{tag}-{san}"
             so = os.path.join(_build_dir(), f"lib{name}-{tag}.so")
             if not os.path.exists(so):
                 tmp = so + f".tmp{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     src, "-o", tmp] + link,
+                     src, "-o", tmp] + flags + link,
                     check=True, capture_output=True)
                 os.replace(tmp, so)
             lib = ctypes.CDLL(so)

@@ -87,3 +87,25 @@ def test_banded_matches_unbanded_structured():
         a, b = bytes(base), bytes(other)
         assert call(lib.myers_one, a, b) == call(lib.myers_one_full, a, b), \
             (trial, mode, len(a), len(b))
+
+
+def test_native_under_ubsan(tmp_path, monkeypatch):
+    """Sanitizer build path (the reference's dashing2-add analogue):
+    rebuild the native components under UBSan in a fresh cache dir and
+    exercise them — UB aborts the process, so passing = clean."""
+    import subprocess
+    import sys
+    code = (
+        "import os; os.environ['DASHING2_TPU_SANITIZE']='undefined';"
+        "os.environ['DASHING2_TPU_CACHE']=%r;"
+        "import numpy as np;"
+        "from dashing2_tpu.cmp.editdist import myers_batch_native;"
+        "from dashing2_tpu.native import load_myers_lib;"
+        "assert load_myers_lib() is not None;"
+        "s=[b'ACGT'*300, b'ACGA'*300];"
+        "out=myers_batch_native(s, np.array([0]), np.array([1]));"
+        "assert out[0] == 300, out" % str(tmp_path))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True)
+    if b"g++" in r.stderr and r.returncode != 0:
+        pytest.skip("no toolchain")
+    assert r.returncode == 0, r.stderr.decode()[-1500:]
