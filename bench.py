@@ -158,22 +158,26 @@ def main():
         cards = jnp.asarray(rng.uniform(1e5, 1e7, size=n))
         gbt, gbinv = _gb_args(1.001, m)
         gbt = jnp.asarray(gbt)
-        fn = _self_matrix_fn("nibble-ab", m, Measure.SIMILARITY, 31, 0.5)
+        for pkind in ("nibble-ab", "nibble-bbit"):
+            fn = _self_matrix_fn(pkind, m, Measure.SIMILARITY, 31, 0.5)
 
-        def mk_prod(K):
-            @jax.jit
-            def run(x, cards, b):
-                def body(c, _):
-                    mat = fn(c, cards, b, gbt, gbinv)
-                    return c ^ (mat[0, 1].astype(jnp.int32) & 15
-                                ).astype(jnp.uint8), mat.sum()
-                c, s = jax.lax.scan(body, x, None, length=K)
-                return c[0, 0].astype(jnp.float32) + s.sum()
-            return run
-        t_prod = _timed_chain(mk_prod, (packed, cards, jnp.float64(1.001)))
-        print(f"# fused fastcmp-0.5 similarity (counts+epilogue+f32): "
-              f"{t_prod*1e3:.2f} ms/matrix = {up/t_prod/1e9:.2f} G "
-              f"unique-pairs/s", file=sys.stderr)
+            def mk_prod(K, fn=fn):
+                @jax.jit
+                def run(x, cards, b):
+                    def body(c, _):
+                        mat = fn(c, cards, b, gbt, gbinv)
+                        return c ^ (mat[0, 1].astype(jnp.int32) & 15
+                                    ).astype(jnp.uint8), mat.sum()
+                    c, s = jax.lax.scan(body, x, None, length=K)
+                    return c[0, 0].astype(jnp.float32) + s.sum()
+                return run
+            t_prod = _timed_chain(mk_prod, (packed, cards,
+                                            jnp.float64(1.001)))
+            print(f"# fused {pkind} similarity (counts+epilogue+f32 "
+                  f"matrix): {t_prod*1e3:.2f} ms/matrix = "
+                  f"{up/t_prod/1e9:.2f} G unique-pairs/s "
+                  f"({up/t_prod/BASELINE_CPU_PAIRS_PER_SEC:.1f}x CPU)",
+                  file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# fused path failed: {e}", file=sys.stderr)
 

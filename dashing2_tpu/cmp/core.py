@@ -383,25 +383,51 @@ def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
     def f(data, cards, b, gbt, gbinv):
         gb = (gbt, gbinv)
         if kind.startswith("nibble"):
-            from ..ops.pallas_cmp import (_nibble_mxu,
-                                          counts_nibble_tri_self,
-                                          eq_nibble_tri_self,
+            from ..ops.pallas_cmp import (_nibble_mxu, tri_counts_tiles,
+                                          tri_assemble_f32,
+                                          tri_pair_blocks,
                                           tri_self_counts_available)
             lo = data & jnp.uint8(0xF)
             hi = data >> jnp.uint8(4)
             regs = jnp.concatenate([lo, hi], axis=1)
-            if tri_self_counts_available(regs.shape[0], regs.shape[1]):
-                # triangular MXU engines (half-square work): single
-                # combined matmul for gtlt, plain one-hot matmul for the
-                # eq-only b-bit estimator (fastest measured fastcmp
-                # engines: ~7 G unique-pairs/s counts at N=10240)
-                if kind == "nibble-ab":
-                    eq, gt, lt = counts_nibble_tri_self(regs)
+            n = regs.shape[0]
+            if tri_self_counts_available(n, regs.shape[1]):
+                # triangular MXU engines (half-square work; fastest
+                # measured fastcmp engines) with the measure epilogue
+                # applied PER TILE and the f32 matrix assembled directly
+                # — no full count matrices are ever materialized. For
+                # symmetric measures the upper triangle is the lower
+                # tiles transposed; CONTAINMENT (row-normalized) needs
+                # the swapped-epilogue tiles.
+                want_gtlt = kind == "nibble-ab"
+                eq_t, gt_t, T, bm, npad = tri_counts_tiles(regs, want_gtlt)
+                ii, jj = tri_pair_blocks(T)
+                cpad = jnp.concatenate(
+                    [cards, jnp.ones(npad - n, cards.dtype)])                     if npad != n else cards
+                cb = cpad.reshape(T, bm)
+                cardB = jnp.take(cb, jnp.asarray(ii), axis=0)  # (P, bm)
+                cardS = jnp.take(cb, jnp.asarray(jj), axis=0)
+                if want_gtlt:
+                    lt_t = jnp.int32(m) - eq_t - gt_t
+                    c1l, c2l = gt_t, lt_t
+                    c1u, c2u = lt_t, gt_t
                 else:
-                    eq, gt, lt = eq_nibble_tri_self(regs), None, None
-            else:
-                eq, gt, lt = _nibble_mxu(regs, regs,
-                                         want_gtlt=(kind == "nibble-ab"))
+                    c1l = c1u = eq_t
+                    c2l = c2u = None
+                L = _measure_epilogue(
+                    kind, m, msr, k, fd, c1l, c2l,
+                    cardB[:, :, None], cardS[:, None, :], b, jnp, gb
+                ).astype(jnp.float32)
+                if msr == Measure.CONTAINMENT:
+                    U = _measure_epilogue(
+                        kind, m, msr, k, fd, c1u, c2u,
+                        cardS[:, None, :], cardB[:, :, None], b, jnp, gb
+                    ).astype(jnp.float32)
+                else:
+                    U = L
+                return tri_assemble_f32(L, U, T, bm)[:n, :n]
+            eq, gt, lt = _nibble_mxu(regs, regs,
+                                     want_gtlt=(kind == "nibble-ab"))
             c1, c2 = (gt, lt) if kind == "nibble-ab" else (eq, None)
         elif kind in ("ab", "full"):
             c1, c2 = CK.count_gtlt_self(data)

@@ -226,11 +226,15 @@ def compressed_ab_measures32(gtc, ltc, m: int, b: float, fd_level: float,
     lh = xp.asarray(lhcard).astype(np.float32)
     rh = xp.asarray(rhcard).astype(np.float32)
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-        disjoint = (alpha + beta) >= f32(1.0)
+        # (alpha + beta) first: f32 addition is commutative, so the
+        # expression is invariant under the (alpha, lh) <-> (beta, rh)
+        # swap — required for upper-triangle tiles to be EXACTLY the
+        # transposed lower tiles in the per-tile fused path
+        ab = alpha + beta
+        disjoint = ab >= f32(1.0)
         mu = xp.where(disjoint, lh + rh,
-                      xp.maximum((lh + rh) / (f32(2.0) - alpha - beta),
-                                 f32(0.0)))
-        ret = xp.maximum(f32(1.0) - alpha - beta, f32(0.0))
+                      xp.maximum((lh + rh) / (f32(2.0) - ab), f32(0.0)))
+        ret = xp.maximum(f32(1.0) - ab, f32(0.0))
         if measure == Measure.INTERSECTION:
             ret = ret * mu
         elif measure == Measure.UNION_SIZE:

@@ -490,6 +490,69 @@ def eq_nibble_tri_self(a_nib: jnp.ndarray, bm: int = 0) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=0)[:n, :n]
 
 
+@functools.lru_cache(maxsize=16)
+def tri_pair_blocks(T: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(ii, jj) block coordinates for output slot p (inverse of
+    _tri_pair_slot): slot p holds the lower-triangle pair
+    (ii[p] >= jj[p])."""
+    slot = _tri_pair_slot(T)
+    P = (T // 2) * (T + 1)
+    ii = np.empty(P, np.int64)
+    jj = np.empty(P, np.int64)
+    for bi in range(T):
+        for bj in range(bi + 1):
+            p = int(slot[bi, bj])
+            ii[p] = bi
+            jj[p] = bj
+    return ii, jj
+
+
+def tri_counts_tiles(a_nib: jnp.ndarray, want_gtlt: bool, bm: int = 0):
+    """Tile-level triangular engine: returns
+    (eq_t, gt_t or None, T, bm, npad) with eq_t/gt_t (P, bm, bm) i32
+    covering every lower-triangle block pair once. The fused production
+    path applies the measure epilogue PER TILE and assembles the f32
+    matrix directly (no full count-matrix materialization)."""
+    n, m = a_nib.shape
+    bm = bm or _TRI_BM
+    bk = min(_TRI_BK, 16 * m)
+    T = -(-n // bm)
+    if T % 2:
+        T += 1
+    npad = T * bm
+    if npad != n:
+        a_nib = jnp.concatenate(
+            [a_nib, jnp.zeros((npad - n, m), a_nib.dtype)])
+    oht = enc_onehot_T(a_nib)
+    with jax.enable_x64(False):
+        if want_gtlt:
+            ct = enc_combined_T(a_nib)
+            eq_t, gt_t = _tri_comb_call(oht, ct, bm=bm, bk=bk, T=T,
+                                        interpret=not _on_tpu())
+        else:
+            eq_t = _tri_eq_call(oht, bm=bm, bk=bk, T=T,
+                                interpret=not _on_tpu())
+            gt_t = None
+    return eq_t, gt_t, T, bm, npad
+
+
+def tri_assemble_f32(low_tiles, upper_src_tiles, T: int, bm: int):
+    """(P, bm, bm) f32 tiles -> full (npad, npad) f32 matrix; the upper
+    triangle comes from upper_src_tiles transposed per tile."""
+    slot = _tri_pair_slot(T)
+    rows = []
+    for bi in range(T):
+        cols = []
+        for bj in range(T):
+            if bi >= bj:
+                cols.append(low_tiles[int(slot[bi, bj])])
+            else:
+                cols.append(jnp.swapaxes(
+                    upper_src_tiles[int(slot[bj, bi])], 0, 1))
+        rows.append(jnp.concatenate(cols, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
 def tri_self_counts_available(n: int, m: int) -> bool:
     """The tri engine needs a TPU, enough rows to beat the full-square
     form's padding, and a k-chunking-compatible register count."""

@@ -8,6 +8,8 @@ import sys
 import tempfile
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")  # the axon plugin ignores the env var
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import golden_configs  # noqa: E402
