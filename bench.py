@@ -1,18 +1,19 @@
 """Headline benchmark: pairwise register-comparison throughput on one chip.
 
-Headline config: the production `--fastcmp 0.5 --bbit-sigs` engine (the
-reference's own fast path: b-bit truncation cmp_core.cpp:293-320 + the
-eq-only estimator :495-517) at N=10240 sketches x m=1024 registers — the
-triangular one-hot MXU kernel (ops/pallas_cmp._tri_eq_call) computing the
-eq count of every one of the N(N-1)/2 unique pairs exactly once, emitted
-as lower-triangle (bm x bm) tiles (pair coordinates from
-_tri_pair_slot). Tile layout is the delivery unit because the reference
-itself STREAMS pair results through its emit thread and never holds the
-square matrix (emitrect.cpp:159-197,269-325), and the vs_baseline
-denominator — the same 32-thread AVX2 CPU count_eq/count_gtlt
-calibration as round 1, 1.25e8 unique pairs/s — likewise counts only the
-per-pair SIMD kernel. Secondary metrics cover the assembled full (N, N)
-count matrix and the fully fused similarity-matrix production path.
+Headline config: the COMPLETE production `--fastcmp 0.5 --bbit-sigs`
+similarity job (the reference's own fast path: b-bit truncation
+cmp_core.cpp:293-320 + the eq-only estimator :495-517) at N=10240
+sketches x m=1024 registers: nibble-packed registers -> triangular
+one-hot MXU counts kernel -> per-tile f32 estimator epilogue ->
+assembled full (N, N) f32 similarity matrix, all in the production
+_self_matrix_fn jit — i.e. everything the reference's cmp phase does
+between loaded sketches and the values its emitter writes. The
+vs_baseline denominator is the same 32-thread AVX2 CPU
+count_eq/count_gtlt calibration as round 1 (1.25e8 unique pairs/s),
+which counts ONLY the CPU's per-pair SIMD kernel — so the comparison is
+conservative in our disfavor. Secondary metrics: the raw counts engine
+in tile delivery, the assembled count matrix, and the a/b-quantized
+gtlt engine.
 
 Accounting is in UNIQUE pairs: a symmetric all-pairs job over N items is
 N(N-1)/2 comparisons (the reference's emitrect walk); every unique pair
@@ -86,7 +87,12 @@ def main():
                 c, _ = jax.lax.scan(body, x, None, length=K)
                 return c[0, 0].astype(jnp.int32)
             return run
-        t_counts = _timed_chain(mk_counts, (nib,))
+        t_tiles = _timed_chain(mk_counts, (nib,))
+        print(f"# bbit eq counts engine, tile delivery: "
+              f"{t_tiles*1e3:.2f} ms/matrix = {up/t_tiles/1e9:.2f} G "
+              f"unique-pairs/s "
+              f"({up/t_tiles/BASELINE_CPU_PAIRS_PER_SEC:.1f}x CPU)",
+              file=sys.stderr)
 
         # secondary: same engine with the full (N, N) matrix assembled
         def mk_full(K):
@@ -110,7 +116,6 @@ def main():
         T = -(-n // bm)
         T += T % 2
         macs = (T // 2) * (T + 1) * bm * bm * 16 * m
-        mfu = macs / V5E_INT8_TOPS / t_counts
 
         # secondary: the gtlt (a/b-quantized --fastcmp 0.5) counts engine
         def mk_gtlt(K):
@@ -144,12 +149,13 @@ def main():
                 return a2[0, 0]
             return run
         t_counts = _timed_chain(mk_counts, (u,))
-        mfu = 0.0
-    pps = up / t_counts
+        t_tiles = t_counts
+        macs = 0
 
     # ------------------------------------------------------------------
-    # secondary: fused production similarity (counts + epilogue + f32)
+    # headline: fused production similarity (counts + epilogue + f32)
     # ------------------------------------------------------------------
+    t_headline = None
     try:
         from dashing2_tpu.cmp.core import _gb_args, _self_matrix_fn
         from dashing2_tpu.enums import Measure
@@ -178,20 +184,25 @@ def main():
                   f"{up/t_prod/1e9:.2f} G unique-pairs/s "
                   f"({up/t_prod/BASELINE_CPU_PAIRS_PER_SEC:.1f}x CPU)",
                   file=sys.stderr)
+            if pkind == "nibble-bbit":
+                t_headline = t_prod
     except Exception as e:  # pragma: no cover
         print(f"# fused path failed: {e}", file=sys.stderr)
 
-    print(f"# headline counts engine: {t_counts*1e3:.2f} ms/matrix at "
-          f"N={n} m={m}; MFU {mfu*100:.0f}% of int8 peak",
+    t_head = t_headline if (on_tpu and t_headline) else t_tiles
+    pps = up / t_head
+    mfu = (macs / V5E_INT8_TOPS / t_tiles) if macs else 0.0
+    print(f"# headline (fused bbit production): {t_head*1e3:.2f} ms/matrix "
+          f"at N={n} m={m}; counts-engine MFU {mfu*100:.0f}% of int8 peak",
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": "fastcmp0.5_bbit_unique_pairs_per_sec",
+        "metric": "fastcmp0.5_bbit_similarity_unique_pairs_per_sec",
         "value": round(pps),
         "unit": "pairs/s",
         "vs_baseline": round(pps / BASELINE_CPU_PAIRS_PER_SEC, 2),
         "n": n, "m": m,
-        "mfu_int8_peak": round(mfu, 3),
+        "mfu_int8_peak_counts": round(mfu, 3),
     }))
 
 

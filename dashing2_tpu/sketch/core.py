@@ -498,6 +498,11 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                             regs[item_id], counts[item_id], r[row], c[row])
                 inflight.clear()
 
+            # dispatch-ahead window: more overlap but each in-flight
+            # batch pins client-side buffers (on a tunnel-backed device
+            # those live in HOST RAM) — peak RSS is O(window), not
+            # O(corpus)
+            window = int(os.environ.get("DASHING2_TPU_INFLIGHT", 64))
             for chunks, ids in prefetch(_iter_chunk_batches(
                     opts, items_iter(), chunk_len, rows_per_batch)):
                 hashed, valid = _hash_chunk_batch(
@@ -507,7 +512,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                                           seed=H.OPH_DEFAULT_SEED,
                                           want_counts=want_counts)
                 inflight.append((pack_rc(r, c), ids))
-                if len(inflight) >= 64:
+                if len(inflight) >= window:
                     drain()
             drain()
         else:

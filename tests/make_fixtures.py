@@ -34,7 +34,7 @@ def make(outdir, n_genomes=8, length=20000, seed=42):
     base = random_genome(rng, length)
     paths = []
     for i in range(n_genomes):
-        rate = 0.002 * i  # increasing divergence from genome 0
+        rate = min(0.002 * i, 0.4)  # increasing divergence, capped
         seq = mutate(rng, base, rate) if i else base
         p = os.path.join(outdir, f"g{i}.fa")
         write_fasta(p, [(f"genome{i}", seq)])
