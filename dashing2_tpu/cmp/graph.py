@@ -119,15 +119,26 @@ def neighbor_graph_main(opts: Dashing2DistOptions,
     if os.environ.get("EXACT_KNN"):
         lists = build_exact_lists(opts, result, creps)
     else:
-        ntoquery = (min(n - 1, int(opts.num_neighbors * INFLATE_FACTOR))
-                    if opts.num_neighbors > 0
-                    else (opts.maxcand if opts.maxcand > 0 else n - 1))
-        with phase("lsh-index-build", opts.verbosity):
-            idx = _index_source(opts, result, creps)
-        with phase("lsh-candidates", opts.verbosity):
-            ia, ib, _counts = idx.candidate_pairs(max_per_item=ntoquery)
-        with phase("refine", opts.verbosity):
-            lists = _refine_lists(opts, result, creps, ia, ib)
+        import jax
+        if jax.process_count() > 1:
+            # multi-host: candidate generation partitioned by subtable
+            # column across hosts, shards merged exactly
+            # (parallel.distributed.distributed_neighbor_lists)
+            from ..parallel.distributed import distributed_neighbor_lists
+            with phase("lsh-distributed", opts.verbosity):
+                lists = distributed_neighbor_lists(opts, result, creps)
+        else:
+            ntoquery = (min(n - 1,
+                            int(opts.num_neighbors * INFLATE_FACTOR))
+                        if opts.num_neighbors > 0
+                        else (opts.maxcand if opts.maxcand > 0 else n - 1))
+            with phase("lsh-index-build", opts.verbosity):
+                idx = _index_source(opts, result, creps)
+            with phase("lsh-candidates", opts.verbosity):
+                ia, ib, _counts = idx.candidate_pairs(
+                    max_per_item=ntoquery)
+            with phase("refine", opts.verbosity):
+                lists = _refine_lists(opts, result, creps, ia, ib)
     with phase("emit-neighbors", opts.verbosity):
         emit_neighbors(lists, opts, result)
 

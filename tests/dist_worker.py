@@ -18,8 +18,20 @@ def main():
     from dashing2_tpu.config import Dashing2DistOptions
     from dashing2_tpu.parallel import distributed as D
 
+    mode = os.environ.get("D2_WORKER_MODE", "cmp")
     ppi, ppc = D.init_distributed(f"127.0.0.1:{port}", nproc, pid)
     assert ppc == nproc, (ppi, ppc)
+    if mode == "knn":
+        import pickle
+        from dashing2_tpu.cmp import core as C
+        from dashing2_tpu.sketch.core import sketch_fastx
+        opts = Dashing2DistOptions(k=21, sketchsize=128, num_neighbors=2)
+        result = sketch_fastx(opts, groups)
+        creps, result = C._prep(opts, result)
+        lists = D.distributed_neighbor_lists(opts, result, creps)
+        with open(f"{outfile}.knn.{pid}", "wb") as f:
+            pickle.dump(lists, f)
+        return
     opts = Dashing2DistOptions(k=21, sketchsize=128)
     D.distributed_sketch_cmp(opts, groups, outfile=outfile)
 

@@ -185,3 +185,46 @@ def test_distributed_lsh_candidates_bottomk(fixtures):
     ia4, ib4, c4 = merge_candidate_shards(shards, 12, 4)
     assert np.array_equal(ia1, ia4) and np.array_equal(ib1, ib4)
     assert np.array_equal(c1, c4)
+
+
+def test_two_process_distributed_knn(fixtures, tmp_path):
+    """2-process distributed KNN: shards gathered via
+    process_allgather, merged identically on both hosts; results must
+    match each other AND the simulated-shard single-process run."""
+    import os
+    import pickle
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = str(tmp_path / "dk")
+    here = os.path.dirname(__file__)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["D2_WORKER_MODE"] = "knn"
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(here, "dist_worker.py"),
+         str(pid), "2", str(port), out] + list(fixtures),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    with open(f"{out}.knn.0", "rb") as f:
+        l0 = pickle.load(f)
+    with open(f"{out}.knn.1", "rb") as f:
+        l1 = pickle.load(f)
+    assert l0 == l1
+
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.parallel.distributed import distributed_neighbor_lists
+    from dashing2_tpu.sketch.core import sketch_fastx
+    opts = Dashing2DistOptions(k=21, sketchsize=128, num_neighbors=2)
+    result = sketch_fastx(opts, list(fixtures))
+    creps, result = C._prep(opts, result)
+    ref = distributed_neighbor_lists(opts, result, creps,
+                                     process_index=0, process_count=2)
+    assert l0 == ref
