@@ -569,6 +569,127 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     return np.asarray(fn(data, cards, b, gbt, gbinv))
 
 
+@functools.lru_cache(maxsize=8)
+def _pair_counts_fn(two_limb: bool, block: int):
+    """Jitted pair-list register counts: rows gathered ON DEVICE
+    (row-granular takes are fast on TPU; host fancy-indexing of sketch
+    matrices is memory-bandwidth-bound), compared in u32 limbs, reduced
+    to (P,) counts. Scans pair blocks so the gathered intermediates
+    stay bounded."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(hi, lo, ia, ib):
+        nb = ia.shape[0] // block
+
+        def body(_, idx):
+            ja, jb = idx
+            ah = jnp.take(hi, ja, axis=0)
+            bh = jnp.take(hi, jb, axis=0)
+            al = jnp.take(lo, ja, axis=0)
+            bl = jnp.take(lo, jb, axis=0)
+            if two_limb:
+                hi_eq = ah == bh
+                gt = ((ah > bh) | (hi_eq & (al > bl))).sum(
+                    1, dtype=jnp.int32)
+                lt = ((ah < bh) | (hi_eq & (al < bl))).sum(
+                    1, dtype=jnp.int32)
+                eq = (hi_eq & (al == bl)).sum(1, dtype=jnp.int32)
+            else:
+                gt = (al > bl).sum(1, dtype=jnp.int32)
+                lt = (al < bl).sum(1, dtype=jnp.int32)
+                eq = (al == bl).sum(1, dtype=jnp.int32)
+            return None, (eq, gt, lt)
+
+        _, (eq, gt, lt) = jax.lax.scan(
+            body, None, (ia.reshape(nb, block), ib.reshape(nb, block)))
+        return eq.reshape(-1), gt.reshape(-1), lt.reshape(-1)
+
+    return jax.jit(f)
+
+
+def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
+                        block: int = 8192, cache: dict | None = None,
+                        cache_key: str = ""):
+    """(eq, gt, lt) int64 vectors for a pair list over any register
+    representation, computed on the accelerator. Returns None when the
+    host path is preferable (CPU backend or a small pair list). With
+    `cache`, the limb-split device arrays persist across calls."""
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "cpu" or len(ia) < 2048:
+        return None
+    if cache is not None and cache_key in cache:
+        hi_dev, lo_dev, two = cache[cache_key]
+    else:
+        data = np.asarray(data)
+        if data.dtype == np.uint64:
+            hi = (data >> np.uint64(32)).astype(np.uint32)
+            lo = data.astype(np.uint32)
+            two = True
+        else:
+            hi, two = None, False
+            lo = data if data.dtype == np.uint32 \
+                else data.astype(np.uint32)
+        lo_dev = jnp.asarray(lo)
+        # single-limb: the hi operand is unused in the kernel (DCE'd);
+        # pass lo so no extra array ships to the device
+        hi_dev = jnp.asarray(hi) if two else lo_dev
+        if cache is not None:
+            cache[cache_key] = (hi_dev, lo_dev, two)
+    pad = (-len(ia)) % block
+    iap = np.concatenate([ia, np.zeros(pad, ia.dtype)]) if pad else ia
+    ibp = np.concatenate([ib, np.zeros(pad, ib.dtype)]) if pad else ib
+    fn = _pair_counts_fn(two, block)
+    eq, gt, lt = fn(hi_dev, lo_dev,
+                    jnp.asarray(iap.astype(np.int32)),
+                    jnp.asarray(ibp.astype(np.int32)))
+    eq, gt, lt = jax.device_get((eq, gt, lt))
+    n = len(ia)
+    return (eq[:n].astype(np.int64), gt[:n].astype(np.int64),
+            lt[:n].astype(np.int64))
+
+
+def _pair_counts_cached(opts, result, creps, ia, ib):
+    """Device pair counts with the register matrix prepared and pushed
+    ONCE per (result, representation) — the refine/dedup loops call
+    measure_pairs many times over the same registers, and both the host
+    row gathers and repeated device uploads would dominate otherwise."""
+    import jax
+    if jax.default_backend() == "cpu" or len(ia) < 2048:
+        return None
+    if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET or (
+            opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE):
+        return None
+    cache = getattr(result, "_pair_dev_cache", None)
+    if cache is None:
+        cache = {}
+        result._pair_dev_cache = cache
+    if creps.data is not None:
+        key = "creps"
+        if key not in cache:
+            d = np.asarray(creps.data)
+            if creps.nibble_packed:
+                d = _unpack_nibbles(d)
+            cache[key] = d if d.dtype in (np.uint32, np.uint64) \
+                else d.astype(np.uint32)
+    elif opts.sspace == SketchSpace.SPACE_SET \
+            and opts.truncation_method <= 0:
+        key = "ordered"
+        if key not in cache:
+            cache[key] = _ordered_bits(opts, result.signatures)
+    else:
+        key = "eqfull"
+        if key not in cache:
+            sigs = result.signatures
+            use_kmers = (result.kmers is not None
+                         and result.kmers.size == sigs.size)
+            cache[key] = (result.kmers if use_kmers
+                          else sigs.view(np.uint64).reshape(sigs.shape))
+    return _device_pair_counts(cache[key], ia, ib, cache=cache,
+                               cache_key=key + "_dev")
+
+
 def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
                   creps: CompressedReps, ia: np.ndarray, ib: np.ndarray
                   ) -> np.ndarray:
@@ -591,7 +712,20 @@ def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
         isz = exact_intersections_pairs(result, ia, ib)
         return E.exact_measures(isz, lh, rh, msr, k).astype(np.float32)
     eq = gt = lt = None
-    if creps.data is not None:
+    dev = _pair_counts_cached(opts, result, creps, ia, ib)
+    if dev is not None:
+        eq, gt, lt = dev
+        if creps.data is not None:
+            if creps.truncation > 0:
+                gt = lt = None
+            else:
+                eq = None
+        elif opts.sspace == SketchSpace.SPACE_SET \
+                and opts.truncation_method <= 0:
+            eq = None
+        else:
+            gt = lt = None
+    elif creps.data is not None:
         A = creps.data[ia]
         B = creps.data[ib]
         if creps.nibble_packed:

@@ -199,9 +199,30 @@ def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
     chunk = int(os.environ.get("DASHING2_TPU_DEDUP_CHUNK", 256))
     ids: List[int] = []
     constituents: List[List[int]] = []
-    idx = None
+    nbr_ids: List[np.ndarray] = []
+    rep_store = np.full(n, -1, np.int64)   # item -> store id if rep
+    pos_in_batch = np.full(n, -1, np.int64)
     if not opts.exhaustive_dedup:
+        # ONE vectorized self-join replaces the per-item incremental
+        # dict walk (ssi.h:394-448): every item's shared-bucket
+        # neighbors are precomputed count-ranked, and rep candidates
+        # during the greedy walk are a numpy filter against the current
+        # representative set. Extra headroom (4x the per-item cap)
+        # compensates for neighbors that never become reps.
         idx = _index_source(opts, result, creps)
+        jia, jib, jcnt = idx.candidate_pairs(
+            max_per_item=max(maxcands * 4, 64))
+        items = np.concatenate([jia, jib])
+        nbrs = np.concatenate([jib, jia])
+        cnts = np.concatenate([jcnt, jcnt])
+        o = np.lexsort((-cnts, items))
+        items, nbrs = items[o], nbrs[o]
+        starts = np.nonzero(np.concatenate(
+            [[True], items[1:] != items[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(items)]])
+        nbr_ids = [np.zeros(0, np.int64)] * n
+        for s, e in zip(starts, ends):
+            nbr_ids[int(items[s])] = nbrs[s:e]
 
     def _passes(v: float) -> bool:
         return (v < simt) if isdist else (v >= simt)
@@ -215,12 +236,30 @@ def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
             if opts.exhaustive_dedup:
                 rep_cands.append(np.arange(len(ids), dtype=np.int64))
             else:
-                rep_cands.append(idx.query(oid, maxcands))
+                nb = nbr_ids[oid]
+                cand = rep_store[nb]
+                cand = cand[cand >= 0][:maxcands]
+                rep_cands.append(cand)
         # 2. intra-round candidate pairs (positions lo < hi)
         if opts.exhaustive_dedup:
             hi0, lo0 = np.tril_indices(Cn, k=-1)
         else:
-            lo0, hi0 = idx.intra_candidates(np.asarray(batch))
+            barr = np.asarray(batch)
+            pos_in_batch[barr] = np.arange(Cn)
+            pij = []
+            for p, oid in enumerate(batch):
+                nb = nbr_ids[oid]
+                q = pos_in_batch[nb]
+                q = q[(q >= 0) & (q != p)]
+                if len(q):
+                    pij.append(np.stack(
+                        [np.minimum(q, p), np.maximum(q, p)], 1))
+            if pij:
+                allp = np.unique(np.concatenate(pij), axis=0)
+                lo0, hi0 = allp[:, 0], allp[:, 1]
+            else:
+                lo0 = hi0 = np.zeros(0, np.int64)
+            pos_in_batch[barr] = -1
         # 3. one batched measure for everything this round needs
         ia = [np.full(len(c), batch[p], np.int64)
               for p, c in enumerate(rep_cands)]
@@ -261,8 +300,7 @@ def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
                     constituents[best_cid][-1] = ids[best_cid]
                     ids[best_cid] = oid
             else:
-                if idx is not None:
-                    idx.insert(oid, len(ids))
+                rep_store[oid] = len(ids)
                 newrep[p] = len(ids)
                 ids.append(oid)
                 constituents.append([])

@@ -1,21 +1,28 @@
 """Pallas TPU kernels for the N^2 register-comparison hot path.
 
-Two engines:
+Engines, fastest first:
 
-* ``gtlt_pallas`` — VPU kernel for 64-bit registers held as (hi, lo) u32
-  pairs. Grid tiles (TM, TN) of the output; each step holds an A-row tile
-  and a B-row tile in VMEM and accumulates per-A-row (TN, m) compares with
-  a lane reduction, avoiding the (TM, TN, m) broadcast intermediate the
-  XLA fallback materializes.
+* TRIANGULAR one-hot MXU matmuls for nibble registers (--fastcmp 0.5),
+  self-pairs only — the production engines (7-8 G unique-pairs/s at
+  N=10240, m=1024 on one v5e): lower-triangle block pairs map to a
+  static rectangular grid (block-rows u and T-1-u -> grid
+  (T/2, T+1, k)); ``_tri_eq_call`` computes eq with one int8 matmul per
+  pair tile, ``_tri_comb_call`` computes eq AND gt with one matmul via
+  the combined encoding ct = [b==v] - 128*[b<v] contracted in
+  64-register chunks (partial = eq - 128*gt decodes exactly with
+  shifts). ``tri_counts_tiles`` is the tile-level API the fused
+  production path consumes; ``counts_nibble_tri_self`` /
+  ``eq_nibble_tri_self`` assemble full count matrices.
 
-* ``counts_nibble_mxu`` — MXU path for a/b-quantized nibble registers
-  (--fastcmp 0.5): eq and gt counts become exact int8 one-hot matmuls,
+* ``counts_nibble_mxu`` — full-square MXU one-hot matmuls (A != B jobs,
+  small N, and the CPU fallback route):
     eq[i,j]  = onehot(A) . onehot(B)^T
     gt[i,j]  = onehot(A) . cumlt(B)^T   (cumlt[j, r, v] = [B[j,r] < v])
-  putting the all-pairs reduction on the systolic array (~2 * N * M * 16m
-  int8 MACs).
 
-Both fall back to interpret mode off-TPU so the CPU test mesh exercises
+* ``gtlt_pallas`` / ``gtlt_self_pallas`` — VPU kernels for 64-bit
+  registers held as (hi, lo) u32 pairs.
+
+All fall back to interpret mode off-TPU so the CPU test mesh exercises
 identical code paths.
 """
 

@@ -149,3 +149,36 @@ def test_jmle_simple_recovers_jaccard():
         est = jmle_simple(gt, lt, m, 1e6, 1e6, b)
         assert abs(est - j_true) < 0.05, (j_true, est)
     assert jmle_simple(0, 0, m, 0.0, 0.0, b) == 0.0
+
+
+def test_device_pair_counts_fn_matches_numpy():
+    """The jitted pair-list count kernel (u32 limb compares) must match
+    host u64 comparisons for both one- and two-limb forms."""
+    import jax.numpy as jnp
+    from dashing2_tpu.cmp.core import _pair_counts_fn
+    rng = np.random.default_rng(3)
+    n, m, P = 64, 96, 4096
+    data = rng.integers(0, 1 << 63, size=(n, m), dtype=np.uint64)
+    data[3] = data[7]
+    ia = rng.integers(0, n, size=P)
+    ib = rng.integers(0, n, size=P)
+    hi = (data >> np.uint64(32)).astype(np.uint32)
+    lo = data.astype(np.uint32)
+    fn = _pair_counts_fn(True, 1024)
+    eq, gt, lt = fn(jnp.asarray(hi), jnp.asarray(lo),
+                    jnp.asarray(ia.astype(np.int32)),
+                    jnp.asarray(ib.astype(np.int32)))
+    A, B = data[ia], data[ib]
+    assert np.array_equal(np.asarray(eq), (A == B).sum(1))
+    assert np.array_equal(np.asarray(gt), (A > B).sum(1))
+    assert np.array_equal(np.asarray(lt), (A < B).sum(1))
+
+    small = (data & np.uint64(0xFF)).astype(np.uint32)
+    fn1 = _pair_counts_fn(False, 1024)
+    eq, gt, lt = fn1(jnp.asarray(small), jnp.asarray(small),
+                     jnp.asarray(ia.astype(np.int32)),
+                     jnp.asarray(ib.astype(np.int32)))
+    A, B = small[ia], small[ib]
+    assert np.array_equal(np.asarray(eq), (A == B).sum(1))
+    assert np.array_equal(np.asarray(gt), (A > B).sum(1))
+    assert np.array_equal(np.asarray(lt), (A < B).sum(1))
