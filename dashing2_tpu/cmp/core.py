@@ -143,13 +143,14 @@ def _prep(opts: Dashing2DistOptions, result: SketchingResult
 
 
 def _kernel_mode() -> str:
-    """Comparison-engine policy. Measured on one v5e (4096 x 4096,
-    m=1024, unique-pairs accounting): circulant self-pairs XLA ~30 ms
-    per delivered matrix (0.28 G unique-pairs/s) vs full-square XLA
-    38 ms and full-square Pallas 79 ms; the MXU one-hot path runs nibble
-    registers at ~3 ms (2.7 G unique-pairs/s). Default: 'mxu' = MXU for
-    nibble-range registers on TPU, XLA engines elsewhere. Override with
-    DASHING2_TPU_KERNEL=xla|pallas|mxu."""
+    """Comparison-engine policy (v5e, m=1024, unique-pairs accounting):
+    the triangular one-hot MXU engines run nibble self-pairs at 7-8 G
+    unique-pairs/s at N=10240 (ops/pallas_cmp, routed in
+    _self_matrix_fn); full-square MXU one-hot ~2.8 G; circulant
+    self-pairs XLA ~0.32 G for f64/u64 registers (vs full-square XLA
+    38 ms and full-square Pallas 79 ms at N=4096). Default: 'mxu' = MXU
+    for nibble-range registers on TPU, XLA engines elsewhere. Override
+    with DASHING2_TPU_KERNEL=xla|pallas|mxu."""
     import os
 
     import jax
