@@ -148,14 +148,18 @@ def bench_refine_exact(d):
     dt = time.perf_counter() - t0
     assert rc == 0
     r = _emit("set-refine-exact", n=n, seconds=round(dt, 3))
+    # minimizer sequences need a window (w > k) or every k-mer becomes a
+    # token and the span edit DP is quadratic in full sequence length
+    fas_s = _gen_fastas(os.path.join(d, "c5s"), min(n, 12),
+                        min(LEN, 20000))
     out = os.path.join(d, "c5s.bin")
     t0 = time.perf_counter()
-    rc = main(["sketch", "-k", "31", "-S", "64", "--seq", "--topk", "5",
-               "--exact-kmer-dist", "--binary-output", "--cmpout", out]
-              + fas)
+    rc = main(["sketch", "-k", "31", "-w", "63", "-S", "64", "--seq",
+               "--topk", "5", "--exact-kmer-dist", "--binary-output",
+               "--cmpout", out] + fas_s)
     dt = time.perf_counter() - t0
     assert rc == 0
-    _emit("seq-editdist-knn", n=n, seconds=round(dt, 3))
+    _emit("seq-editdist-knn", n=min(n, 12), seconds=round(dt, 3))
     return r
 
 

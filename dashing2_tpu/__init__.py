@@ -25,8 +25,12 @@ if _os.environ.get("JAX_PLATFORMS"):
 
 # Persistent compilation cache: CLI invocations recompile the same kernel
 # shapes every run otherwise (XLA compiles dominate short jobs). Disable
-# with DASHING2_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("DASHING2_TPU_NO_COMPILE_CACHE"):
+# with DASHING2_TPU_NO_COMPILE_CACHE=1. NOT enabled for the CPU backend:
+# CPU AOT artifacts embed the exact machine-feature set and a cache
+# written under a different microarchitecture (VM migrations keep the
+# hostname) loads with warnings, never hits, and risks SIGILL.
+if not _os.environ.get("DASHING2_TPU_NO_COMPILE_CACHE") and \
+        _os.environ.get("JAX_PLATFORMS", "") != "cpu":
     try:
         # scope by platform+host: CPU AOT artifacts are machine-feature
         # specific and must not be shared across nodes/backends

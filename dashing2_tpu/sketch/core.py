@@ -233,7 +233,14 @@ def _iter_chunk_batches(opts: Dashing2Options, items: Sequence[_Item],
             return None
         rows = np.stack(buf)
         rid = np.asarray(ids, dtype=np.int32)
-        pad = rows_per_batch - rows.shape[0]
+        # full batches share one jit shape; the tail batch pads only to
+        # the next power of two (a second compiled shape) — padding all
+        # the way to rows_per_batch makes tiny corpora execute mostly
+        # padding rows
+        target = (rows_per_batch if len(rid) == rows_per_batch
+                  else min(rows_per_batch,
+                           max(8, 1 << (len(rid) - 1).bit_length())))
+        pad = target - rows.shape[0]
         if pad > 0:
             rows = np.concatenate(
                 [rows, np.full((pad, width), K.INVALID, np.uint8)])
