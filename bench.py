@@ -41,7 +41,7 @@ BASELINE_CPU_PAIRS_PER_SEC = 1.25e8
 V5E_INT8_TOPS = 394e12
 
 
-def _timed_chain(make_fn, args, reps=3, K=4):
+def _timed_chain(make_fn, args, reps=5, K=4):
     f1, fk = make_fn(1), make_fn(1 + K)
     np.asarray(f1(*args)); np.asarray(fk(*args))
     t1s, tks = [], []
@@ -203,6 +203,9 @@ def main():
         "vs_baseline": round(pps / BASELINE_CPU_PAIRS_PER_SEC, 2),
         "n": n, "m": m,
         "mfu_int8_peak_counts": round(mfu, 3),
+        "counts_engine_pairs_per_sec": round(up / t_tiles),
+        "counts_engine_vs_baseline": round(
+            up / t_tiles / BASELINE_CPU_PAIRS_PER_SEC, 2),
     }))
 
 
