@@ -122,7 +122,9 @@ def contain_main(a) -> int:
             nz = matches > 0
             coverage[qi, nz] = matches[nz] / sketchsize
             depth[qi, nz] = matchsums[nz] / matches[nz]
-    outpath = a.cmpout or ""
+    # the reference's contain writes its matrix to -o (contain_main.cpp
+    # "-o" handling); accept --cmpout as an alias
+    outpath = a.cmpout or getattr(a, "outfile", None) or ""
     binary = a.binary_output
     if binary:
         if outpath and outpath not in ("-", "/dev/stdout"):
