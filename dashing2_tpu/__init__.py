@@ -30,12 +30,25 @@ if _os.environ.get("JAX_PLATFORMS"):
 # written under a different microarchitecture (VM migrations keep the
 # hostname) loads with warnings, never hits, and risks SIGILL.
 if not _os.environ.get("DASHING2_TPU_NO_COMPILE_CACHE") and \
-        _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower().split(","):
     try:
         # scope by platform+host: CPU AOT artifacts are machine-feature
         # specific and must not be shared across nodes/backends
         _scope = (_os.environ.get("JAX_PLATFORMS", "dev") + "-"
                   + _os.uname().nodename)
+        # plus a microarch fingerprint: a VM migration can keep the
+        # hostname while changing CPU features, and a stale CPU AOT
+        # artifact for another microarch risks SIGILL on load
+        try:
+            with open("/proc/cpuinfo") as _f:
+                for _ln in _f:
+                    if _ln.startswith("flags"):
+                        import hashlib as _hl
+                        _scope += "-" + _hl.sha1(
+                            _ln.encode()).hexdigest()[:8]
+                        break
+        except OSError:
+            pass
         _cc = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache",

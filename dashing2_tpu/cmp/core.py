@@ -666,28 +666,35 @@ def _pair_counts_cached(opts, result, creps, ia, ib):
     if cache is None:
         cache = {}
         result._pair_dev_cache = cache
+    # Cache keys carry the representation PARAMETERS and the source
+    # array's identity (the source reference is stored in the entry, so
+    # its id() cannot be recycled while cached) — re-measuring the same
+    # result under different opts (different truncation/fd_level ->
+    # different creps.data) must not serve stale registers.
     if creps.data is not None:
-        key = "creps"
+        key = (f"creps-{id(creps.data)}-{int(creps.truncation)}"
+               f"-{bool(creps.nibble_packed)}")
         if key not in cache:
             d = np.asarray(creps.data)
             if creps.nibble_packed:
                 d = _unpack_nibbles(d)
-            cache[key] = d if d.dtype in (np.uint32, np.uint64) \
-                else d.astype(np.uint32)
+            cache[key] = (creps.data,
+                          d if d.dtype in (np.uint32, np.uint64)
+                          else d.astype(np.uint32))
     elif opts.sspace == SketchSpace.SPACE_SET \
             and opts.truncation_method <= 0:
-        key = "ordered"
+        key = f"ordered-{bool(opts.regt32)}"
         if key not in cache:
-            cache[key] = _ordered_bits(opts, result.signatures)
+            cache[key] = (None, _ordered_bits(opts, result.signatures))
     else:
         key = "eqfull"
         if key not in cache:
             sigs = result.signatures
             use_kmers = (result.kmers is not None
                          and result.kmers.size == sigs.size)
-            cache[key] = (result.kmers if use_kmers
+            cache[key] = (None, result.kmers if use_kmers
                           else sigs.view(np.uint64).reshape(sigs.shape))
-    return _device_pair_counts(cache[key], ia, ib, cache=cache,
+    return _device_pair_counts(cache[key][1], ia, ib, cache=cache,
                                cache_key=key + "_dev")
 
 

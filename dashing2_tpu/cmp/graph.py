@@ -189,7 +189,16 @@ def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
     constraint (the reference's own parallel mode, par_reduce merging of
     per-thread clusterings at dedup_core.cpp:86-171, relaxes order far
     more). Kills the one-dispatch-per-item pattern (10K items = 10K tiny
-    device calls)."""
+    device calls).
+
+    Chunk-size caveat: in the capped regime the result can depend on
+    DASHING2_TPU_DEDUP_CHUNK — prior-round rep candidates are capped at
+    maxcands while same-round founders arrive via intra_of uncapped, so
+    moving an item across a chunk boundary can change which candidates
+    it sees when the cap binds. This is within the same deviation
+    envelope as the serial-walk caveat above (the reference's par_reduce
+    mode is itself thread-count-dependent, dedup_core.cpp:86-171); runs
+    with a fixed chunk (default 256) are deterministic."""
     n = result.n
     cards = result.cardinalities
     order = np.argsort(-cards, kind="stable")

@@ -197,6 +197,52 @@ def _circ_self_counts(a: jnp.ndarray, seg_idx: jnp.ndarray, *, t: int):
     return jnp.take(src, seg_idx, axis=0).reshape(npad, npad)
 
 
+# ----------------------------------------------------------------------
+# per-column dense rank reduction (order-preserving register compression)
+# ----------------------------------------------------------------------
+#
+# The full-register estimators (cmp_core.cpp:458-494 full setsketch
+# gt/lt; :495-517 OPH equality) consume ONLY per-pair eq/gt/lt counts.
+# Replacing each column's values by their dense ranks (ties -> equal
+# rank) preserves <, ==, > per column exactly, so every count — and
+# therefore the estimator output — is bit-identical while the registers
+# shrink from 64-bit limb pairs to single i32 words (< N <= 2^31), which
+# the single-word VPU engines compare at a fraction of the limb-pair
+# cost. Cost: two lax.sort passes per column, O(N m log N) once per
+# matrix vs O(N^2 m) pair work.
+
+def _dense_ranks_cols(keys: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Dense per-column ranks for lexicographic (hi, lo, ...) u32 keys of
+    shape (N, m); ties receive equal ranks. Returns (N, m) int32."""
+    n = keys[0].shape[0]
+    kt = tuple(k.T for k in keys)                      # (m, N): sort lanes
+    iota = jax.lax.broadcasted_iota(jnp.int32, kt[0].shape, 1)
+    out = jax.lax.sort(kt + (iota,), dimension=1, num_keys=len(kt),
+                       is_stable=False)
+    sk, si = out[:-1], out[-1]
+    neq = sk[0][:, 1:] != sk[0][:, :-1]
+    for s in sk[1:]:
+        neq = neq | (s[:, 1:] != s[:, :-1])
+    r = jnp.concatenate(
+        [jnp.zeros((neq.shape[0], 1), jnp.int32),
+         jnp.cumsum(neq.astype(jnp.int32), axis=1)], axis=1)
+    # unpermute: sort (original index, rank) by index — a second sort
+    # instead of a scatter (TPU scatters are scalar-unit bound)
+    _, ranks = jax.lax.sort((si, r), dimension=1, num_keys=1,
+                            is_stable=False)
+    return ranks.T
+
+
+def dense_ranks(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, m) u64/u32/u16/u8 registers -> (N, m) i32 per-column dense
+    ranks (order-isomorphic per column; traced, device-resident)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint64:
+        hi, lo = _split_u64(x)
+        return _dense_ranks_cols((hi, lo))
+    return _dense_ranks_cols((x.astype(jnp.uint32),))
+
+
 def count_gtlt_self(a, t: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(gt, lt) counts for all pairs of one register matrix, computing
     only ~half the full-square work via the circulant band decomposition.

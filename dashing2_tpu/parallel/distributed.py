@@ -158,8 +158,12 @@ def distributed_neighbor_lists(opts, result, creps,
     generation is partitioned by subtable COLUMN across hosts (the
     sort-joins are the expensive part), shards merge into the exact
     global candidate set (lsh.merge_candidate_shards), and every host
-    refines + selects identically — per-host outputs are byte-identical
-    to the single-host graph (SURVEY §5 'multi-host LSH build').
+    refines + selects identically — all hosts produce the same output,
+    equal to a single-host run with per-item bucket saturation disabled
+    (column shards cannot see global per-item counts, so the merged set
+    is the UNSATURATED candidate set; it differs from a saturated
+    single-host run only when the sat cap binds, i.e. heavily clustered
+    corpora, where it strictly adds candidates).
 
     process_index/count override jax.process_* for simulated-host
     tests."""

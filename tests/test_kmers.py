@@ -147,3 +147,48 @@ def test_entropy_min_selects_fewer_lowcomplexity():
     # both produce selections; entmin is a valid mask over same positions
     assert np.asarray(v_ent).sum() > 0
     assert np.asarray(v_lex).sum() > 0
+
+
+def test_entmin_lowcomplexity_kmers_lose_windows():
+    """Statistical check of the documented entmin deviation (README
+    'Documented deviations'): the re-derived score hash/max(H, eps)
+    must make low-entropy k-mers lose minimizer windows — selected
+    positions under --entmin should have systematically HIGHER window
+    entropy than under plain lexicographic selection on the same
+    sequence."""
+    rng = np.random.default_rng(7)
+    k, w = 9, 19
+    # homopolymer runs SHORTER than the window (every window containing
+    # one still has complex alternatives, so the selector has a choice);
+    # 'A'-runs are lexicographic minima, so plain selection favors them
+    parts = []
+    for i in range(60):
+        parts.append("".join(rng.choice(list("ACGT"), size=30)))
+        parts.append("A" * 12)
+    seq = "".join(parts).encode()
+    codes_np = np.asarray(K.encode_ascii(seq, Alphabet.DNA))
+    codes = jnp.asarray(codes_np)[None, :]
+
+    def kmer_entropy(pos):
+        window = codes_np[pos:pos + k]
+        ent = 0.0
+        for b in range(4):
+            p = (window == b).mean()
+            if p > 0:
+                ent -= p * np.log2(p)
+        return ent
+
+    _, v_lex = K.hashed_kmers(codes, k, w=w)
+    _, v_ent = K.hashed_kmers(codes, k, w=w, entropy_min=True)
+    sel_lex = np.flatnonzero(np.asarray(v_lex)[0])
+    sel_ent = np.flatnonzero(np.asarray(v_ent)[0])
+    e_lex = np.mean([kmer_entropy(p) for p in sel_lex])
+    e_ent = np.mean([kmer_entropy(p) for p in sel_ent])
+    # entmin selections must be clearly more complex on average, and
+    # near-never zero-entropy, while lexicographic selection (A-runs are
+    # minimal codes) picks homopolymers often
+    assert e_ent > e_lex + 0.2, (e_ent, e_lex)
+    z_lex = np.mean([kmer_entropy(p) < 1e-9 for p in sel_lex])
+    z_ent = np.mean([kmer_entropy(p) < 1e-9 for p in sel_ent])
+    assert z_lex > 0.05, z_lex
+    assert z_ent < z_lex / 4, (z_ent, z_lex)
