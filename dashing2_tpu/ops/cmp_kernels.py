@@ -243,6 +243,223 @@ def dense_ranks(x: jnp.ndarray) -> jnp.ndarray:
     return _dense_ranks_cols((x.astype(jnp.uint32),))
 
 
+# ----------------------------------------------------------------------
+# SWAR packed-word engines (popcount accumulation)
+# ----------------------------------------------------------------------
+#
+# lax.population_count lowers efficiently on TPU, so registers bounded
+# below 2^15 (dense ranks for N <= 32767; u8/u16 values directly where
+# safe) pack two-per-u32-word (four for u8) and compare wordwise:
+#
+#   eq  (any 16-bit halves): x = a ^ b;
+#       nonzero-half flags = (((x & 0x7FFF7FFF) + 0x7FFF7FFF) | x)
+#                            & 0x80008000
+#       (the add is confined to the low 15 bits per half, no carry
+#       crosses halves; bit15 of x feeds in via the |)
+#   gt  (halves < 2^15):  ~((b | 0x80008000) - a) & 0x80008000
+#       (biased minuend keeps each half-difference positive — no
+#       cross-half borrow; per-half bit15 clear iff a_h > b_h)
+#
+# Measured (v5e, N=10240, m=1024): u8-packed eq 27.6 ms (1.9 G
+# unique-pairs/s) vs 119 ms unpacked — ~4.3x from 4x fewer elements and
+# popcount replacing the convert+add chain.
+
+_H16 = 0x80008000
+_L15 = 0x7FFF7FFF
+_H8 = 0x80808080
+_L7 = 0x7F7F7F7F
+
+
+def pack16(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, m) integer registers with values < 2^16 -> (N, ceil(m/2)) u32
+    packed halves (pads a zero half when m is odd — self-pair eq counts
+    gain exactly +1 per pair, corrected by the callers)."""
+    x = jnp.asarray(x).astype(jnp.uint32)
+    if x.shape[1] % 2:
+        x = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], 1), jnp.uint32)], axis=1)
+    return (x[:, 0::2] << 16) | x[:, 1::2]
+
+
+def _eq16_flags(x: jnp.ndarray) -> jnp.ndarray:
+    """popcount of nonzero-half flags for x = a ^ b (u32 words)."""
+    t7 = ((x & jnp.uint32(_L15)) + jnp.uint32(_L15)) | x
+    return jax.lax.population_count(t7 & jnp.uint32(_H16))
+
+
+def swar16_eq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """eq counts (HALVES equal, i.e. registers equal) for packed u32
+    word rows a (..., W) vs b (..., W); returns int32 (...,) counts of
+    EQUAL halves = 2W - nonzero halves of xor."""
+    nz = _eq16_flags(a ^ b)
+    return jnp.int32(2 * a.shape[-1]) - nz.sum(-1, dtype=jnp.int32)
+
+
+def swar16_gt_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """gt counts (#halves with a_h > b_h) for packed halves < 2^15."""
+    h = jnp.uint32(_H16)
+    return jax.lax.population_count(~((b | h) - a) & h).sum(
+        -1, dtype=jnp.int32)
+
+
+def swar8_eq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """eq counts for u8 registers packed four-per-word (full 8-bit
+    range is safe for the zero-byte detect)."""
+    x = a ^ b
+    t7 = ((x & jnp.uint32(_L7)) + jnp.uint32(_L7)) | x
+    nz = jax.lax.population_count(t7 & jnp.uint32(_H8))
+    return jnp.int32(4 * a.shape[-1]) - nz.sum(-1, dtype=jnp.int32)
+
+
+def pack8(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, m) u8 registers -> (N, ceil(m/4)) u32 words (zero-pad; +pad
+    eq per self-pair corrected by callers)."""
+    x = jnp.asarray(x).astype(jnp.uint32)
+    pad = (-x.shape[1]) % 4
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], pad), jnp.uint32)], axis=1)
+    w = x.reshape(x.shape[0], -1, 4)
+    return (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) \
+        | w[..., 3]
+
+
+def circ_self_swar_tiles(packed: jnp.ndarray, *, t: int, mode: str):
+    """Circulant band tile stacks over packed words: returns (xs, ys)
+    each (nd, nt, t, t) int32 — band d, block-row bi holds the tile of
+    rows [bi*t, ...) vs cols [((bi+d)%nt)*t, ...). xs/ys are (eq, eq)
+    for the eq modes, (gt, lt) for 'gtlt16'. The fused measure path
+    applies the estimator PER TILE on these (half the full-square
+    elements) and assembles f32 directly — the raw count matrices are
+    never materialized."""
+    npad, w = packed.shape
+    nt = npad // t
+    nd = nt // 2 + 1
+    p3 = packed.reshape(nt, t, w)
+    p6 = jnp.concatenate([p3, p3])
+
+    def body(_, d):
+        zero = jnp.int32(0)
+        rolled = jax.lax.dynamic_slice(p6, (d, zero, zero), (nt, t, w))
+        a = p3[:, :, None, :]
+        b = rolled[:, None, :, :]
+        if mode == "eq16":
+            eq = swar16_eq_tile(a, b)
+            return None, (eq, eq)
+        if mode == "eq8":
+            eq = swar8_eq_tile(a, b)
+            return None, (eq, eq)
+        gt = swar16_gt_tile(a, b)
+        lt = swar16_gt_tile(b, a)
+        return None, (gt, lt)
+
+    _, (xs, ys) = jax.lax.scan(body, None, jnp.arange(nd, dtype=jnp.int32))
+    return xs, ys
+
+
+def circ_assemble(low_tiles: jnp.ndarray, mirror_tiles: jnp.ndarray,
+                  seg_idx: jnp.ndarray, npad: int, t: int) -> jnp.ndarray:
+    """(nd, nt, t, t) band tiles -> full (npad, npad): the computed
+    tiles land as-is, their mirrors as the transposed mirror stack
+    (same row-segment gather as _circ_seg_index)."""
+    src = jnp.concatenate(
+        [low_tiles.reshape(-1, t, t),
+         jnp.swapaxes(mirror_tiles.reshape(-1, t, t), 1, 2)]
+    ).reshape(-1, t)
+    return jnp.take(src, seg_idx, axis=0).reshape(npad, npad)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "mode"))
+def _circ_self_swar(packed: jnp.ndarray, seg_idx: jnp.ndarray, *, t: int,
+                    mode: str):
+    """Circulant self-pairs over packed words. mode:
+    'eq16'/'eq8' -> full (npad, npad) eq-count matrix (symmetric);
+    'gtlt16' -> full gt matrix (lt == gt.T)."""
+    xs, ys = circ_self_swar_tiles(packed, t=t, mode=mode)
+    return circ_assemble(xs, ys, seg_idx, packed.shape[0], t)
+
+
+def _swar_pad_rows(packed: jnp.ndarray, t: int) -> jnp.ndarray:
+    n = packed.shape[0]
+    pad = (-n) % t
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((pad, packed.shape[1]), packed.dtype)])
+    return packed
+
+
+def count_eq_self_packed(packed: jnp.ndarray, m: int, *, eight_bit: bool,
+                         t: int = 512) -> jnp.ndarray:
+    """eq counts for all self-pairs over packed word registers; m = true
+    register count (pad halves/bytes are equal on both sides of every
+    pair, so raw counts exceed eq by the pad amount — corrected here).
+    Traceable."""
+    n0 = packed.shape[0]
+    t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
+    a = _swar_pad_rows(packed, t)
+    seg_idx = jnp.asarray(_circ_seg_index(a.shape[0], t))
+    per = 4 if eight_bit else 2
+    raw = _circ_self_swar(a, seg_idx, t=t,
+                          mode="eq8" if eight_bit else "eq16")
+    extra = per * packed.shape[1] - m
+    return raw[:n0, :n0] - jnp.int32(extra)
+
+
+def count_gtlt_self_packed16(packed: jnp.ndarray, t: int = 512
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(gt, lt) counts for all self-pairs over 2^15-bounded packed
+    halves (pad halves equal -> contribute no gt/lt). lt == gt.T."""
+    n0 = packed.shape[0]
+    t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
+    a = _swar_pad_rows(packed, t)
+    seg_idx = jnp.asarray(_circ_seg_index(a.shape[0], t))
+    gt = _circ_self_swar(a, seg_idx, t=t, mode="gtlt16")
+    gt = gt[:n0, :n0]
+    return gt, gt.T
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "tm"))
+def _pairwise_swar(a: jnp.ndarray, b: jnp.ndarray, *, mode: str, tm: int):
+    """Rectangular packed-word counts (rows of a vs all rows of b),
+    scanning row tiles of a. mode 'eq16'/'eq8' -> eq; 'gtlt16' ->
+    (gt, lt)."""
+    na = a.shape[0]
+    a = _pad_rows(a, tm)
+    nt = a.shape[0] // tm
+    tiles = a.reshape(nt, tm, -1)
+
+    def body(_, at):
+        av = at[:, None, :]
+        bv = b[None, :, :]
+        if mode == "eq16":
+            eq = swar16_eq_tile(av, bv)
+            return None, (eq, eq)
+        if mode == "eq8":
+            eq = swar8_eq_tile(av, bv)
+            return None, (eq, eq)
+        return None, (swar16_gt_tile(av, bv), swar16_gt_tile(bv, av))
+
+    _, (xs, ys) = jax.lax.scan(body, None, tiles)
+    return (xs.reshape(nt * tm, -1)[:na], ys.reshape(nt * tm, -1)[:na])
+
+
+def count_eq_packed(a_packed, b_packed, m: int, *, eight_bit: bool,
+                    tm: int = 256) -> jnp.ndarray:
+    """Rectangular eq counts over packed words (pad-corrected)."""
+    per = 4 if eight_bit else 2
+    extra = per * a_packed.shape[1] - m
+    eq, _ = _pairwise_swar(a_packed, b_packed,
+                           mode="eq8" if eight_bit else "eq16", tm=tm)
+    return eq - jnp.int32(extra)
+
+
+def count_gtlt_packed16(a_packed, b_packed, tm: int = 256
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rectangular (gt, lt) counts over 2^15-bounded packed halves."""
+    gt, lt = _pairwise_swar(a_packed, b_packed, mode="gtlt16", tm=tm)
+    return gt, lt
+
+
 def count_gtlt_self(a, t: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(gt, lt) counts for all pairs of one register matrix, computing
     only ~half the full-square work via the circulant band decomposition.

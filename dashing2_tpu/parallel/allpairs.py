@@ -134,8 +134,8 @@ def sharded_similarity(mesh: Mesh, sigs_u64: jnp.ndarray,
     return jax.jit(step)(sigs_u64, sigs_u64, cards, cards)
 
 
-def sharded_selfpairs(mesh: Mesh, regs_u64: jnp.ndarray, t: int = 128
-                      ) -> jnp.ndarray:
+def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
+                      packed16: bool = False) -> jnp.ndarray:
     """Multi-chip symmetric all-pairs gt matrix via the circulant band
     decomposition: band d compares every block-row against block-rows
     rolled by d, and bands shard evenly across devices — each chip does
@@ -143,16 +143,21 @@ def sharded_selfpairs(mesh: Mesh, regs_u64: jnp.ndarray, t: int = 128
     band tiles all-gather (tiny vs the compare work) and every chip
     assembles the full matrix with one row-granular take.
 
+    regs: (n, m) u64 registers, or — with packed16 — (n, ceil(m/2)) u32
+    SWAR-packed halves (dense ranks < 2^15; see cmp_kernels pack16),
+    which compare at 2-4x the u64 limb rate and halve the replicated
+    operand bytes each chip holds.
+
     Returns the (n, n) int32 gt matrix; lt == gt.T."""
     from ..ops import cmp_kernels as CK
 
-    n0 = regs_u64.shape[0]
+    n0 = regs.shape[0]
     D = mesh.devices.size
     t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
-    a = np.asarray(regs_u64, dtype=np.uint64)
+    a = np.asarray(regs, dtype=np.uint32 if packed16 else np.uint64)
     pad = (-a.shape[0]) % t
     if pad:
-        a = np.concatenate([a, np.zeros((pad, a.shape[1]), np.uint64)])
+        a = np.concatenate([a, np.zeros((pad, a.shape[1]), a.dtype)])
     npad, m = a.shape
     nt = npad // t
     nd = nt // 2 + 1
@@ -166,6 +171,21 @@ def sharded_selfpairs(mesh: Mesh, regs_u64: jnp.ndarray, t: int = 128
         in_specs=(P(None, None), P("rows")),
         out_specs=(P("rows"), P("rows")))
     def band_shard(av, my_bands):
+        if packed16:
+            a3 = av.reshape(nt, t, m)
+            a6 = jnp.concatenate([a3, a3])
+
+            def body(_, d):
+                zero = jnp.int32(0)
+                bb = jax.lax.dynamic_slice(a6, (d, zero, zero), (nt, t, m))
+                aa = a3[:, :, None, :]
+                b4 = bb[:, None, :, :]
+                gt = CK.swar16_gt_tile(aa, b4)
+                lt = CK.swar16_gt_tile(b4, aa)
+                return None, (gt, lt)
+
+            _, (gts, lts) = jax.lax.scan(body, None, my_bands)
+            return gts, lts
         ah, al = _split(av)
         a3h = ah.reshape(nt, t, m)
         a3l = al.reshape(nt, t, m)

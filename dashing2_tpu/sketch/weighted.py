@@ -23,8 +23,17 @@ event whose probability is J_W/J_P — independent of the other set's
 normalization. (Comparisons in dashing2's multiset/probset space are pure
 register-equality counts, cmp_core.cpp:495-517.)
 
-All (chunk x m) math is dense VPU work; chunks stream through a jitted
-kernel with an (m,) running (min_key, value) state.
+All (chunk x m) math is dense VPU work. The production engine is ROW
+BATCHED (round 3): every item's (hash, weight) stream is laid into
+fixed-width rows (one item never shares a row), a single jitted kernel
+reduces a whole (R, L) row batch to (R, m) partial registers in one
+dispatch, and partial rows of the same item min-merge on the host —
+one device call per ~R·L draws instead of one per item per 2048-chunk
+(a 10k-item corpus was 10k+ dispatches before). Draw math runs in f32
+(TPU f64 is emulated; log/exp dominate): deterministic and identical
+across backends, register equality semantics unchanged (values are
+item-sample-keyed hashes), estimator perturbation ~2^-24 per draw —
+documented in README "deviations".
 """
 
 from __future__ import annotations

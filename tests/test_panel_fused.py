@@ -1,0 +1,70 @@
+"""Fused panel (Q x F) engine vs the generic blocked path, bit-exact.
+
+The round-3 _panel_matrix_fn routes nq > 0 jobs through the rectangular
+SWAR/MXU count engines with a shared rank space; DASHING2_TPU_KERNEL=
+swar forces that route on CPU so both paths run here."""
+
+import os
+
+import numpy as np
+import pytest
+
+import dashing2_tpu  # noqa: F401
+from dashing2_tpu.cmp.core import pairwise_matrix
+from dashing2_tpu.config import Dashing2DistOptions
+from dashing2_tpu.enums import Measure
+from dashing2_tpu.result import SketchingResult
+
+
+def _mkres(rng, n, m, nq):
+    sigs = np.abs(rng.normal(size=(n, m))) + 1e-9
+    res = SketchingResult(names=[f"s{i}" for i in range(n)])
+    res.signatures = sigs
+    res.cardinalities = rng.uniform(1e3, 1e5, size=n)
+    res.nq = nq
+    return res
+
+
+def _run(opts, res, mode):
+    os.environ["DASHING2_TPU_KERNEL"] = mode
+    try:
+        return dict(pairwise_matrix(opts, res))
+    finally:
+        del os.environ["DASHING2_TPU_KERNEL"]
+
+
+@pytest.mark.parametrize("msr", [Measure.SIMILARITY, Measure.CONTAINMENT])
+@pytest.mark.parametrize("m", [128, 96])
+def test_panel_fused_matches_generic_full_kind(msr, m):
+    rng = np.random.default_rng(11)
+    n, nq = 120, 40
+    res1 = _mkres(rng, n, m, nq)
+    res2 = SketchingResult(names=list(res1.names))
+    res2.signatures = res1.signatures.copy()
+    res2.cardinalities = res1.cardinalities.copy()
+    res2.nq = nq
+    opts = Dashing2DistOptions(sketchsize=m, kmer_result=1, measure=msr)
+    fused = _run(opts, res1, "swar")
+    generic = _run(opts, res2, "xla")
+    assert fused.keys() == generic.keys()
+    for k in fused:
+        np.testing.assert_array_equal(fused[k], generic[k])
+    # panel blocks must cover exactly the reference rows
+    assert sum(b.shape[0] for b in fused.values()) == n - nq
+    assert all(b.shape[1] == nq for b in fused.values())
+
+
+def test_panel_fused_matches_generic_bbit_u16():
+    rng = np.random.default_rng(12)
+    n, m, nq = 100, 64, 30
+    res1 = _mkres(rng, n, m, nq)
+    res2 = SketchingResult(names=list(res1.names))
+    res2.signatures = res1.signatures.copy()
+    res2.cardinalities = res1.cardinalities.copy()
+    res2.nq = nq
+    opts = Dashing2DistOptions(sketchsize=m, kmer_result=1,
+                               fd_level=2.0, truncation_method=1)
+    fused = _run(opts, res1, "swar")
+    generic = _run(opts, res2, "xla")
+    for k in fused:
+        np.testing.assert_array_equal(fused[k], generic[k])

@@ -1,0 +1,116 @@
+"""SWAR packed-engine exactness: kernels vs naive counts, and the
+_self_matrix_fn SWAR route vs the XLA route bit-for-bit.
+
+The SWAR engines (ops/cmp_kernels pack16/pack8 + popcount tiles) are
+the round-3 default-path acceleration; DASHING2_TPU_KERNEL=swar forces
+the route on CPU so these tests exercise the exact production code."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import dashing2_tpu  # noqa: F401
+from dashing2_tpu.cmp import core as C
+from dashing2_tpu.enums import Measure
+from dashing2_tpu.ops import cmp_kernels as CK
+
+
+@pytest.mark.parametrize("m", [64, 63, 17])
+def test_swar_kernels_exact(m):
+    rng = np.random.default_rng(5)
+    n = 150
+    vals = rng.integers(0, 300, size=(n, m)).astype(np.uint64) \
+        * np.uint64(0x9E3779B97F4A7C15)
+    r = np.asarray(jax.jit(CK.dense_ranks)(jnp.asarray(vals)))
+    assert r.max() < n
+    pk = CK.pack16(jnp.asarray(r))
+    ref_eq = (vals[:, None, :] == vals[None, :, :]).sum(-1)
+    ref_gt = (vals[:, None, :] > vals[None, :, :]).sum(-1)
+    eq = np.asarray(CK.count_eq_self_packed(pk, m, eight_bit=False, t=32))
+    assert (eq == ref_eq).all()
+    gt, lt = CK.count_gtlt_self_packed16(pk, t=32)
+    assert (np.asarray(gt) == ref_gt).all()
+    assert (np.asarray(lt) == ref_gt.T).all()
+    # rectangular
+    eqr = np.asarray(CK.count_eq_packed(pk[:40], pk[40:], m,
+                                        eight_bit=False))
+    assert (eqr == ref_eq[:40, 40:]).all()
+    gtr, ltr = CK.count_gtlt_packed16(pk[:40], pk[40:])
+    assert (np.asarray(gtr) == ref_gt[:40, 40:]).all()
+    ref_lt = (vals[:40][:, None, :] < vals[40:][None, :, :]).sum(-1)
+    assert (np.asarray(ltr) == ref_lt).all()
+
+
+def test_swar_8bit_and_16bit_fullrange_eq():
+    rng = np.random.default_rng(6)
+    n, m = 100, 96
+    v8 = rng.integers(0, 256, size=(n, m)).astype(np.uint8)
+    eq8 = np.asarray(CK.count_eq_self_packed(
+        CK.pack8(jnp.asarray(v8)), m, eight_bit=True, t=32))
+    assert (eq8 == (v8[:, None, :] == v8[None, :, :]).sum(-1)).all()
+    v16 = rng.integers(0, 65536, size=(n, m)).astype(np.uint16)
+    eq16 = np.asarray(CK.count_eq_self_packed(
+        CK.pack16(jnp.asarray(v16)), m, eight_bit=False, t=32))
+    assert (eq16 == (v16[:, None, :] == v16[None, :, :]).sum(-1)).all()
+
+
+def _route_pair(kind, data, cards, m, msr, fd, b=1.2):
+    """Run _self_matrix_fn under the swar and xla routes."""
+    gbt, gbinv = C._gb_args(max(b, 1.0 + 1e-9), m)
+    outs = {}
+    for mode in ("swar", "xla"):
+        fn = C._self_matrix_fn_m(kind, m, msr, 31, fd, mode)
+        outs[mode] = np.asarray(fn(data, cards, np.float64(b), gbt, gbinv))
+    return outs["swar"], outs["xla"]
+
+
+@pytest.mark.parametrize("msr", [Measure.SIMILARITY, Measure.CONTAINMENT,
+                                 Measure.INTERSECTION, Measure.POISSON_LLR])
+@pytest.mark.parametrize("m", [128, 96])
+def test_full_kind_swar_route_bitexact(msr, m):
+    """Default full-register gt/lt estimator: the SWAR route (eq-only
+    reformulation for pow2 m; gtlt halves otherwise) must be
+    BIT-identical to the XLA circulant route."""
+    rng = np.random.default_rng(7)
+    n = 96
+    sigs = rng.uniform(0.1, 4.0, size=(n, m))
+    sigs[rng.random((n, m)) < 0.2] = sigs[0, 0]  # force ties
+    data = sigs.view(np.uint64) if sigs.flags.c_contiguous \
+        else np.ascontiguousarray(sigs).view(np.uint64)
+    cards = rng.uniform(1e4, 1e6, size=n)
+    a, b = _route_pair("full", data, cards, m, msr, 8.0)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("kind,dtype,fd", [
+    ("eqfull", np.uint64, 8.0),
+    ("bbit", np.uint8, 1.0),
+    ("bbit", np.uint16, 2.0),
+    ("bbit", np.uint32, 4.0),
+    ("bbit", np.uint64, 8.0),
+    ("ab", np.uint8, 1.0),
+    ("ab", np.uint16, 2.0),
+    ("ab", np.uint32, 4.0),
+])
+def test_compressed_kinds_swar_route_bitexact(kind, dtype, fd):
+    rng = np.random.default_rng(8)
+    n, m = 100, 128
+    hi = min(int(np.iinfo(dtype).max) + 1, 1 << 62)
+    data = rng.integers(0, hi, size=(n, m)).astype(dtype)
+    data[rng.random((n, m)) < 0.3] = data[0, 0]
+    cards = rng.uniform(1e4, 1e6, size=n)
+    a, b = _route_pair(kind, data, cards, m, Measure.SIMILARITY, fd)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ab_u64_nonpow2_m_swar_route_bitexact():
+    """fd=8 'ab' with non-pow2 m must take the real gtlt halves path
+    (the eq-only reformulation is only exact for pow2 m)."""
+    rng = np.random.default_rng(9)
+    n, m = 80, 96
+    data = rng.integers(0, 1 << 62, size=(n, m)).astype(np.uint64)
+    cards = rng.uniform(1e4, 1e6, size=n)
+    a, b = _route_pair("ab", data, cards, m, Measure.SIMILARITY, 8.0)
+    np.testing.assert_array_equal(a, b)
