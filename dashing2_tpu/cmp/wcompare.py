@@ -8,6 +8,8 @@ for large batches.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..result import SketchingResult
@@ -147,13 +149,107 @@ def exact_intersections(result: SketchingResult, rows: np.ndarray,
     return out
 
 
+def _device_sets_cache(result: SketchingResult):
+    """Padded device tables of the exact k-mer sets, uploaded once per
+    result: (keys u64 (n, L) padded with u64::max, counts i32 (n, L),
+    valid mask). None when the padding blowup is pathological."""
+    cache = getattr(result, "_dev_sets_cache", None)
+    if cache is not None:
+        return cache
+    import jax.numpy as jnp
+    sets = result.kmer_sets
+    counts = result.kmer_set_counts
+    n = len(sets)
+    lens = np.array([len(s) for s in sets], np.int64)
+    L = max(1, int(lens.max()))
+    if L * n > (1 << 28) or (lens.mean() > 0 and L > 16 * lens.mean()):
+        result._dev_sets_cache = False
+        return False
+    keys = np.full((n, L), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    cnt = np.ones((n, L), np.int32)
+    for i, s in enumerate(sets):
+        keys[i, :len(s)] = s
+        if counts is not None:
+            c = np.minimum(counts[i], 2**31 - 1).astype(np.int32)
+            cnt[i, :len(s)] = c
+    valid = (np.arange(L)[None, :] < lens[:, None])
+    cache = (jnp.asarray(keys), jnp.asarray(cnt),
+             jnp.asarray(valid.astype(np.int32)),
+             counts is not None)
+    result._dev_sets_cache = cache
+    return cache
+
+
+@functools.lru_cache(maxsize=4)
+def _isect_pairs_fn(weighted: bool):
+    import jax
+    import jax.numpy as jnp
+
+    def f(keys, cnt, valid, ja, jb):
+        ka = jnp.take(keys, ja, axis=0)
+        kb = jnp.take(keys, jb, axis=0)
+        ca = jnp.take(cnt, ja, axis=0)
+        cb = jnp.take(cnt, jb, axis=0)
+        va = jnp.take(valid, ja, axis=0)
+        vb = jnp.take(valid, jb, axis=0)
+        k = jnp.concatenate([ka, kb], axis=1)
+        c = jnp.concatenate([ca, cb], axis=1)
+        v = jnp.concatenate([va, vb], axis=1)
+        # merge by sorting each pair row; keys are unique within a set,
+        # so adjacent equal valid keys are one key shared by both sides
+        ks, cs, vs = jax.lax.sort((k, c, v), dimension=1, num_keys=1,
+                                  is_stable=False)
+        match = ((ks[:, 1:] == ks[:, :-1])
+                 & (vs[:, 1:] > 0) & (vs[:, :-1] > 0))
+        w = (jnp.minimum(cs[:, 1:], cs[:, :-1]) if weighted
+             else jnp.ones_like(cs[:, 1:]))
+        return jnp.sum(jnp.where(match, w, 0), axis=1, dtype=jnp.int64)
+
+    return jax.jit(f)
+
+
+def _exact_pairs_device(result: SketchingResult, ia: np.ndarray,
+                        ib: np.ndarray):
+    """Device sorted-merge intersections for a pair list: rows gathered
+    on device, each pair's two sorted sets merged by ONE row-wise
+    lax.sort (payload counts ride the sort network), shared keys counted
+    from adjacent equality. Returns None when the host path is
+    preferable (CPU backend, small lists, or pathological padding)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "cpu" or len(ia) < 1024 \
+            or os.environ.get("DASHING2_TPU_EXACT_DEVICE", "1") == "0":
+        return None
+    cache = _device_sets_cache(result)
+    if cache is False:
+        return None
+    keys, cnt, valid, weighted = cache
+    L = keys.shape[1]
+    fn = _isect_pairs_fn(weighted)
+    block = max(256, (1 << 22) // max(2 * L, 1))
+    out = np.empty(len(ia), np.float64)
+    for s in range(0, len(ia), block):
+        ja = jnp.asarray(np.asarray(ia[s:s + block], np.int32))
+        jb = jnp.asarray(np.asarray(ib[s:s + block], np.int32))
+        out[s:s + block] = np.asarray(fn(keys, cnt, valid, ja, jb))
+    return out
+
+
 def exact_intersections_pairs(result: SketchingResult, ia: np.ndarray,
                               ib: np.ndarray) -> np.ndarray:
-    """Intersection sizes for an explicit pair list, grouped by the left
-    item so each group is one vectorized posting join (the refine/dedup
-    loops previously did one doubly-nested call per pair)."""
+    """Intersection sizes for an explicit pair list: device sorted-merge
+    engine when a non-CPU backend is attached (one row-wise sort per
+    pair block — no scatters, no element gathers), else grouped by the
+    left item so each group is one vectorized posting join (the
+    refine/dedup loops previously did one doubly-nested call per
+    pair)."""
     ia = np.asarray(ia)
     ib = np.asarray(ib)
+    dev = _exact_pairs_device(result, ia, ib)
+    if dev is not None:
+        return dev
     out = np.empty(len(ia), dtype=np.float64)
     order = np.argsort(ia, kind="stable")
     sia = ia[order]

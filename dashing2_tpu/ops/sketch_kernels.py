@@ -387,6 +387,44 @@ def sort_count_unique(hashed: jnp.ndarray, valid: jnp.ndarray,
     return uniq, counts, is_head.sum()
 
 
+@jax.jit
+def _countsketch_device(hv: jnp.ndarray, cssize: jnp.ndarray):
+    """CountSketch bucket accumulation on device, scatter-free:
+    bucket[h % cssize] += (h & 1) ? +1 : -1 (counter.h semantics)
+    computed as ONE sort with the sign riding as payload + a cumsum;
+    run boundaries mark distinct buckets. Returns (sorted bucket ids
+    i32, inclusive sign cumsum i32, run-end mask bool) — the host
+    extracts per-bucket sums as diffs of the cumsum at run ends (O(K)
+    numpy), avoiding both TPU scatters and a cssize-dense buffer."""
+    idx = (hv % cssize.astype(jnp.uint64)).astype(jnp.int32)
+    sign = jnp.where((hv & jnp.uint64(1)).astype(bool),
+                     jnp.int32(1), jnp.int32(-1))
+    si, ss = jax.lax.sort((idx, sign), dimension=0, num_keys=1,
+                          is_stable=False)
+    cs = jnp.cumsum(ss, dtype=jnp.int32)
+    last = jnp.concatenate([si[1:] != si[:-1],
+                            jnp.ones(1, dtype=bool)])
+    return si, cs, last
+
+
+def countsketch_counts(hv: np.ndarray, cssize: int):
+    """(bucket ids u64, |sums| f64) of the CountSketch accumulation of
+    hash stream hv — device sort+cumsum, host run extraction. Matches
+    the dense np.add.at formulation exactly (integer arithmetic)."""
+    if len(hv) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.float64)
+    # bucket ids ride the sort as i32: callers gate on cssize < 2^31
+    # (the CLI's --countsketch-size is far below that in practice)
+    assert cssize < (1 << 31)
+    si, cs, last = jax.device_get(
+        _countsketch_device(jnp.asarray(hv), jnp.uint64(cssize)))
+    ends = np.flatnonzero(last)
+    sums = np.diff(np.concatenate([[0], cs[ends]]))
+    nz = sums != 0
+    return si[ends][nz].astype(np.uint64), np.abs(sums[nz]).astype(
+        np.float64)
+
+
 def bottomk(hashed: np.ndarray, valid: np.ndarray, k: int) -> np.ndarray:
     """k smallest distinct hashes, ascending (fastxsketch.cpp:24-47).
     Fewer than k distinct -> pad with u64::max."""

@@ -594,13 +594,21 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             # CountSketch with fixed memory (enums.h:44-57, counter.h):
             # bucket[h % cssize] += (h & 1) ? 1 : -1; weights = |bucket|,
             # items = bucket indices (bedsketch.cpp:77-86 semantics).
-            buckets = np.zeros(opts.cssize, np.float64)
-            idx = (hv % np.uint64(opts.cssize)).astype(np.int64)
-            sign = np.where((hv & np.uint64(1)).astype(bool), 1.0, -1.0)
-            np.add.at(buckets, idx, sign)
-            nz = np.nonzero(buckets)[0]
-            u = nz.astype(np.uint64)
-            c = np.abs(buckets[nz])
+            if jax.default_backend() != "cpu" and len(hv) > 4096 \
+                    and opts.cssize < (1 << 31):
+                # device sort+cumsum engine (TPU scatters are
+                # scalar-unit bound; the host np.add.at was a
+                # single-threaded O(stream) scatter)
+                u, c = SK.countsketch_counts(hv, opts.cssize)
+            else:
+                buckets = np.zeros(opts.cssize, np.float64)
+                idx = (hv % np.uint64(opts.cssize)).astype(np.int64)
+                sign = np.where((hv & np.uint64(1)).astype(bool),
+                                1.0, -1.0)
+                np.add.at(buckets, idx, sign)
+                nz = np.nonzero(buckets)[0]
+                u = nz.astype(np.uint64)
+                c = np.abs(buckets[nz])
         else:
             u, c = np.unique(hv, return_counts=True)
         if opts.count_threshold > 1:

@@ -56,97 +56,156 @@ _SVAL = 0xC2B2AE3D27D4EB4F
 _GOLD = 0x9E3779B97F4A7C15
 
 
-def _unit(h: jnp.ndarray) -> jnp.ndarray:
-    u = DH.u64_to_unit_float(h)
-    return jnp.maximum(u, 1e-300)
-
-
-def _keyed(hashes: jnp.ndarray, salt: int, j: jnp.ndarray) -> jnp.ndarray:
-    """(C,1) item hashes x (m,) register indices -> (C, m) u64."""
-    return DH.wanghash(hashes[:, None] ^ (j[None, :] + jnp.uint64(salt)))
-
-
-@functools.partial(jax.jit, static_argnames=("m",))
-def _icws_chunk(hashes: jnp.ndarray, lnw: jnp.ndarray, item_ids: jnp.ndarray,
-                state_key, state_val, state_id, *, m: int):
-    """One ICWS chunk update. hashes (C,) u64, lnw (C,) f64 (ln weights,
-    -inf to skip), item_ids (C,) i64 original item ordinals. state: key
-    (m,) f64 running min of ln(a); val (m,) f64 stored item-sample values;
-    id (m,) i64 winning item ordinal."""
+def _draws(kind: str, hashes: jnp.ndarray, lnw: jnp.ndarray, m: int):
+    """(..., m) f32 (key, sample-value) draws for a block of hashes.
+    kind 'icws': Ioffe consistent weighted sampling (key = ln a);
+    kind 'pmh': ProbMinHash1 (key = Exp(1)/p_d). lnw = ln weight
+    (ln p_d for pmh), -inf to mask."""
     j = jnp.arange(m, dtype=jnp.uint64) * jnp.uint64(_GOLD)
-    u1 = _unit(_keyed(hashes, _S1, j))
-    u2 = _unit(_keyed(hashes, _S2, j))
-    u3 = _unit(_keyed(hashes, _S3, j))
-    u4 = _unit(_keyed(hashes, _S4, j))
-    beta = DH.u64_to_unit_float(_keyed(hashes, _S5, j))
-    r = -(jnp.log(u1) + jnp.log(u2))          # Gamma(2,1)
-    lnc = jnp.log(-(jnp.log(u3) + jnp.log(u4)))
-    t = jnp.floor(lnw[:, None] / r + beta)
-    lny = r * (t - beta)
-    lna = lnc - lny - r                        # (C, m)
-    lna = jnp.where(jnp.isfinite(lnw)[:, None], lna, jnp.inf)
-    # sample value keyed by (item, t): equality <=> same consistent sample
-    tbits = t.astype(jnp.int64).astype(jnp.uint64)
-    sval = DH.u64_to_unit_float(
-        DH.wanghash(hashes[:, None] ^ (tbits * jnp.uint64(_GOLD))
-                    ^ jnp.uint64(_SVAL)))
-    all_key = jnp.concatenate([state_key[None, :], lna], axis=0)
-    all_val = jnp.concatenate([state_val[None, :], sval], axis=0)
-    all_id = jnp.concatenate([state_id[None, :],
-                              jnp.broadcast_to(item_ids[:, None],
-                                               lna.shape)], axis=0)
-    win = jnp.argmin(all_key, axis=0)
-    take = jnp.take_along_axis
-    new_key = take(all_key, win[None, :], 0)[0]
-    new_val = take(all_val, win[None, :], 0)[0]
-    new_id = take(all_id, win[None, :], 0)[0]
-    return new_key, new_val, new_id
+    shape = hashes.shape + (m,)
+    h = hashes[..., None]
+
+    def keyed(salt):
+        return DH.wanghash(h ^ (j + jnp.uint64(salt)))
+
+    def unit32(u64):
+        return jnp.maximum(
+            DH.u64_to_unit_float(u64).astype(jnp.float32),
+            jnp.float32(1e-30))
+
+    live = jnp.isfinite(lnw)[..., None]
+    lnw32 = jnp.where(jnp.isfinite(lnw), lnw, 0.0).astype(
+        jnp.float32)[..., None]
+    if kind == "icws":
+        u1 = unit32(keyed(_S1))
+        u2 = unit32(keyed(_S2))
+        u3 = unit32(keyed(_S3))
+        u4 = unit32(keyed(_S4))
+        beta = DH.u64_to_unit_float(keyed(_S5)).astype(jnp.float32)
+        r = -(jnp.log(u1) + jnp.log(u2))          # Gamma(2,1)
+        lnc = jnp.log(-(jnp.log(u3) + jnp.log(u4)))
+        t = jnp.floor(lnw32 / r + beta)
+        lny = r * (t - beta)
+        key = lnc - lny - r
+        # sample value keyed by (item, t): equality <=> same sample
+        tbits = t.astype(jnp.int32).astype(jnp.uint64)
+        sval = DH.u64_to_unit_float(
+            DH.wanghash(h ^ (tbits * jnp.uint64(_GOLD))
+                        ^ jnp.uint64(_SVAL))).astype(jnp.float32)
+    else:
+        u = unit32(keyed(_S1))
+        key = -jnp.log(u) * jnp.exp(-lnw32)
+        sval = jnp.broadcast_to(
+            DH.u64_to_unit_float(
+                DH.wanghash(h ^ jnp.uint64(_SVAL))).astype(jnp.float32),
+            shape)
+    key = jnp.where(live, key, jnp.float32(jnp.inf))
+    return key, sval
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _pmh_chunk(hashes: jnp.ndarray, lnp: jnp.ndarray, item_ids: jnp.ndarray,
-               state_key, state_val, state_id, *, m: int):
-    """ProbMinHash1 chunk update: value Exp(1)/p_d per (d, j)."""
-    j = jnp.arange(m, dtype=jnp.uint64) * jnp.uint64(_GOLD)
-    u = _unit(_keyed(hashes, _S1, j))
-    key = -jnp.log(u) / jnp.exp(lnp)[:, None]
-    key = jnp.where(jnp.isfinite(lnp)[:, None], key, jnp.inf)
-    sval = DH.u64_to_unit_float(
-        DH.wanghash(hashes[:, None] ^ jnp.uint64(_SVAL)))
-    sval = jnp.broadcast_to(sval, key.shape)
-    all_key = jnp.concatenate([state_key[None, :], key], axis=0)
-    all_val = jnp.concatenate([state_val[None, :], sval], axis=0)
-    all_id = jnp.concatenate([state_id[None, :],
-                              jnp.broadcast_to(item_ids[:, None],
-                                               key.shape)], axis=0)
-    win = jnp.argmin(all_key, axis=0)
-    take = jnp.take_along_axis
-    new_key = take(all_key, win[None, :], 0)[0]
-    new_val = take(all_val, win[None, :], 0)[0]
-    new_id = take(all_id, win[None, :], 0)[0]
-    return new_key, new_val, new_id
+@functools.partial(jax.jit, static_argnames=("kind", "m", "sub"))
+def _rows_kernel(hashes, lnw, *, kind: str, m: int, sub: int = 32):
+    """Row-batched weighted sketch: hashes/lnw (R, L) -> per-row (R, m)
+    f32 (key, val, idpos) partial registers, scanning L in `sub` slices
+    to bound the (R, sub, m) draw intermediates. idpos is the winning
+    stream position within the row (f32-encoded; exact below 2^24)."""
+    R, L = hashes.shape
+    nc = L // sub
+    hs = jnp.moveaxis(hashes.reshape(R, nc, sub), 1, 0)
+    ws = jnp.moveaxis(lnw.reshape(R, nc, sub), 1, 0)
+
+    def body(state, xs):
+        skey, sval, sid = state
+        h, w, ci = xs
+        key, val = _draws(kind, h, w, m)          # (R, sub, m)
+        win = jnp.argmin(key, axis=1)             # (R, m)
+        take = jnp.take_along_axis
+        ckey = take(key, win[:, None, :], 1)[:, 0]
+        cval = take(val, win[:, None, :], 1)[:, 0]
+        cid = win.astype(jnp.float32) + ci * sub
+        better = ckey < skey
+        return (jnp.where(better, ckey, skey),
+                jnp.where(better, cval, sval),
+                jnp.where(better, cid, sid)), None
+
+    init = (jnp.full((R, m), jnp.inf, jnp.float32),
+            jnp.zeros((R, m), jnp.float32),
+            jnp.zeros((R, m), jnp.float32))
+    ci = jnp.arange(nc, dtype=jnp.float32)
+    (key, val, sid), _ = jax.lax.scan(body, init, (hs, ws, ci))
+    return key, val, sid
 
 
-def _run(kernel, hashes: np.ndarray, lnw: np.ndarray, m: int,
-         chunk: int = 2048, with_ids: bool = False):
-    key = jnp.full((m,), jnp.inf, dtype=jnp.float64)
-    val = jnp.zeros((m,), dtype=jnp.float64)
-    ids = jnp.zeros((m,), dtype=jnp.int64)
-    n = len(hashes)
-    for s in range(0, max(n, 1), chunk):
-        hs = hashes[s:s + chunk]
-        ws = lnw[s:s + chunk]
-        iid = np.arange(s, s + len(hs), dtype=np.int64)
-        if len(hs) < chunk:
-            pad = chunk - len(hs)
-            hs = np.concatenate([hs, np.zeros(pad, np.uint64)])
-            ws = np.concatenate([ws, np.full(pad, -np.inf)])
-            iid = np.concatenate([iid, np.zeros(pad, np.int64)])
-        key, val, ids = kernel(jnp.asarray(hs), jnp.asarray(ws),
-                               jnp.asarray(iid), key, val, ids, m=m)
+_ROW_L = 2048
+
+
+def _row_batch_R(m: int) -> int:
+    """Rows per device call, bounding the (R, sub, m) f32 draw
+    intermediates to ~32 MB."""
+    return max(8, min(256, (1 << 18) // max(m, 1)))
+
+
+def _sketch_stream(kind: str, hashes: np.ndarray, lnw: np.ndarray, m: int,
+                   with_ids: bool):
+    """Single-item convenience: routes the item's stream through the
+    row-batched kernel and min-merges its row partials."""
+    sigs, ids = _sketch_many_streams(kind, [hashes], [lnw], m)
     if with_ids:
-        return np.asarray(val), np.asarray(ids)
-    return np.asarray(val)
+        return sigs[0], ids[0]
+    return sigs[0]
+
+
+def _sketch_many_streams(kind: str, streams: List[np.ndarray],
+                         lnws: List[np.ndarray], m: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched engine: lay every item's (hash, lnw) stream into fixed
+    (R, L) row batches (an item never shares a row; short tails pad
+    with -inf weights), reduce each batch to (R, m) partials in ONE
+    device call, and min-merge partial rows of the same item on the
+    host. Returns (sigs f64 (n, m), winner ids i64 (n, m))."""
+    n = len(streams)
+    R = _row_batch_R(m)
+    sigs_key = np.full((n, m), np.inf, dtype=np.float32)
+    sigs_val = np.zeros((n, m), dtype=np.float32)
+    sigs_id = np.zeros((n, m), dtype=np.int64)
+
+    rows_h = np.zeros((R, _ROW_L), dtype=np.uint64)
+    rows_w = np.full((R, _ROW_L), -np.inf, dtype=np.float64)
+    rows_item = np.zeros(R, dtype=np.int64)
+    rows_base = np.zeros(R, dtype=np.int64)
+    fill = 0
+
+    def flush():
+        nonlocal fill
+        if fill == 0:
+            return
+        key, val, sid = _rows_kernel(jnp.asarray(rows_h),
+                                     jnp.asarray(rows_w), kind=kind, m=m)
+        key, val, sid = np.asarray(key), np.asarray(val), np.asarray(sid)
+        for r in range(fill):
+            i = rows_item[r]
+            better = key[r] < sigs_key[i]
+            sigs_key[i] = np.where(better, key[r], sigs_key[i])
+            sigs_val[i] = np.where(better, val[r], sigs_val[i])
+            sigs_id[i] = np.where(
+                better, sid[r].astype(np.int64) + rows_base[r], sigs_id[i])
+        rows_w[:] = -np.inf
+        fill = 0
+
+    for i in range(n):
+        h = streams[i]
+        w = lnws[i]
+        for s in range(0, max(len(h), 1), _ROW_L):
+            hs = h[s:s + _ROW_L]
+            rows_h[fill, :len(hs)] = hs
+            rows_w[fill, :len(hs)] = w[s:s + len(hs)]
+            rows_item[fill] = i
+            rows_base[fill] = s
+            fill += 1
+            if fill == R:
+                flush()
+    flush()
+    return sigs_val.astype(np.float64), sigs_id
 
 
 def bagminhash(hashes: np.ndarray, weights: np.ndarray, m: int,
@@ -157,8 +216,8 @@ def bagminhash(hashes: np.ndarray, weights: np.ndarray, m: int,
     with np.errstate(divide="ignore"):
         lnw = np.where(weights > 0, np.log(weights.astype(np.float64)),
                        -np.inf)
-    return _run(_icws_chunk, hashes.astype(np.uint64), lnw, m,
-                with_ids=with_ids)
+    return _sketch_stream("icws", hashes.astype(np.uint64), lnw, m,
+                          with_ids)
 
 
 def probminhash(hashes: np.ndarray, weights: np.ndarray, m: int,
@@ -169,27 +228,34 @@ def probminhash(hashes: np.ndarray, weights: np.ndarray, m: int,
         lnp = np.where(weights > 0,
                        np.log(weights.astype(np.float64) / max(W, 1e-300)),
                        -np.inf)
-    return _run(_pmh_chunk, hashes.astype(np.uint64), lnp, m,
-                with_ids=with_ids)
+    return _sketch_stream("pmh", hashes.astype(np.uint64), lnp, m,
+                          with_ids)
+
+
+def _lnw_many(kind: str, uniq: List[np.ndarray], counts: List[np.ndarray]):
+    out = []
+    with np.errstate(divide="ignore"):
+        for c in counts:
+            c = c.astype(np.float64)
+            if kind == "pmh":
+                c = c / max(float(c.sum()), 1e-300)
+            out.append(np.where(c > 0, np.log(c), -np.inf))
+    return out
 
 
 def bagminhash_many(uniq: List[np.ndarray], counts: List[np.ndarray],
                     m: int) -> Tuple[np.ndarray, np.ndarray]:
-    n = len(uniq)
-    sigs = np.zeros((n, m), dtype=np.float64)
-    cards = np.zeros(n, dtype=np.float64)
-    for i in range(n):
-        sigs[i] = bagminhash(uniq[i], counts[i], m)
-        cards[i] = counts[i].sum()  # total weight (d2.h:250-255)
-    return sigs, cards
+    streams = [u.astype(np.uint64) for u in uniq]
+    sigs, _ = _sketch_many_streams("icws", streams,
+                                   _lnw_many("icws", uniq, counts), m)
+    cards = np.array([c.sum() for c in counts], np.float64)
+    return sigs, cards  # total weight cardinality (d2.h:250-255)
 
 
 def probminhash_many(uniq: List[np.ndarray], counts: List[np.ndarray],
                      m: int) -> Tuple[np.ndarray, np.ndarray]:
-    n = len(uniq)
-    sigs = np.zeros((n, m), dtype=np.float64)
-    cards = np.zeros(n, dtype=np.float64)
-    for i in range(n):
-        sigs[i] = probminhash(uniq[i], counts[i], m)
-        cards[i] = counts[i].sum()
+    streams = [u.astype(np.uint64) for u in uniq]
+    sigs, _ = _sketch_many_streams("pmh", streams,
+                                   _lnw_many("pmh", uniq, counts), m)
+    cards = np.array([c.sum() for c in counts], np.float64)
     return sigs, cards

@@ -67,3 +67,37 @@ def test_exact_intersections_pairs_matches_matrix():
         ref = np.array([_scalar_matrix(r, [i], [j])[0, 0]
                         for i, j in zip(ia, ib)])
         assert np.array_equal(got, ref)
+
+
+def test_device_exact_pairs_engine_matches_host_join():
+    """Round-3 device sorted-merge pair intersections (one row-wise
+    lax.sort per pair block) == the host posting join, weighted and
+    set modes."""
+    import jax.numpy as jnp
+
+    from dashing2_tpu.cmp import wcompare as W
+    from dashing2_tpu.result import SketchingResult
+
+    rng = np.random.default_rng(9)
+    n = 30
+    sets, counts = [], []
+    for _ in range(n):
+        k = int(rng.integers(1, 400))
+        u = np.unique(rng.integers(0, 2000, size=k).astype(np.uint64))
+        sets.append(u)
+        counts.append(rng.integers(1, 9, size=len(u)).astype(np.float64))
+    ia = rng.integers(0, n, size=2000)
+    ib = rng.integers(0, n, size=2000)
+    for with_counts in (True, False):
+        res = SketchingResult(names=[str(i) for i in range(n)])
+        res.kmer_sets = sets
+        if with_counts:
+            res.kmer_set_counts = counts
+        host = W.exact_intersections_pairs(res, ia, ib)
+        keys, cnt, valid, weighted = W._device_sets_cache(res)
+        fn = W._isect_pairs_fn(weighted)
+        dev = np.asarray(fn(keys, cnt, valid,
+                            jnp.asarray(ia.astype(np.int32)),
+                            jnp.asarray(ib.astype(np.int32)))
+                         ).astype(float)
+        assert np.array_equal(host, dev)

@@ -69,3 +69,65 @@ def test_disjoint_and_identical_sets():
     psigs, _ = probminhash_many([ids1, ids1, ids2], [w, w, w], m)
     assert (psigs[0] == psigs[1]).all()
     assert (psigs[0] == psigs[2]).mean() < 0.05
+
+
+def test_batched_rows_equal_per_item_calls():
+    """The row-batched engine must give layout-independent registers:
+    sketching items together in one _sketch_many_streams pass equals
+    sketching each alone (consistency requirement of ICWS/PMH — the
+    winner per (item, register) is a pure function of the stream)."""
+    from dashing2_tpu.sketch import weighted as W
+
+    rng = np.random.default_rng(21)
+    m = 64
+    uniq, counts = [], []
+    for i in range(9):
+        k = int(rng.integers(1, 5000))
+        uniq.append(rng.integers(1, 1 << 62, size=k).astype(np.uint64))
+        counts.append(rng.integers(1, 50, size=k).astype(np.float64))
+    for many in (W.bagminhash_many, W.probminhash_many):
+        sigs, cards = many(uniq, counts, m)
+        for i in range(9):
+            solo, _ = many([uniq[i]], [counts[i]], m)
+            np.testing.assert_array_equal(sigs[i], solo[0])
+        np.testing.assert_allclose(
+            cards, [c.sum() for c in counts])
+
+
+def test_batched_1024_items_fast():
+    """VERDICT round-2 item 5: a 1024-item weighted corpus must sketch
+    in bounded time through the batched engine (was a per-item dispatch
+    loop)."""
+    import time
+
+    from dashing2_tpu.sketch import weighted as W
+
+    rng = np.random.default_rng(22)
+    m = 64
+    uniq = [rng.integers(1, 1 << 62, size=200).astype(np.uint64)
+            for _ in range(1024)]
+    counts = [rng.integers(1, 9, size=200).astype(np.float64)
+              for _ in range(1024)]
+    t0 = time.perf_counter()
+    sigs, cards = W.probminhash_many(uniq, counts, m)
+    dt = time.perf_counter() - t0
+    assert sigs.shape == (1024, m)
+    assert (sigs > 0).all() and (sigs < 1).all()
+    assert dt < 60, f"batched weighted sketch too slow: {dt:.1f}s"
+
+
+def test_countsketch_device_engine_matches_dense():
+    """Device sort+cumsum CountSketch == the dense np.add.at
+    formulation (counter.h bucket semantics), incl. sign cancellation."""
+    from dashing2_tpu.ops import sketch_kernels as SK
+
+    rng = np.random.default_rng(33)
+    for K, cs in [(10000, 997), (5000, 1 << 16), (1, 13), (0, 13)]:
+        hv = rng.integers(0, 1 << 62, size=K).astype(np.uint64)
+        u, c = SK.countsketch_counts(hv, cs)
+        b = np.zeros(cs, np.float64)
+        np.add.at(b, (hv % np.uint64(cs)).astype(np.int64),
+                  np.where((hv & np.uint64(1)).astype(bool), 1.0, -1.0))
+        nz = np.nonzero(b)[0]
+        assert np.array_equal(u, nz.astype(np.uint64))
+        assert np.array_equal(c, np.abs(b[nz]))
