@@ -7,48 +7,75 @@ sketches x m=1024 registers: nibble-packed registers -> triangular
 one-hot MXU counts kernel -> per-tile f32 estimator epilogue ->
 assembled full (N, N) f32 similarity matrix, all in the production
 _self_matrix_fn jit — i.e. everything the reference's cmp phase does
-between loaded sketches and the values its emitter writes. The
-vs_baseline denominator is the same 32-thread AVX2 CPU
-count_eq/count_gtlt calibration as round 1 (1.25e8 unique pairs/s),
-which counts ONLY the CPU's per-pair SIMD kernel — so the comparison is
-conservative in our disfavor. Secondary metrics: the raw counts engine
-in tile delivery, the assembled count matrix, and the a/b-quantized
-gtlt engine.
+between loaded sketches and the values its emitter writes.
+
+Round-3 additions: the DEFAULT CLI mode (full f64 registers, gt/lt
+estimator) and `--fastcmp 1 --bbit-sigs` (u8) through the SWAR packed
+rank engines, plus the fused sketch step rate.
+
+Baselines: BASELINE_MEASURED.json holds in-container measurements of
+the reference's per-pair SIMD kernels per register width and its
+per-base sketch loop (AVX-512 reimplementation of the cmp_core.cpp
+:372-517 semantics, native/cpu_baseline.cpp), projected linearly to the
+32-thread target machine — the most CPU-favorable assumption. Every
+mode's vs_baseline divides by ITS OWN width's kernel. The round-1
+synthetic calibration (1.25e8, ~= the measured u64 count_eq projection)
+is also reported for round-over-round continuity.
 
 Accounting is in UNIQUE pairs: a symmetric all-pairs job over N items is
 N(N-1)/2 comparisons (the reference's emitrect walk); every unique pair
-is computed exactly once and read by the timing probe (a full-tensor
+is computed exactly once and read by the timing probe (a data-dependent
 reduction, so nothing is dead-code-eliminated).
 
 Measurement note: dispatch/sync over the remote TPU tunnel adds a large
 constant latency and `block_until_ready` completes early, so per-matrix
 time is measured differentially — K jobs chained data-dependently inside
-one jit (scan), timed at K=1 and K=1+R, per-matrix = (T_{1+R} - T_1) / R,
-with a scalar host fetch as the sync point.
-
-Secondary metrics to stderr: single-chip MFU of the headline engine
-(int8 MAC count / 394 TOPS peak), the fused production similarity path
-(counts + estimator epilogue + f32 matrix), and the default f64 path.
+one jit (scan), timed at K=1 and K=1+R, per-matrix = (T_{1+R} - T_1) / R.
+Both the min and the median over reps are recorded (VERDICT round-2
+item 10) so round deltas are attributable.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-BASELINE_CPU_PAIRS_PER_SEC = 1.25e8
+CALIBRATION_CPU_PAIRS_PER_SEC = 1.25e8   # round-1 constant (continuity)
 V5E_INT8_TOPS = 394e12
 
 
+def _measured_baselines():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return {k: float(v["projected_32t"])
+                for k, v in doc["modes"].items()}
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
+BASE = _measured_baselines()
+
+
+def _denom(mode_key: str) -> float:
+    return BASE.get(mode_key, CALIBRATION_CPU_PAIRS_PER_SEC)
+
+
 def _timed_chain(make_fn, args, reps=5, K=4):
+    """(t_min, t_median) per-iteration differential times."""
     f1, fk = make_fn(1), make_fn(1 + K)
     np.asarray(f1(*args)); np.asarray(fk(*args))
     t1s, tks = [], []
     for _ in range(reps):
         t0 = time.perf_counter(); np.asarray(f1(*args)); t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter(); np.asarray(fk(*args)); tks.append(time.perf_counter() - t0)
-    return max((min(tks) - min(t1s)) / K, 1e-9)
+    base = min(t1s)
+    diffs = sorted(max((t - base) / K, 1e-9) for t in tks)
+    return diffs[0], diffs[len(diffs) // 2]
 
 
 def main():
@@ -56,23 +83,62 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dashing2_tpu.cmp.core import _gb_args, _self_matrix_fn_m
+    from dashing2_tpu.enums import Measure
+
     on_tpu = jax.default_backend() == "tpu"
     n, m = (10240, 1024) if on_tpu else (512, 128)
     rng = np.random.default_rng(0)
     up = n * (n - 1) / 2
+    cards = jnp.asarray(rng.uniform(1e5, 1e7, size=n))
+    gbt, gbinv = _gb_args(1.001, m)
+    gbt = jnp.asarray(gbt)
+    extra = {}
+
+    def fused_time(kind, data, fd, mode, reps=3, K=3):
+        fn = _self_matrix_fn_m(kind, m, Measure.SIMILARITY, 31, fd, mode)
+
+        def mk(KK):
+            @jax.jit
+            def run(x, cards, b):
+                def body(c, _):
+                    mat = fn(c, cards, b, gbt, gbinv)
+                    return c ^ (mat[0, 1].astype(jnp.int32) & 1
+                                ).astype(c.dtype), mat.sum()
+                c, s = jax.lax.scan(body, x, None, length=KK)
+                return c[0, 0].astype(jnp.float32) + s.sum()
+            return run
+        return _timed_chain(mk, (data, cards, jnp.float64(1.001)),
+                            reps=reps, K=K)
 
     # ------------------------------------------------------------------
-    # headline: --fastcmp 0.5 counts engine (tri single-matmul MXU)
+    # headline: --fastcmp 0.5 --bbit-sigs fused production similarity
     # ------------------------------------------------------------------
-    nib = jnp.asarray(rng.integers(0, 16, size=(n, m)).astype(np.uint8))
+    packed = jnp.asarray(rng.integers(0, 256, size=(n, m // 2),
+                                      dtype=np.uint16).astype(np.uint8))
+    engine_mode = "mxu" if on_tpu else "xla"
+    t_ab_min, t_ab_med = fused_time("nibble-ab", packed, 0.5, engine_mode)
+    print(f"# fused nibble-ab similarity: {t_ab_min*1e3:.2f} ms (med "
+          f"{t_ab_med*1e3:.2f}) = {up/t_ab_min/1e9:.2f} G pairs/s "
+          f"({up/t_ab_min/_denom('count_gtlt_nibble'):.1f}x measured CPU)",
+          file=sys.stderr)
+    t_head_min, t_head_med = fused_time("nibble-bbit", packed, 0.5,
+                                        engine_mode, reps=5, K=4)
+    print(f"# HEADLINE fused nibble-bbit similarity: "
+          f"{t_head_min*1e3:.2f} ms (med {t_head_med*1e3:.2f}) = "
+          f"{up/t_head_min/1e9:.2f} G pairs/s "
+          f"({up/t_head_min/_denom('count_eq_nibble'):.1f}x measured CPU)",
+          file=sys.stderr)
+
+    # counts-engine MFU (headline engine, eq-only tile delivery)
     if on_tpu:
         from dashing2_tpu.ops.pallas_cmp import (_TRI_BK, _TRI_BM,
                                                  _tri_eq_call,
-                                                 counts_nibble_tri_self,
-                                                 enc_onehot_T,
-                                                 eq_nibble_tri_self)
+                                                 enc_onehot_T)
         T = -(-n // _TRI_BM)
         T += T % 2
+        nib = jnp.asarray(rng.integers(0, 16, size=(n, m)
+                                       ).astype(np.uint8))
 
         def mk_counts(K):
             @jax.jit
@@ -87,125 +153,103 @@ def main():
                 c, _ = jax.lax.scan(body, x, None, length=K)
                 return c[0, 0].astype(jnp.int32)
             return run
-        t_tiles = _timed_chain(mk_counts, (nib,))
-        print(f"# bbit eq counts engine, tile delivery: "
-              f"{t_tiles*1e3:.2f} ms/matrix = {up/t_tiles/1e9:.2f} G "
-              f"unique-pairs/s "
-              f"({up/t_tiles/BASELINE_CPU_PAIRS_PER_SEC:.1f}x CPU)",
+        t_tiles, t_tiles_med = _timed_chain(mk_counts, (nib,))
+        macs = (T // 2) * (T + 1) * _TRI_BM * _TRI_BM * 16 * m
+        mfu = macs / V5E_INT8_TOPS / t_tiles
+        extra["counts_engine_pairs_per_sec"] = round(up / t_tiles)
+        extra["mfu_int8_peak_counts"] = round(mfu, 3)
+        print(f"# counts engine tile delivery: {t_tiles*1e3:.2f} ms "
+              f"(med {t_tiles_med*1e3:.2f}), MFU {mfu*100:.0f}%",
               file=sys.stderr)
-
-        # secondary: same engine with the full (N, N) matrix assembled
-        def mk_full(K):
-            @jax.jit
-            def run(x):
-                def body(c, _):
-                    eq = eq_nibble_tri_self(c)
-                    s = eq.sum() + eq[0, 1] + eq[n - 1, 0]
-                    return c ^ (s & 15).astype(jnp.uint8), None
-                c, _ = jax.lax.scan(body, x, None, length=K)
-                return c[0, 0].astype(jnp.int32)
-            return run
-        t_full = _timed_chain(mk_full, (nib,))
-        print(f"# bbit eq counts, full-matrix assembly: {t_full*1e3:.2f} "
-              f"ms/matrix = {up/t_full/1e9:.2f} G unique-pairs/s "
-              f"({up/t_full/BASELINE_CPU_PAIRS_PER_SEC:.1f}x CPU)",
-              file=sys.stderr)
-        # one int8 matmul per lower-triangle block pair
-        import dashing2_tpu.ops.pallas_cmp as PC
-        bm = PC._TRI_BM
-        T = -(-n // bm)
-        T += T % 2
-        macs = (T // 2) * (T + 1) * bm * bm * 16 * m
-
-        # secondary: the gtlt (a/b-quantized --fastcmp 0.5) counts engine
-        def mk_gtlt(K):
-            @jax.jit
-            def run(x):
-                def body(c, _):
-                    eq, gt, lt = counts_nibble_tri_self(c)
-                    s = gt.sum() + eq.sum()
-                    return c ^ (s & 15).astype(jnp.uint8), None
-                c, _ = jax.lax.scan(body, x, None, length=K)
-                return c[0, 0].astype(jnp.int32)
-            return run
-        t_gtlt = _timed_chain(mk_gtlt, (nib,))
-        print(f"# fastcmp-0.5 ab gtlt counts engine: {t_gtlt*1e3:.2f} "
-              f"ms/matrix = {up/t_gtlt/1e9:.2f} G unique-pairs/s "
-              f"({up/t_gtlt/BASELINE_CPU_PAIRS_PER_SEC:.1f}x CPU)",
-              file=sys.stderr)
-    else:
-        from dashing2_tpu.ops.cmp_kernels import (_circ_seg_index,
-                                                  _circ_self_counts)
-        u = jnp.asarray(rng.integers(0, 16, size=(n, m)).astype(np.uint64))
-        seg = jnp.asarray(_circ_seg_index(n, 64))
-
-        def mk_counts(K):
-            @jax.jit
-            def run(a):
-                def body(carry, _):
-                    gt = _circ_self_counts(carry, seg, t=64)
-                    return carry ^ gt[0, 0].astype(jnp.uint64), None
-                a2, _ = jax.lax.scan(body, a, None, length=K)
-                return a2[0, 0]
-            return run
-        t_counts = _timed_chain(mk_counts, (u,))
-        t_tiles = t_counts
-        macs = 0
 
     # ------------------------------------------------------------------
-    # headline: fused production similarity (counts + epilogue + f32)
+    # DEFAULT CLI mode: full f64 registers, gt/lt estimator (SWAR ranks)
     # ------------------------------------------------------------------
-    t_headline = None
+    swar_mode = "swar"
+    u64 = jnp.asarray(rng.integers(0, 1 << 62, size=(n, m)
+                                   ).astype(np.uint64))
     try:
-        from dashing2_tpu.cmp.core import _gb_args, _self_matrix_fn
-        from dashing2_tpu.enums import Measure
-        packed = jnp.asarray(rng.integers(0, 256, size=(n, m // 2),
-                                          dtype=np.uint16).astype(np.uint8))
-        cards = jnp.asarray(rng.uniform(1e5, 1e7, size=n))
-        gbt, gbinv = _gb_args(1.001, m)
-        gbt = jnp.asarray(gbt)
-        for pkind in ("nibble-ab", "nibble-bbit"):
-            fn = _self_matrix_fn(pkind, m, Measure.SIMILARITY, 31, 0.5)
-
-            def mk_prod(K, fn=fn):
-                @jax.jit
-                def run(x, cards, b):
-                    def body(c, _):
-                        mat = fn(c, cards, b, gbt, gbinv)
-                        return c ^ (mat[0, 1].astype(jnp.int32) & 15
-                                    ).astype(jnp.uint8), mat.sum()
-                    c, s = jax.lax.scan(body, x, None, length=K)
-                    return c[0, 0].astype(jnp.float32) + s.sum()
-                return run
-            t_prod = _timed_chain(mk_prod, (packed, cards,
-                                            jnp.float64(1.001)))
-            print(f"# fused {pkind} similarity (counts+epilogue+f32 "
-                  f"matrix): {t_prod*1e3:.2f} ms/matrix = "
-                  f"{up/t_prod/1e9:.2f} G unique-pairs/s "
-                  f"({up/t_prod/BASELINE_CPU_PAIRS_PER_SEC:.1f}x CPU)",
-                  file=sys.stderr)
-            if pkind == "nibble-bbit":
-                t_headline = t_prod
+        t_full, t_full_med = fused_time("full", u64, 8.0, swar_mode)
+        extra["default_full_pairs_per_sec"] = round(up / t_full)
+        extra["default_full_vs_measured_cpu"] = round(
+            up / t_full / _denom("count_gtlt_f64"), 2)
+        print(f"# DEFAULT full-register fused similarity: "
+              f"{t_full*1e3:.2f} ms (med {t_full_med*1e3:.2f}) = "
+              f"{up/t_full/1e9:.2f} G pairs/s "
+              f"({extra['default_full_vs_measured_cpu']}x measured CPU "
+              f"f64 gtlt)", file=sys.stderr)
     except Exception as e:  # pragma: no cover
-        print(f"# fused path failed: {e}", file=sys.stderr)
+        print(f"# default path failed: {e}", file=sys.stderr)
 
-    t_head = t_headline if (on_tpu and t_headline) else t_tiles
-    pps = up / t_head
-    mfu = (macs / V5E_INT8_TOPS / t_tiles) if macs else 0.0
-    print(f"# headline (fused bbit production): {t_head*1e3:.2f} ms/matrix "
-          f"at N={n} m={m}; counts-engine MFU {mfu*100:.0f}% of int8 peak",
-          file=sys.stderr)
+    # --fastcmp 1 --bbit-sigs (u8 eq, SWAR pack8)
+    u8 = jnp.asarray(rng.integers(0, 256, size=(n, m)).astype(np.uint8))
+    try:
+        t_b8, t_b8_med = fused_time("bbit", u8, 1.0, swar_mode)
+        extra["bbit_u8_pairs_per_sec"] = round(up / t_b8)
+        extra["bbit_u8_vs_measured_cpu"] = round(
+            up / t_b8 / _denom("count_eq_u8"), 2)
+        print(f"# fastcmp-1 bbit u8 fused similarity: {t_b8*1e3:.2f} ms "
+              f"(med {t_b8_med*1e3:.2f}) = {up/t_b8/1e9:.2f} G pairs/s "
+              f"({extra['bbit_u8_vs_measured_cpu']}x measured CPU u8 eq)",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# bbit u8 path failed: {e}", file=sys.stderr)
 
+    # ------------------------------------------------------------------
+    # sketch phase: fused encode+hash+OPH step
+    # ------------------------------------------------------------------
+    try:
+        from dashing2_tpu import hashing as H
+        from dashing2_tpu.enums import Alphabet
+        from dashing2_tpu.sketch.core import _fused_oph_fn, _hkw_key
+        R, L = (256, 32768) if on_tpu else (16, 4096)
+        hkw = dict(k=31, w=31, canon=True, alphabet=Alphabet.DNA,
+                   entmin=False, xormask=H.XORMASK, seed_is_zero=False,
+                   downsample_threshold=(1 << 64) - 1, chunk_len=L,
+                   span=31, spacing_offsets=None, rolling=False,
+                   use128=False)
+        fsk = _fused_oph_fn(_hkw_key(hkw), m, H.OPH_DEFAULT_SEED, False,
+                            False)
+        codes = jnp.asarray(rng.integers(0, 4, size=(R, L)
+                                         ).astype(np.uint8))
+        fs0 = jnp.zeros(1, jnp.uint64)
+
+        def mk_sk(K):
+            @jax.jit
+            def run(x):
+                def body(c, _):
+                    out = fsk(c, fs0)
+                    return c ^ (out[0, 0] & 3).astype(jnp.uint8), None
+                c, _ = jax.lax.scan(body, x, None, length=K)
+                return c[0, 0].astype(jnp.int32)
+            return run
+        t_sk, t_sk_med = _timed_chain(mk_sk, (codes,), reps=3, K=3)
+        gbps = R * L / t_sk / 1e9
+        extra["sketch_gbase_per_sec"] = round(gbps, 3)
+        extra["sketch_vs_measured_cpu"] = round(
+            R * L / t_sk / _denom("sketch_bases_per_sec"), 3)
+        print(f"# fused sketch step: {t_sk*1e3:.2f} ms/batch "
+              f"(med {t_sk_med*1e3:.2f}) = {gbps:.3f} Gbase/s "
+              f"({extra['sketch_vs_measured_cpu']}x the 32t-projected "
+              f"CPU per-base loop)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# sketch step failed: {e}", file=sys.stderr)
+
+    pps = up / t_head_min
     print(json.dumps({
         "metric": "fastcmp0.5_bbit_similarity_unique_pairs_per_sec",
         "value": round(pps),
         "unit": "pairs/s",
-        "vs_baseline": round(pps / BASELINE_CPU_PAIRS_PER_SEC, 2),
+        "vs_baseline": round(pps / _denom("count_eq_nibble"), 2),
+        "vs_round1_calibration": round(
+            pps / CALIBRATION_CPU_PAIRS_PER_SEC, 2),
+        "baseline_source": ("BASELINE_MEASURED.json projected_32t"
+                            if BASE else "round-1 calibration constant"),
         "n": n, "m": m,
-        "mfu_int8_peak_counts": round(mfu, 3),
-        "counts_engine_pairs_per_sec": round(up / t_tiles),
-        "counts_engine_vs_baseline": round(
-            up / t_tiles / BASELINE_CPU_PAIRS_PER_SEC, 2),
+        "t_min_ms": round(t_head_min * 1e3, 3),
+        "t_median_ms": round(t_head_med * 1e3, 3),
+        "nibble_ab_pairs_per_sec": round(up / t_ab_min),
+        **extra,
     }))
 
 

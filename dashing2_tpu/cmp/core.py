@@ -266,16 +266,17 @@ def _dispatch_measures(opts: Dashing2DistOptions, creps: CompressedReps,
                 gt, lt, m, max(creps.b, 1.0 + 1e-9), opts.fd_level,
                 lh, rh, msr, k, xp=xp)
         if creps.truncation > 0:
-            return E.bbit_measures(eq, m, opts.fd_level, lh, rh, msr, k,
-                                   xp=xp)
+            return E.bbit_measures32(eq, m, opts.fd_level, lh, rh, msr, k,
+                                     xp=xp)
         # f32 g_b epilogue for ALL a/b-quantized widths (see
         # _measure_epilogue "ab" note; README deviation entry)
         return E.compressed_ab_measures32(
             gt, lt, m, max(creps.b, 1.0 + 1e-9), opts.fd_level,
-            lh, rh, msr, k, xp=xp)
+            lh, rh, msr, k, xp=xp, gb_form="complement")
     if gt is not None:
-        return E.full_setsketch_measures(gt, lt, m, lh, rh, msr, k, xp=xp)
-    return E.equality_measures(eq, m, lh, rh, msr, k, xp=xp)
+        return E.full_setsketch_measures32(gt, lt, m, lh, rh, msr, k,
+                                           xp=xp)
+    return E.equality_measures32(eq, m, lh, rh, msr, k, xp=xp)
 
 
 def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
@@ -321,21 +322,25 @@ def _measure_epilogue(kind: str, m: int, msr: Measure, k: int, fd: float,
     see estimators.gb_bit_table. CPU paths use the same f32 math, so
     cross-backend outputs stay bit-identical."""
     if kind in ("nibble-ab", "ab"):
-        # both a/b-quantized kinds run the f32 bit-product g_b epilogue:
-        # the f64 form's emulated pow costs ~100 ms at N=10240 on TPU
-        # (measured round 3 — the counts kernel itself is 30 ms), and
-        # CPU uses the same f32 math so outputs stay backend-identical
-        # (README deviation: f32 fastcmp estimator)
+        # both a/b-quantized kinds run the f32 g_b epilogue: the f64
+        # form's emulated pow costs ~100 ms at N=10240 on TPU (measured
+        # round 3 — the counts kernel itself is 30 ms). Nibble keeps the
+        # FMA-immune bit-product form (cross-graph bit-stability for
+        # the goldens); the wide widths need the complement recurrence
+        # (their b is too close to 1 for f32 c_k).
         t, gi = gb if gb is not None else (None, None)
-        return E.compressed_ab_measures32(c1, c2, m, b, fd, lh, rh, msr, k,
-                                          xp=xp, table=t, gbinv=gi)
-    if kind == "nibble-bbit":
+        return E.compressed_ab_measures32(
+            c1, c2, m, b, fd, lh, rh, msr, k, xp=xp, table=t, gbinv=gi,
+            gb_form="product" if kind == "nibble-ab" else "complement")
+    if kind in ("nibble-bbit", "bbit"):
         return E.bbit_measures32(c1, m, fd, lh, rh, msr, k, xp=xp)
     if kind == "full":
-        return E.full_setsketch_measures(c1, c2, m, lh, rh, msr, k, xp=xp)
-    if kind == "bbit":
-        return E.bbit_measures(c1, m, fd, lh, rh, msr, k, xp=xp)
-    return E.equality_measures(c1, m, lh, rh, msr, k, xp=xp)
+        # f32 epilogue (the DEFAULT mode): emulated-f64 math on TPU
+        # costs more than the SWAR counts kernel; the emitted matrix is
+        # f32 regardless (README deviation: f32 estimator epilogues)
+        return E.full_setsketch_measures32(c1, c2, m, lh, rh, msr, k,
+                                           xp=xp)
+    return E.equality_measures32(c1, m, lh, rh, msr, k, xp=xp)
 
 
 def _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh_cards, rh_cards, b,
@@ -660,6 +665,32 @@ def _block_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
             c1, c2 = CK.count_gtlt(rows_data, all_data)
         else:
             c1, c2 = CK.count_eq(rows_data, all_data), None
+        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2,
+                               lh_cards, rh_cards, b, (gbt, gbinv))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _block_matrix_swar_fn(kind: str, m: int, msr: Measure, k: int,
+                          fd: float, lo: int, hi: int):
+    """SWAR variant of the row-block engine: the full register matrix
+    rank-reduces ONCE (the rank space must span every row the block
+    compares against), packs, and the owned rows [lo, hi) compare
+    against all rows via the rectangular packed engines. Counts are
+    bit-identical to the u64 form, at 2-4x the limb compare rate."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(all_data, lh_cards, rh_cards, b, gbt, gbinv):
+        from ..ops.cmp_kernels import (count_gtlt_packed16, dense_ranks,
+                                       pack16)
+        packed = pack16(dense_ranks(all_data).astype(jnp.uint32))
+        gt, lt = count_gtlt_packed16(packed[lo:hi], packed)
+        if kind in ("ab", "full", "nibble-ab"):
+            c1, c2 = gt, lt
+        else:
+            c1, c2 = jnp.int32(m) - gt - lt, None
         return _tiled_epilogue(kind, m, msr, k, fd, c1, c2,
                                lh_cards, rh_cards, b, (gbt, gbinv))
 

@@ -178,37 +178,78 @@ def compressed_ab_measures(gt: np.ndarray, lt: np.ndarray, m: int,
 
 
 def gb_bit_table(b: float, m: int) -> np.ndarray:
-    """f32 constants c_k = b^(-2^k / m) for the bit-product power: for an
-    integer count c, b^(-c/m) = prod_k c_k^{bit_k(c)}. The constants are
-    computed once in f64 on the host; the selected product is pure f32
-    IEEE multiplies, so every backend produces identical bits (unlike
-    pow/exp, whose implementations differ between numpy and XLA)."""
+    """(2, nbits) f32 constants for the bit-selected g_b power: row 0
+    holds c_k = b^(-2^k / m) (the bit-PRODUCT form: for an integer
+    count c, b^(-c/m) = prod_k c_k^{bit_k(c)}), row 1 holds the
+    COMPLEMENTS u_k = 1 - c_k. The constants are computed once in f64
+    on the host; both evaluation forms below are pure f32 IEEE
+    arithmetic, so every backend produces identical bits (unlike
+    pow/exp, whose implementations differ between numpy and XLA).
+
+    The complement row exists because quantized SetSketch b values
+    approach 1 as the register widens (fd=4 -> b - 1 ~ 2.7e-10,
+    cmp_core.cpp:248 q-table): c_k then rounds to 1.0f and the product
+    form collapses, while u_k ~ 2^k ln(b)/m stays fully accurate."""
     nbits = max(1, int(m).bit_length())
-    return np.array([np.power(np.float64(b), -(float(1 << k) / m))
-                     for k in range(nbits)], dtype=np.float32)
+    pows = np.array([np.power(np.float64(b), -(float(1 << k) / m))
+                     for k in range(nbits)], dtype=np.float64)
+    return np.stack([pows.astype(np.float32),
+                     (1.0 - pows).astype(np.float32)])
 
 
 def _pow_b_neg32(counts, table: np.ndarray, xp=np):
-    """b^(-c/m) for integer count arrays via the bit-product table."""
+    """b^(-c/m) for integer count arrays via the bit-product table
+    (row 0 of gb_bit_table)."""
     c = counts.astype(np.int32) if xp is np else counts.astype("int32")
     r = xp.full(c.shape, np.float32(1.0), dtype=np.float32)
     one = np.float32(1.0)
-    for k in range(len(table)):
+    row = table[0]
+    for k in range(table.shape[-1]):
         bit = ((c >> k) & 1).astype(bool)
-        r = r * xp.where(bit, table[k], one)
+        r = r * xp.where(bit, row[k], one)
     return r
+
+
+def _one_minus_pow_b32(counts, table: np.ndarray, xp=np):
+    """q = 1 - b^(-c/m) via the complement recurrence q' = q + u_k(1-q)
+    over the set bits of c (row 1 of gb_bit_table) — accurate for b
+    arbitrarily close to 1, still pure f32 IEEE arithmetic."""
+    c = counts.astype(np.int32) if xp is np else counts.astype("int32")
+    q = xp.zeros(c.shape, dtype=np.float32)
+    zero = np.float32(0.0)
+    one = np.float32(1.0)
+    row = table[1]
+    for k in range(table.shape[-1]):
+        bit = ((c >> k) & 1).astype(bool)
+        u = xp.where(bit, row[k], zero)
+        q = q + u * (one - q)
+    return q
 
 
 def compressed_ab_measures32(gtc, ltc, m: int, b: float, fd_level: float,
                              lhcard, rhcard, measure: Measure, k: int,
                              reg_bytes: float = 8.0, xp=np,
-                             table=None, gbinv=None):
+                             table=None, gbinv=None,
+                             gb_form: str = "product"):
     """f32 variant of compressed_ab_measures operating on integer gt/lt
-    COUNT matrices, used for the nibble fastcmp path where the f64
-    epilogue (emulated f64 pow on TPU) would dominate the MXU counts
-    kernel. g_b is the bit-product power; all arithmetic is f32 and
-    identical across backends. Relative deviation from the f64 form is
-    <= ~1e-6 — far below the m=1024 sketch estimator noise.
+    COUNT matrices, used for every a/b-quantized fastcmp path (the f64
+    epilogue's emulated pow on TPU would dominate the counts kernels).
+    g_b evaluates one of two bit-selected forms:
+
+    * gb_form='product' (the nibble path): bit-PRODUCT of c_k — pure
+      f32 multiplies with NO contractible add-of-product, so XLA's
+      excess-precision FMA fusion cannot perturb it and every graph
+      shape produces identical bits (the per-tile fused route and the
+      full-square route must agree exactly). Valid while c_k stays
+      representable (b - 1 >~ 1e-3; nibble's q=15.4 gives b ~ 1.07).
+    * gb_form='complement' (u8/u16/u32 'ab' kinds): the recurrence
+      q' = q + u_k(1-q) over set bits — accurate for b arbitrarily
+      close to 1 (fd=4's b - 1 ~ 2.7e-10 underflows the product form)
+      but FMA-contractible, so different graph shapes may differ in
+      the last ulp.
+
+    Relative deviation from the f64 form is <= ~1e-6 — far below the
+    m=1024 sketch estimator noise.
 
     Pass (table, gbinv) explicitly inside jits where b is traced
     (gb_bit_table needs a concrete b)."""
@@ -217,8 +258,12 @@ def compressed_ab_measures32(gtc, ltc, m: int, b: float, fd_level: float,
         if table is None:
             table = gb_bit_table(b, m)
             gbinv = f32(1.0 / (1.0 - 1.0 / np.float64(b)))
-        alpha = (f32(1.0) - _pow_b_neg32(gtc, table, xp)) * gbinv
-        beta = (f32(1.0) - _pow_b_neg32(ltc, table, xp)) * gbinv
+        if gb_form == "product":
+            alpha = (f32(1.0) - _pow_b_neg32(gtc, table, xp)) * gbinv
+            beta = (f32(1.0) - _pow_b_neg32(ltc, table, xp)) * gbinv
+        else:
+            alpha = _one_minus_pow_b32(gtc, table, xp) * gbinv
+            beta = _one_minus_pow_b32(ltc, table, xp) * gbinv
     else:
         invm = f32(1.0 / m)
         alpha = gtc.astype(np.float32) * invm
@@ -280,6 +325,80 @@ def bbit_measures32(eqc, m: int, fd_level: float, lhcard, rhcard,
                 * sim / xp.minimum(lh, rh)
         else:
             ret = sim
+    ret = ret.astype(np.float32)
+    return xp.where(xp.isfinite(ret), ret, f32(FINF))
+
+
+def full_setsketch_measures32(gt, lt, m: int, lhcard, rhcard,
+                              measure: Measure, k: int, xp=np):
+    """f32 variant of full_setsketch_measures on integer gt/lt COUNT
+    matrices — the DEFAULT mode's production epilogue (an emulated-f64
+    epilogue on TPU costs ~35 ms at N=10240, more than the SWAR counts
+    kernel; the emitted matrix is f32 anyway). (gt + lt) sums first so
+    tiles and their transposes commute exactly in the per-tile fused
+    path."""
+    f32 = np.float32
+    s = (gt + lt).astype(np.float32) * f32(1.0 / m)   # alpha + beta
+    eq = f32(1.0) - s
+    lh = xp.asarray(lhcard).astype(np.float32)
+    rh = xp.asarray(rhcard).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        ucard = xp.maximum((lh + rh) / (f32(2.0) - s), f32(0.0))
+        eqv = xp.where(eq <= f32(1e-15), f32(0.0), eq)
+        isz = ucard * eqv
+        if measure == Measure.SIMILARITY:
+            ret = eqv
+        elif measure == Measure.INTERSECTION:
+            ret = isz
+        elif measure == Measure.CONTAINMENT:
+            ret = isz / rh
+        elif measure == Measure.SYMMETRIC_CONTAINMENT:
+            ret = isz / xp.minimum(lh, rh)
+        elif measure == Measure.POISSON_LLR:
+            pm = f32(-1.0 / max(1, k))
+            ret = xp.where(eqv > 0,
+                           xp.log(f32(2.0) * eqv / (f32(1.0) + eqv)) * pm,
+                           f32(np.inf))
+        elif measure == Measure.UNION_SIZE:
+            ret = lh + rh - isz
+        else:
+            raise ValueError(f"measure {measure} invalid here")
+        zero_mask = eq <= f32(0.0)
+        if measure == Measure.POISSON_LLR:
+            ret = xp.where(zero_mask, f32(np.inf), ret)
+        else:
+            ret = xp.where(zero_mask, f32(0.0), ret)
+    ret = ret.astype(np.float32)
+    return xp.where(xp.isfinite(ret), ret, f32(FINF))
+
+
+def equality_measures32(eqc, m: int, lhcard, rhcard, measure: Measure,
+                        k: int, xp=np):
+    """f32 variant of equality_measures on integer eq COUNT matrices
+    (same rationale as full_setsketch_measures32)."""
+    f32 = np.float32
+    sim = eqc.astype(np.float32) * f32(1.0 / m)
+    lh = xp.asarray(lhcard).astype(np.float32)
+    rh = xp.asarray(rhcard).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        ucard = xp.maximum((lh + rh) / (f32(1.0) + sim), f32(0.0))
+        if measure == Measure.SIMILARITY:
+            ret = sim
+        elif measure == Measure.INTERSECTION:
+            ret = sim * ucard
+        elif measure == Measure.SYMMETRIC_CONTAINMENT:
+            ret = sim * ucard / xp.minimum(lh, rh)
+        elif measure == Measure.CONTAINMENT:
+            ret = sim * ucard / lh
+        elif measure == Measure.POISSON_LLR:
+            pm = f32(-1.0 / max(1, k))
+            ret = xp.where(sim > 0,
+                           xp.log(f32(2.0) * sim / (f32(1.0) + sim)) * pm,
+                           f32(np.inf))
+        elif measure == Measure.UNION_SIZE:
+            ret = lh + rh - sim * ucard
+        else:
+            raise ValueError(f"measure {measure} invalid here")
     ret = ret.astype(np.float32)
     return xp.where(xp.isfinite(ret), ret, f32(FINF))
 

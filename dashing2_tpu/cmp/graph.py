@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -111,8 +111,17 @@ def neighbor_graph_main(opts: Dashing2DistOptions,
     creps, result = C._prep(opts, result)
     n = result.n
     if opts.output_kind == OutputKind.DEDUP:
-        with phase("dedup-cluster", opts.verbosity):
-            ids, constituents = dedup_core(opts, result, creps)
+        import jax
+        if jax.process_count() > 1 and not opts.exhaustive_dedup:
+            # multi-host: candidate generation column-sharded, merged
+            # exactly, then every host replays the identical greedy
+            # walk (parallel.distributed.distributed_dedup)
+            from ..parallel.distributed import distributed_dedup
+            with phase("dedup-cluster-distributed", opts.verbosity):
+                ids, constituents = distributed_dedup(opts, result, creps)
+        else:
+            with phase("dedup-cluster", opts.verbosity):
+                ids, constituents = dedup_core(opts, result, creps)
         with phase("dedup-emit", opts.verbosity):
             dedup_emit(ids, constituents, opts, result)
         return
@@ -176,7 +185,9 @@ def emit_neighbors(lists, opts: Dashing2DistOptions,
 # ----------------------------------------------------------------------
 
 def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
-               creps: C.CompressedReps
+               creps: C.CompressedReps,
+               cand_pairs: Optional[Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray]] = None
                ) -> Tuple[List[int], List[List[int]]]:
     """Greedy clustering in batched rounds: items are processed in
     cardinality order as before, but each round of `chunk` items issues
@@ -218,20 +229,26 @@ def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
         # during the greedy walk are a numpy filter against the current
         # representative set. Extra headroom (4x the per-item cap)
         # compensates for neighbors that never become reps.
-        idx = _index_source(opts, result, creps)
-        jia, jib, jcnt = idx.candidate_pairs(
-            max_per_item=max(maxcands * 4, 64))
+        if cand_pairs is not None:
+            # precomputed global candidate set (the multi-host path:
+            # column-sharded generation merged across hosts)
+            jia, jib, jcnt = cand_pairs
+        else:
+            idx = _index_source(opts, result, creps)
+            jia, jib, jcnt = idx.candidate_pairs(
+                max_per_item=max(maxcands * 4, 64))
         items = np.concatenate([jia, jib])
         nbrs = np.concatenate([jib, jia])
         cnts = np.concatenate([jcnt, jcnt])
         o = np.lexsort((-cnts, items))
         items, nbrs = items[o], nbrs[o]
-        starts = np.nonzero(np.concatenate(
-            [[True], items[1:] != items[:-1]]))[0]
-        ends = np.concatenate([starts[1:], [len(items)]])
         nbr_ids = [np.zeros(0, np.int64)] * n
-        for s, e in zip(starts, ends):
-            nbr_ids[int(items[s])] = nbrs[s:e]
+        if len(items):
+            starts = np.nonzero(np.concatenate(
+                [[True], items[1:] != items[:-1]]))[0]
+            ends = np.concatenate([starts[1:], [len(items)]])
+            for s, e in zip(starts, ends):
+                nbr_ids[int(items[s])] = nbrs[s:e]
 
     def _passes(v: float) -> bool:
         return (v < simt) if isdist else (v >= simt)

@@ -190,6 +190,41 @@ def distributed_neighbor_lists(opts, result, creps,
     return _refine_lists(opts, result, creps, ia, ib)
 
 
+def distributed_dedup(opts, result, creps,
+                      process_index: Optional[int] = None,
+                      process_count: Optional[int] = None):
+    """Multi-host greedy dedup: the LSH self-join that feeds candidate
+    generation — the expensive phase at scale — is partitioned by
+    subtable COLUMN across hosts, shards merge into the exact global
+    unsaturated candidate set (as in distributed_neighbor_lists), and
+    every host then replays the same deterministic greedy walk over the
+    merged set, so all hosts emit identical clusters. Like the KNN
+    path, the merged candidates equal a single-host run with per-item
+    bucket saturation disabled; outputs differ from a plain single-host
+    run only when that cap binds.
+
+    process_index/count override jax.process_* for simulated-host
+    tests (every shard then runs in this process)."""
+    import jax
+
+    from ..cmp.graph import _index_source, dedup_core
+    from ..cmp.lsh import default_candidates, merge_candidate_shards
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    n = result.n
+    maxc = max(default_candidates(n, opts.maxcand) * 4, 64)
+    idx = _index_source(opts, result, creps)
+    if process_index is None:
+        shards = gather_candidate_shards(*idx.candidate_pairs(
+            max_per_item=maxc, column_shard=(pi, pc)))
+    else:
+        shards = [idx.candidate_pairs(max_per_item=maxc,
+                                      column_shard=(h, pc))
+                  for h in range(pc)]
+    cand = merge_candidate_shards(shards, n, maxc)
+    return dedup_core(opts, result, creps, cand_pairs=cand)
+
+
 def distributed_sketch_cmp(opts, groups: Sequence[str],
                            outfile: Optional[str] = None) -> np.ndarray:
     """Full multi-host pipeline: shard inputs -> sketch locally ->
@@ -238,16 +273,29 @@ def distributed_sketch_cmp(opts, groups: Sequence[str],
         if kind.startswith("nibble"):
             data = _unpack_nibbles(np.asarray(data))
         data = np.ascontiguousarray(data)
-        if data.dtype != np.uint64:
-            data = data.astype(np.uint64)
-        fn = _block_matrix_fn(kind, opts.sketchsize, opts.measure,
-                              opts.k, opts.fd_level)
-        from ..cmp.core import _gb_args
+        from ..cmp.core import (_block_matrix_swar_fn, _gb_args,
+                                _kernel_mode, _swar_route)
         bf = max(creps.b, 1.0 + 1e-9)
         gbt, gbinv = _gb_args(bf, opts.sketchsize)
-        block = np.asarray(fn(
-            data[lo:hi], data, np.asarray(cards[lo:hi], np.float64),
-            np.asarray(cards, np.float64), np.float64(bf), gbt, gbinv))
+        lhc = np.asarray(cards[lo:hi], np.float64)
+        rhc = np.asarray(cards, np.float64)
+        if _swar_route(kind, n, opts.fd_level, _kernel_mode()):
+            # packed-rank engine: ranks computed over ALL rows once,
+            # owned rows compare against the packed matrix (2-4x the
+            # u64 limb rate, counts bit-identical)
+            fn = _block_matrix_swar_fn(kind, opts.sketchsize,
+                                       opts.measure, opts.k,
+                                       opts.fd_level, lo, hi)
+            block = np.asarray(fn(data if data.dtype == np.uint64
+                                  else data.astype(np.uint64),
+                                  lhc, rhc, np.float64(bf), gbt, gbinv))
+        else:
+            if data.dtype != np.uint64:
+                data = data.astype(np.uint64)
+            fn = _block_matrix_fn(kind, opts.sketchsize, opts.measure,
+                                  opts.k, opts.fd_level)
+            block = np.asarray(fn(data[lo:hi], data, lhc, rhc,
+                                  np.float64(bf), gbt, gbinv))
     else:
         block = _measure_block(opts, full, creps, rows, cols)
     if outfile:

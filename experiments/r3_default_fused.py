@@ -21,7 +21,7 @@ from dashing2_tpu.cmp import core as C
 from dashing2_tpu.enums import Measure
 
 
-def _timed_chain(make_fn, args, reps=3, K=4):
+def _timed_chain(make_fn, args, reps=2, K=2):
     f1, fk = make_fn(1), make_fn(1 + K)
     np.asarray(f1(*args)); np.asarray(fk(*args))
     t1s, tks = [], []
@@ -53,9 +53,14 @@ def main():
         "ab-u16": jnp.asarray(rng.integers(0, 65536, size=(n, m)
                                            ).astype(np.uint16)),
     }
+    import os
+    sel = os.environ.get("D2_FUSED_CASES", "")
     cases = [("full", "full", 8.0), ("eqfull", "eqfull", 8.0),
              ("bbit-u8", "bbit", 1.0), ("bbit-u16", "bbit", 2.0),
              ("ab-u8", "ab", 1.0), ("ab-u16", "ab", 2.0)]
+    if sel:
+        keep = set(sel.split(","))
+        cases = [c for c in cases if c[0] in keep]
 
     for name, kind, fd in cases:
         data = datasets[name]
@@ -90,11 +95,10 @@ def main():
     gt = (u[:, None, :] > u[None, :, :]).sum(-1)
     lt = (u[:, None, :] < u[None, :, :]).sum(-1)
     from dashing2_tpu.cmp import estimators as E
-    ref = E.full_setsketch_measures(gt, lt, m, cd[:, None], cd[None, :],
-                                    Measure.SIMILARITY, 31).astype(
-                                        np.float32)
-    exact = np.array_equal(out_dev, ref)
-    print(f"chip full-kind vs host naive: bit-equal={exact} "
+    ref = np.asarray(E.full_setsketch_measures32(
+        gt, lt, m, cd[:, None], cd[None, :], Measure.SIMILARITY, 31))
+    ok = np.allclose(out_dev, ref, rtol=3e-7, atol=3e-7)
+    print(f"chip full-kind vs host f32 naive: close={ok} "
           f"maxdiff={np.abs(out_dev - ref).max()}", flush=True)
 
 

@@ -32,6 +32,18 @@ def main():
         with open(f"{outfile}.knn.{pid}", "wb") as f:
             pickle.dump(lists, f)
         return
+    if mode == "dedup":
+        import pickle
+        from dashing2_tpu.cmp import core as C
+        from dashing2_tpu.sketch.core import sketch_fastx
+        opts = Dashing2DistOptions(k=21, sketchsize=128,
+                                   min_similarity=0.5)
+        result = sketch_fastx(opts, groups)
+        creps, result = C._prep(opts, result)
+        ids, constituents = D.distributed_dedup(opts, result, creps)
+        with open(f"{outfile}.dedup.{pid}", "wb") as f:
+            pickle.dump((ids, constituents), f)
+        return
     opts = Dashing2DistOptions(k=21, sketchsize=128)
     D.distributed_sketch_cmp(opts, groups, outfile=outfile)
 

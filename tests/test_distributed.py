@@ -228,3 +228,75 @@ def test_two_process_distributed_knn(fixtures, tmp_path):
     ref = distributed_neighbor_lists(opts, result, creps,
                                      process_index=0, process_count=2)
     assert l0 == ref
+
+
+def test_distributed_dedup_matches_single(fixtures):
+    """Simulated-host distributed dedup (column-sharded candidates,
+    merged, deterministic replay) must equal the single-host walk over
+    the single unsaturated capped candidate set — and the plain
+    single-host dedup whenever saturation does not bind."""
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.cmp.graph import _index_source, dedup_core
+    from dashing2_tpu.cmp.lsh import default_candidates, merge_candidate_shards
+    from dashing2_tpu.parallel.distributed import distributed_dedup
+    from dashing2_tpu.sketch.core import sketch_fastx
+
+    opts = Dashing2DistOptions(k=21, sketchsize=128, min_similarity=0.5)
+    result = sketch_fastx(opts, list(fixtures))
+    creps, result = C._prep(opts, result)
+    n = result.n
+    maxc = max(default_candidates(n, opts.maxcand) * 4, 64)
+    idx = _index_source(opts, result, creps)
+    cand1 = merge_candidate_shards(
+        [idx.candidate_pairs(max_per_item=maxc, column_shard=(0, 1))],
+        n, maxc)
+    ref = dedup_core(opts, result, creps, cand_pairs=cand1)
+    for pc in (2, 3):
+        got = distributed_dedup(opts, result, creps,
+                                process_index=0, process_count=pc)
+        assert got == ref
+    plain = dedup_core(opts, result, creps)
+    assert plain == ref  # saturation does not bind on this corpus
+
+
+def test_two_process_distributed_dedup(fixtures, tmp_path):
+    """2-process distributed dedup over gloo: both hosts must emit
+    byte-identical clusters, equal to the simulated-shard run."""
+    import os
+    import pickle
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = str(tmp_path / "dd")
+    here = os.path.dirname(__file__)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["D2_WORKER_MODE"] = "dedup"
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(here, "dist_worker.py"),
+         str(pid), "2", str(port), out] + list(fixtures),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    with open(f"{out}.dedup.0", "rb") as f:
+        d0 = pickle.load(f)
+    with open(f"{out}.dedup.1", "rb") as f:
+        d1 = pickle.load(f)
+    assert d0 == d1
+
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.parallel.distributed import distributed_dedup
+    from dashing2_tpu.sketch.core import sketch_fastx
+    opts = Dashing2DistOptions(k=21, sketchsize=128, min_similarity=0.5)
+    result = sketch_fastx(opts, list(fixtures))
+    creps, result = C._prep(opts, result)
+    ref = distributed_dedup(opts, result, creps,
+                            process_index=0, process_count=2)
+    assert list(d0[0]) == list(ref[0])
+    assert [list(x) for x in d0[1]] == [list(x) for x in ref[1]]

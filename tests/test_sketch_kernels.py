@@ -205,3 +205,36 @@ def test_bottomk():
     out2 = SK.bottomk(vals, np.ones(5, bool), 6)
     assert out2[:4].tolist() == [1, 2, 7, 9]
     assert (out2[4:] == SK.U64MAX).all()
+
+
+def test_fused_oph_step_matches_unfused():
+    """The round-3 fused encode+hash+OPH jit must equal the unfused
+    pipeline (hash batch -> oph_sketch_rows -> pack) bit-for-bit."""
+    import jax.numpy as jnp
+
+    from dashing2_tpu import hashing as H
+    from dashing2_tpu.enums import Alphabet
+    from dashing2_tpu.ops import sketch_kernels as SK
+    from dashing2_tpu.sketch.core import (_fused_oph_fn, _hash_chunk_batch,
+                                          _hkw_key)
+
+    rng = np.random.default_rng(13)
+    R, L, m = 4, 512, 64
+    chunks = jnp.asarray(rng.integers(0, 4, size=(R, L)).astype(np.uint8))
+    fs = jnp.zeros(1, jnp.uint64)
+    hkw = dict(k=21, w=31, canon=True, alphabet=Alphabet.DNA,
+               entmin=False, xormask=H.XORMASK, seed_is_zero=False,
+               downsample_threshold=(1 << 64) - 1, chunk_len=L,
+               span=21, spacing_offsets=None, rolling=False, use128=False)
+    for want_counts in (False, True):
+        fused = _fused_oph_fn(_hkw_key(hkw), m, H.OPH_DEFAULT_SEED,
+                              want_counts, False)
+        out = np.asarray(fused(chunks, fs))
+        hashed, valid = _hash_chunk_batch(chunks, fs,
+                                          use_filterset=False, **hkw)
+        r, c = SK.oph_sketch_rows(hashed, valid, m=m,
+                                  seed=H.OPH_DEFAULT_SEED,
+                                  want_counts=want_counts)
+        ref = np.concatenate([np.asarray(r),
+                              np.asarray(c).astype(np.uint64)], axis=1)
+        assert np.array_equal(out, ref)
