@@ -396,29 +396,41 @@ def _swar_route(kind: str, n: int, fd: float, mode: str) -> bool:
     return 64 <= n <= 32767
 
 
-def _swar_pack(kind: str, data, m: int):
+def _swar_pack(kind: str, data, m: int, fd: float):
     """Traced: registers -> (packed words, band mode, pad-eq excess).
-    Engine choice, measured on one v5e (N=10240, m=1024): gt+lt halves
-    30.1 ms (1.74 G unique-pairs/s), eq16 39.4 ms, eq8 20.3 ms — the
-    gtlt engine serves every kind (eq kinds derive eq = m - gt - lt by
-    trichotomy, exact on ranks), except the two direct-pack eq cases
-    where skipping the ~21.6 ms rank pass wins (u8 at 2.58 G; full-range
-    u16)."""
+
+    Engine choice, measured on one v5e (N=10240, m=1024): eq8 20.3 ms
+    (2.58 G unique-pairs/s), eq16 39.4 ms, gt+lt halves ~55-60 ms — so
+    the eq-only engines run wherever the estimator permits:
+
+    * eq kinds (eqfull/bbit): eq IS the consumed count.
+    * 'full' and 'ab' with fd >= 8: the f32 epilogues consume gt/lt
+      only through the INTEGER sum gt + lt = m - eq (sum-first
+      formulation in full_setsketch_measures32 and the fd>=8 branch of
+      compressed_ab_measures32), so feeding (m - eq, 0) is
+      bit-identical for ANY m.
+    * only 'ab' with fd < 8 needs separate gt/lt (g_b applies to alpha
+      and beta individually)."""
     import jax.numpy as jnp
 
     from ..ops.cmp_kernels import dense_ranks, pack8, pack16
     eq_kind = kind in ("eqfull", "bbit")
+    need_gtlt = kind == "ab" and fd < 8.0
     dt = data.dtype
-    if eq_kind and dt == jnp.uint8:
-        packed = pack8(data)
-        return packed, "eq8", 4 * packed.shape[1] - m
-    if eq_kind and dt == jnp.uint16:
-        packed = pack16(data)
+    if not need_gtlt:
+        if eq_kind and dt == jnp.uint8:
+            packed = pack8(data)
+            return packed, "eq8", 4 * packed.shape[1] - m
+        if eq_kind and dt == jnp.uint16:
+            packed = pack16(data)     # full 16-bit range is eq-safe
+        else:
+            # u32/u64/ordered-f64: dense ranks (equality-preserving)
+            packed = pack16(dense_ranks(data).astype(jnp.uint32))
         return packed, "eq16", 2 * packed.shape[1] - m
     if dt == jnp.uint8:
         packed = pack16(data)     # u8 values < 256 < 2^15: no ranks
     else:
-        # u16 gtlt / u32 / u64 / ordered-f64: dense ranks (< n < 2^15)
+        # u16/u32 ab gtlt: dense ranks (< n < 2^15, order-isomorphic)
         packed = pack16(dense_ranks(data).astype(jnp.uint32))
     return packed, "gtlt16", 0
 
@@ -436,7 +448,7 @@ def _swar_fused_matrix(kind: str, data, m: int, fd: float, msr: Measure,
     from ..ops.cmp_kernels import (_circ_seg_index, _swar_pad_rows,
                                    circ_assemble, circ_self_swar_tiles)
     n = data.shape[0]
-    packed, mode8, extra = _swar_pack(kind, data, m)
+    packed, mode8, extra = _swar_pack(kind, data, m, fd)
     t = max(8, min(512, 1 << max(n - 1, 1).bit_length()))
     a = _swar_pad_rows(packed, t)
     npad = a.shape[0]
@@ -444,18 +456,18 @@ def _swar_fused_matrix(kind: str, data, m: int, fd: float, msr: Measure,
     nd = nt // 2 + 1
     xs, ys = circ_self_swar_tiles(a, t=t, mode=mode8)
     if mode8 == "gtlt16":
-        gt_t, lt_t = xs, ys
-        if kind in ("eqfull", "bbit"):
-            c1l = jnp.int32(m) - gt_t - lt_t
-            c2l = None
-            c1u, c2u = c1l, None          # eq is symmetric per pair
-        else:
-            c1l, c2l = gt_t, lt_t
-            c1u, c2u = lt_t, gt_t
+        c1l, c2l = xs, ys                 # gt, lt tiles (ab fd<8 only)
+        c1u, c2u = ys, xs
     else:
-        c1l = xs - jnp.int32(extra)
-        c2l = None
-        c1u, c2u = c1l, None
+        eq_t = xs - jnp.int32(extra)
+        if kind in ("eqfull", "bbit"):
+            c1l, c2l = eq_t, None
+        else:
+            # full / ab fd>=8: (m - eq, 0) — the sum-first f32
+            # epilogues consume only gt + lt
+            c1l = jnp.int32(m) - eq_t
+            c2l = jnp.zeros_like(eq_t)
+        c1u, c2u = c1l, c2l               # symmetric per pair
     cpad = (jnp.concatenate([cards, jnp.ones(npad - n, cards.dtype)])
             if npad != n else cards)
     cb = cpad.reshape(nt, t)

@@ -264,18 +264,20 @@ def compressed_ab_measures32(gtc, ltc, m: int, b: float, fd_level: float,
         else:
             alpha = _one_minus_pow_b32(gtc, table, xp) * gbinv
             beta = _one_minus_pow_b32(ltc, table, xp) * gbinv
-    else:
-        invm = f32(1.0 / m)
-        alpha = gtc.astype(np.float32) * invm
-        beta = ltc.astype(np.float32) * invm
-    lh = xp.asarray(lhcard).astype(np.float32)
-    rh = xp.asarray(rhcard).astype(np.float32)
-    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        ab = alpha + beta
         # (alpha + beta) first: f32 addition is commutative, so the
         # expression is invariant under the (alpha, lh) <-> (beta, rh)
         # swap — required for upper-triangle tiles to be EXACTLY the
         # transposed lower tiles in the per-tile fused path
-        ab = alpha + beta
+    else:
+        # fd >= 8: no g_b — sum the INTEGER counts before the one f32
+        # scale, so any (gt', lt') with gt' + lt' = gt + lt (e.g. the
+        # eq-only engines' (m - eq, 0)) yields identical bits
+        invm = f32(1.0 / m)
+        ab = (gtc + ltc).astype(np.float32) * invm
+    lh = xp.asarray(lhcard).astype(np.float32)
+    rh = xp.asarray(rhcard).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         disjoint = ab >= f32(1.0)
         mu = xp.where(disjoint, lh + rh,
                       xp.maximum((lh + rh) / (f32(2.0) - ab), f32(0.0)))

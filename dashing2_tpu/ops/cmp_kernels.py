@@ -226,8 +226,14 @@ def _dense_ranks_cols(keys: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
     r = jnp.concatenate(
         [jnp.zeros((neq.shape[0], 1), jnp.int32),
          jnp.cumsum(neq.astype(jnp.int32), axis=1)], axis=1)
-    # unpermute: sort (original index, rank) by index — a second sort
-    # instead of a scatter (TPU scatters are scalar-unit bound)
+    # unpermute: sort by original index — a second sort instead of a
+    # scatter (TPU scatters are scalar-unit bound). For n < 2^15 both
+    # index and rank fit one packed i32 key (single-operand sort is
+    # cheaper than key+payload).
+    if n <= (1 << 15):
+        packed = (si << 15) | r
+        out = jax.lax.sort(packed, dimension=1, is_stable=False)
+        return (out & jnp.int32(0x7FFF)).T
     _, ranks = jax.lax.sort((si, r), dimension=1, num_keys=1,
                             is_stable=False)
     return ranks.T
