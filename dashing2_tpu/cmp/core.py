@@ -648,17 +648,29 @@ _self_matrix_fn.cache_clear = _self_matrix_fn_m.cache_clear
 
 
 @functools.lru_cache(maxsize=64)
-def _counts_epilogue_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
-    """Jitted epilogue over a precomputed full gt count matrix (the
-    multi-chip path: lt == gt.T, eq == m - gt - gt.T by trichotomy)."""
+def _counts_epilogue_fn(kind: str, m: int, msr: Measure, k: int, fd: float,
+                        from_eq: bool = False, eq_extra: int = 0):
+    """Jitted epilogue over a precomputed full count matrix (the
+    multi-chip path). from_eq=False: input is the gt matrix (lt == gt.T,
+    eq == m - gt - gt.T by trichotomy). from_eq=True: input is the eq
+    matrix from the eq-only sharded bands — exact for every kind whose
+    estimator consumes gt/lt only through gt + lt = m - eq (sum-first
+    f32 epilogues; NOT 'ab' with fd < 8)."""
     import jax
     import jax.numpy as jnp
 
-    def f(gt, cards, b, gbt, gbinv):
-        if kind in ("ab", "full", "nibble-ab"):
-            c1, c2 = gt, gt.T
+    def f(cnt, cards, b, gbt, gbinv):
+        if from_eq:
+            eq = cnt - jnp.int32(eq_extra)   # halves incl. packing pad
+            if kind in ("eqfull", "bbit", "nibble-bbit"):
+                c1, c2 = eq, None
+            else:
+                c1 = jnp.int32(m) - eq
+                c2 = jnp.zeros_like(eq)
+        elif kind in ("ab", "full", "nibble-ab"):
+            c1, c2 = cnt, cnt.T
         else:
-            c1, c2 = jnp.int32(m) - gt - gt.T, None
+            c1, c2 = jnp.int32(m) - cnt - cnt.T, None
         return _tiled_epilogue(kind, m, msr, k, fd, c1, c2, cards, cards,
                                b, (gbt, gbinv))
 
@@ -809,26 +821,36 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
         if kind.startswith("nibble"):
             d = _unpack_nibbles(np.asarray(d))
         n = d.shape[0]
+        m = opts.sketchsize
         if n <= 32767:
             # SWAR packed ranks: 2-4x the u64 limb compare rate and half
             # the replicated bytes per chip (counts bit-identical —
-            # ranks are order-isomorphic per column)
+            # ranks are order-isomorphic per column). Kinds whose
+            # estimator consumes only gt + lt ride eq-only bands (one
+            # pass per band instead of two).
             import jax
             import jax.numpy as jnp
             r = np.asarray(jax.jit(CK.dense_ranks)(
                 jnp.asarray(np.asarray(d)))).astype(np.uint32)
+            W = (r.shape[1] + 1) // 2
             packed = (r[:, 0::2] << np.uint32(16)) | (
                 r[:, 1::2] if r.shape[1] % 2 == 0
                 else np.concatenate(
                     [r[:, 1::2], np.zeros((n, 1), np.uint32)], axis=1))
-            gt = sharded_selfpairs(mesh, packed, packed16=True)
+            eq_ok = not (kind in ("ab", "nibble-ab")
+                         and opts.fd_level < 8.0)
+            cnt = sharded_selfpairs(mesh, packed, packed16=True,
+                                    eq_only=eq_ok)
+            fn = _counts_epilogue_fn(kind, m, opts.measure, opts.k,
+                                     opts.fd_level, from_eq=eq_ok,
+                                     eq_extra=2 * W - d.shape[1])
         else:
             d64 = (np.asarray(d).astype(np.uint64)
                    if d.dtype != np.uint64 else d)
-            gt = sharded_selfpairs(mesh, d64)
-        fn = _counts_epilogue_fn(kind, opts.sketchsize, opts.measure,
-                                 opts.k, opts.fd_level)
-        return np.asarray(fn(gt, cards, b, gbt, gbinv))
+            cnt = sharded_selfpairs(mesh, d64)
+            fn = _counts_epilogue_fn(kind, m, opts.measure, opts.k,
+                                     opts.fd_level)
+        return np.asarray(fn(cnt, cards, b, gbt, gbinv))
     fn = _self_matrix_fn(kind, opts.sketchsize, opts.measure, opts.k,
                          opts.fd_level)
     return np.asarray(fn(data, cards, b, gbt, gbinv))

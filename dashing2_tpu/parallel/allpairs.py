@@ -135,7 +135,8 @@ def sharded_similarity(mesh: Mesh, sigs_u64: jnp.ndarray,
 
 
 def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
-                      packed16: bool = False) -> jnp.ndarray:
+                      packed16: bool = False,
+                      eq_only: bool = False) -> jnp.ndarray:
     """Multi-chip symmetric all-pairs gt matrix via the circulant band
     decomposition: band d compares every block-row against block-rows
     rolled by d, and bands shard evenly across devices — each chip does
@@ -148,7 +149,13 @@ def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
     which compare at 2-4x the u64 limb rate and halve the replicated
     operand bytes each chip holds.
 
-    Returns the (n, n) int32 gt matrix; lt == gt.T."""
+    Returns the (n, n) int32 gt matrix; lt == gt.T. With eq_only
+    (packed16 only) each band computes ONE eq pass instead of the two
+    gt/lt passes (~40% less compare work) and the EQ matrix is returned
+    — valid for every estimator that consumes gt/lt only through the
+    sum gt + lt = m - eq (all kinds except 'ab' with fd < 8; the raw
+    count is in HALVES incl. the packing pad, callers correct by
+    2*W - m)."""
     from ..ops import cmp_kernels as CK
 
     n0 = regs.shape[0]
@@ -180,6 +187,9 @@ def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
                 bb = jax.lax.dynamic_slice(a6, (d, zero, zero), (nt, t, m))
                 aa = a3[:, :, None, :]
                 b4 = bb[:, None, :, :]
+                if eq_only:
+                    eq = CK.swar16_eq_tile(aa, b4)
+                    return None, (eq, eq)
                 gt = CK.swar16_gt_tile(aa, b4)
                 lt = CK.swar16_gt_tile(b4, aa)
                 return None, (gt, lt)
