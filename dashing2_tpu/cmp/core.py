@@ -390,7 +390,7 @@ def _swar_route(kind: str, n: int, fd: float, mode: str) -> bool:
     TPU-only by default; DASHING2_TPU_KERNEL=swar forces it (tests),
     =xla disables."""
     if mode == "swar":
-        return True
+        return n <= 32767    # gt-halves needs ranks < 2^15
     if mode not in ("mxu", "pallas"):
         return False
     return 64 <= n <= 32767

@@ -1,0 +1,107 @@
+"""Round-3 experiment: OPH update-engine alternatives at production
+shape (R=256 rows x C=32768 kmers -> m=1024 buckets per row).
+
+The dense bucket-one-hot engine costs 33 ms/batch (0.25 Gbase/s,
+93% of the fused sketch step). Candidates:
+  1. jax.ops.segment_min on flat (row*m + bucket) segments, u64 ids
+     (XLA TPU scatter = scalar-unit serial loop; if ~1 update/cycle
+     this is ~9 ms = 0.94 Gbase/s)
+  2. same with 2x u32 passes (hi then tie-broken lo) - avoids u64
+     emulation inside the scatter
+  3. .at[seg].min(ids) scatter form
+  4. dense engine reference timing (current production)
+"""
+import time
+
+import numpy as np
+
+import dashing2_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from dashing2_tpu import hashing as H
+from dashing2_tpu.ops import sketch_kernels as SK
+
+
+def _timed_chain(make_fn, args, reps=3, K=3):
+    f1, fk = make_fn(1), make_fn(1 + K)
+    np.asarray(f1(*args)); np.asarray(fk(*args))
+    t1s, tks = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); np.asarray(f1(*args)); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); np.asarray(fk(*args)); tks.append(time.perf_counter() - t0)
+    return max((min(tks) - min(t1s)) / K, 1e-9)
+
+
+def main():
+    R, C, m = 256, 32768, 1024
+    bases = R * C
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 1 << 63, size=(R, C)
+                                   ).astype(np.uint64))
+    valid = jnp.asarray(rng.random((R, C)) < 0.97)
+
+    def report(name, t):
+        print(f"{name}: {t*1e3:.2f} ms/batch = {bases/t/1e9:.3f} Gbase/s",
+              flush=True)
+
+    U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def mk_seg(K):
+        @jax.jit
+        def run(ids, valid):
+            def body(c, _):
+                idx = (c % jnp.uint64(m)).astype(jnp.int32)
+                row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+                seg = jnp.where(valid, row * m + idx, R * m)
+                regs = jax.ops.segment_min(
+                    c.reshape(-1), seg.reshape(-1),
+                    num_segments=R * m + 1)[:R * m].reshape(R, m)
+                return c ^ (regs[0, 0] & jnp.uint64(1)), None
+            c, _ = jax.lax.scan(body, ids, None, length=K)
+            return c[0, 0].astype(jnp.int32)
+        return run
+    try:
+        t = _timed_chain(mk_seg, (ids, valid))
+        report("segment_min u64 flat", t)
+    except Exception as e:
+        print(f"segment_min u64: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[:2]}", flush=True)
+
+    def mk_at(K):
+        @jax.jit
+        def run(ids, valid):
+            def body(c, _):
+                idx = (c % jnp.uint64(m)).astype(jnp.int32)
+                row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+                seg = jnp.where(valid, row * m + idx, R * m)
+                regs = jnp.full(R * m + 1, U64MAX).at[
+                    seg.reshape(-1)].min(c.reshape(-1))
+                return c ^ (regs[0] & jnp.uint64(1)), None
+            c, _ = jax.lax.scan(body, ids, None, length=K)
+            return c[0, 0].astype(jnp.int32)
+        return run
+    try:
+        t = _timed_chain(mk_at, (ids, valid))
+        report(".at[].min scatter u64", t)
+    except Exception as e:
+        print(f".at[].min: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[:2]}", flush=True)
+
+    def mk_dense(K):
+        @jax.jit
+        def run(ids, valid):
+            def body(c, _):
+                r, _cnt = SK.oph_sketch_rows(c, valid, m=m,
+                                             seed=H.OPH_DEFAULT_SEED,
+                                             want_counts=False)
+                return c ^ (r[:, :1] & jnp.uint64(1)), None
+            c, _ = jax.lax.scan(body, ids, None, length=K)
+            return c[0, 0].astype(jnp.int32)
+        return run
+    t = _timed_chain(mk_dense, (ids, valid))
+    report("dense one-hot rows (current)", t)
+
+
+if __name__ == "__main__":
+    main()
