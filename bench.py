@@ -78,6 +78,31 @@ def _timed_chain(make_fn, args, reps=5, K=4):
     return diffs[0], diffs[len(diffs) // 2]
 
 
+def _chip_health_probe():
+    """int8 matmul TOPS — the shared chip intermittently degrades to
+    ~1/10 of its healthy 317 TOPS (and once to a full outage) for long
+    stretches; record the probe so recorded benchmarks taken during an
+    episode are interpretable."""
+    import jax
+    import jax.numpy as jnp
+    a = jnp.asarray(np.random.default_rng(0).integers(
+        -100, 100, size=(4096, 4096), dtype=np.int32).astype(np.int8))
+
+    @jax.jit
+    def f(a):
+        def body(c, _):
+            d = jax.lax.dot_general(c, c, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return (d & 127).astype(jnp.int8), None
+        c, _ = jax.lax.scan(body, a, None, length=8)
+        return c[0, 0].astype(jnp.int32)
+    np.asarray(f(a))
+    t0 = time.perf_counter()
+    np.asarray(f(a))
+    dt = time.perf_counter() - t0
+    return 8 * 2 * 4096 ** 3 / dt / 1e12
+
+
 def main():
     import dashing2_tpu  # noqa: F401  (x64)
     import jax
@@ -87,6 +112,15 @@ def main():
     from dashing2_tpu.enums import Measure
 
     on_tpu = jax.default_backend() == "tpu"
+    health = None
+    if on_tpu:
+        try:
+            health = round(_chip_health_probe(), 1)
+            print(f"# chip health probe: {health} TOPS int8 "
+                  f"(healthy v5e measures ~317; numbers below are only "
+                  f"meaningful above ~250)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"# chip health probe failed: {e}", file=sys.stderr)
     n, m = (10240, 1024) if on_tpu else (512, 128)
     rng = np.random.default_rng(0)
     up = n * (n - 1) / 2
@@ -248,6 +282,8 @@ def main():
         "n": n, "m": m,
         "t_min_ms": round(t_head_min * 1e3, 3),
         "t_median_ms": round(t_head_med * 1e3, 3),
+        "chip_int8_tops_probe": health,
+        "chip_int8_tops_healthy": 317,
         "nibble_ab_pairs_per_sec": round(up / t_ab_min),
         **extra,
     }))
