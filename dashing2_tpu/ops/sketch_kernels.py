@@ -109,12 +109,17 @@ def oph_sketch_rows(hashed: jnp.ndarray, valid: jnp.ndarray, *, m: int,
     scatter; nk is scanned in `chunk` slices to bound the fused
     (R, chunk, m) intermediate."""
     ids = DH.oph_hash(hashed, seed)
-    idx = (ids % jnp.uint64(m)).astype(jnp.int32)
+    # fold validity into the bucket index ONCE (O(nk)): invalid k-mers
+    # get bucket -1, which matches no column — saves the per-(kmer,
+    # bucket) valid AND in the O(nk*m) inner compare
+    idx = jnp.where(valid, (ids % jnp.uint64(m)).astype(jnp.int32),
+                    jnp.int32(-1))
     R, nk = ids.shape
     pad = (-nk) % chunk
     if pad:
         ids = jnp.concatenate([ids, jnp.zeros((R, pad), ids.dtype)], 1)
-        idx = jnp.concatenate([idx, jnp.zeros((R, pad), idx.dtype)], 1)
+        idx = jnp.concatenate([idx, jnp.full((R, pad), -1,
+                                             idx.dtype)], 1)
         valid = jnp.concatenate([valid, jnp.zeros((R, pad), bool)], 1)
     nc = ids.shape[1] // chunk
     ids_t = jnp.moveaxis(ids.reshape(R, nc, chunk), 1, 0)
@@ -124,7 +129,7 @@ def oph_sketch_rows(hashed: jnp.ndarray, valid: jnp.ndarray, *, m: int,
 
     def body(regs, xs):
         cids, cidx, cval = xs
-        on = (cidx[:, :, None] == cols[None, None, :]) & cval[:, :, None]
+        on = cidx[:, :, None] == cols[None, None, :]
         cmin = jnp.min(jnp.where(on, cids[:, :, None],
                                  jnp.uint64(U64MAX)), axis=1)
         return jnp.minimum(regs, cmin), None
@@ -136,8 +141,8 @@ def oph_sketch_rows(hashed: jnp.ndarray, valid: jnp.ndarray, *, m: int,
 
     def cbody(counts, xs):
         cids, cidx, cval = xs
+        del cval                     # folded into cidx == -1
         ismin = ((cidx[:, :, None] == cols[None, None, :])
-                 & cval[:, :, None]
                  & (cids[:, :, None] == regs[:, None, :]))
         return counts + ismin.sum(1).astype(jnp.uint32), None
 
