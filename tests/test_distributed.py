@@ -300,3 +300,31 @@ def test_two_process_distributed_dedup(fixtures, tmp_path):
                             process_index=0, process_count=2)
     assert list(d0[0]) == list(ref[0])
     assert [list(x) for x in d0[1]] == [list(x) for x in ref[1]]
+
+
+def test_distributed_block_swar_route_matches(fixtures):
+    """The SWAR row-block engine (_block_matrix_swar_fn: shared rank
+    space + rectangular packed counts) must equal the u64 block engine
+    for every kind the multi-host driver routes."""
+    from dashing2_tpu.cmp.core import (_block_matrix_fn,
+                                       _block_matrix_swar_fn, _gb_args)
+    from dashing2_tpu.enums import Measure
+
+    rng = np.random.default_rng(17)
+    n, m = 120, 128
+    for kind, fd in [("full", 8.0), ("eqfull", 8.0), ("ab", 1.0),
+                     ("bbit", 2.0)]:
+        data = rng.integers(0, 1 << 62, size=(n, m)).astype(np.uint64)
+        data[rng.random((n, m)) < 0.3] = data[0, 0]
+        cards = rng.uniform(1e3, 1e5, size=n)
+        gbt, gbinv = _gb_args(1.2, m)
+        lo, hi = 30, 80
+        f1 = _block_matrix_fn(kind, m, Measure.SIMILARITY, 31, fd)
+        a = np.asarray(f1(data[lo:hi], data, cards[lo:hi], cards,
+                          np.float64(1.2), gbt, gbinv))
+        f2 = _block_matrix_swar_fn(kind, m, Measure.SIMILARITY, 31, fd,
+                                   lo, hi)
+        b = np.asarray(f2(data, cards[lo:hi], cards, np.float64(1.2),
+                          gbt, gbinv))
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6,
+                                   err_msg=kind)
