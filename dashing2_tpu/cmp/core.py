@@ -593,10 +593,7 @@ def _panel_matrix_fn_m(kind: str, m: int, msr: Measure, k: int, fd: float,
 
     def f(data, cards, b, gbt, gbinv):
         gb = (gbt, gbinv)
-        from ..ops.cmp_kernels import (count_eq_packed,
-                                       count_gtlt_packed16, dense_ranks,
-                                       pack8, pack16)
-        eq_kind = kind in ("eqfull", "bbit")
+        from ..ops.cmp_kernels import count_eq_packed, count_gtlt_packed16
         if kind.startswith("nibble"):
             from ..ops.pallas_cmp import _nibble_mxu
             lo = data & jnp.uint8(0xF)
@@ -606,27 +603,19 @@ def _panel_matrix_fn_m(kind: str, m: int, msr: Measure, k: int, fd: float,
                                      want_gtlt=(kind == "nibble-ab"))
             c1, c2 = (gt, lt) if kind == "nibble-ab" else (eq, None)
         else:
-            dt = data.dtype
-            if eq_kind and dt == jnp.uint8:
-                packed = pack8(data)
-                c1 = count_eq_packed(packed[:nf], packed[nf:], m,
-                                     eight_bit=True)
-                c2 = None
+            # same engine policy as the self-pairs path (_swar_pack):
+            # eq-only wherever the estimator consumes only gt + lt
+            packed, pmode, extra = _swar_pack(kind, data, m, fd)
+            if pmode == "gtlt16":
+                c1, c2 = count_gtlt_packed16(packed[:nf], packed[nf:])
             else:
-                if dt == jnp.uint8 or (eq_kind and dt == jnp.uint16):
-                    packed = pack16(data)
+                eq = count_eq_packed(packed[:nf], packed[nf:], m,
+                                     eight_bit=(pmode == "eq8"))
+                if kind in ("eqfull", "bbit"):
+                    c1, c2 = eq, None
                 else:
-                    packed = pack16(dense_ranks(data).astype(jnp.uint32))
-                if eq_kind and dt == jnp.uint16:
-                    c1 = count_eq_packed(packed[:nf], packed[nf:], m,
-                                         eight_bit=False)
-                    c2 = None
-                else:
-                    gt, lt = count_gtlt_packed16(packed[:nf], packed[nf:])
-                    if eq_kind:
-                        c1, c2 = jnp.int32(m) - gt - lt, None
-                    else:
-                        c1, c2 = gt, lt
+                    c1 = jnp.int32(m) - eq
+                    c2 = jnp.zeros_like(eq)
         return _tiled_epilogue(kind, m, msr, k, fd, c1, c2,
                                cards[:nf], cards[nf:], b, gb)
 
