@@ -422,11 +422,13 @@ def _swar_pack(kind: str, data, m: int, fd: float):
             packed = pack8(data)
             return packed, "eq8", 4 * packed.shape[1] - m
         if eq_kind and dt == jnp.uint16:
-            packed = pack16(data)     # full 16-bit range is eq-safe
-        else:
-            # u32/u64/ordered-f64: dense ranks (equality-preserving)
-            packed = pack16(dense_ranks(data).astype(jnp.uint32))
-        return packed, "eq16", 2 * packed.shape[1] - m
+            # full 16-bit range: the general zero-half detect
+            packed = pack16(data)
+            return packed, "eq16", 2 * packed.shape[1] - m
+        # u32/u64/ordered-f64: dense ranks (equality-preserving,
+        # < 2^15) — the cheaper bounded eq15 detect applies
+        packed = pack16(dense_ranks(data).astype(jnp.uint32))
+        return packed, "eq15", 2 * packed.shape[1] - m
     if dt == jnp.uint8:
         packed = pack16(data)     # u8 values < 256 < 2^15: no ranks
     else:
@@ -610,7 +612,8 @@ def _panel_matrix_fn_m(kind: str, m: int, msr: Measure, k: int, fd: float,
                 c1, c2 = count_gtlt_packed16(packed[:nf], packed[nf:])
             else:
                 eq = count_eq_packed(packed[:nf], packed[nf:], m,
-                                     eight_bit=(pmode == "eq8"))
+                                     eight_bit=(pmode == "eq8"),
+                                     bounded15=(pmode == "eq15"))
                 if kind in ("eqfull", "bbit"):
                     c1, c2 = eq, None
                 else:

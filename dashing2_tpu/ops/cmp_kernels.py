@@ -301,6 +301,17 @@ def swar16_eq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.int32(2 * a.shape[-1]) - nz.sum(-1, dtype=jnp.int32)
 
 
+def swar15_eq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """eq counts for packed halves BOUNDED below 2^15 (dense ranks; u8
+    values): x = a ^ b stays < 2^15 per half, so x + 0x7FFF cannot
+    carry across halves and its bit15 alone flags x != 0 — two fewer
+    ops per word than the full-range swar16_eq_tile."""
+    x = a ^ b
+    nz = jax.lax.population_count((x + jnp.uint32(_L15))
+                                  & jnp.uint32(_H16))
+    return jnp.int32(2 * a.shape[-1]) - nz.sum(-1, dtype=jnp.int32)
+
+
 def swar16_gt_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """gt counts (#halves with a_h > b_h) for packed halves < 2^15."""
     h = jnp.uint32(_H16)
@@ -349,11 +360,9 @@ def circ_self_swar_tiles(packed: jnp.ndarray, *, t: int, mode: str):
         rolled = jax.lax.dynamic_slice(p6, (d, zero, zero), (nt, t, w))
         a = p3[:, :, None, :]
         b = rolled[:, None, :, :]
-        if mode == "eq16":
-            eq = swar16_eq_tile(a, b)
-            return None, (eq, eq)
-        if mode == "eq8":
-            eq = swar8_eq_tile(a, b)
+        if mode in ("eq16", "eq15", "eq8"):
+            eq = {"eq16": swar16_eq_tile, "eq15": swar15_eq_tile,
+                  "eq8": swar8_eq_tile}[mode](a, b)
             return None, (eq, eq)
         gt = swar16_gt_tile(a, b)
         lt = swar16_gt_tile(b, a)
@@ -395,18 +404,20 @@ def _swar_pad_rows(packed: jnp.ndarray, t: int) -> jnp.ndarray:
 
 
 def count_eq_self_packed(packed: jnp.ndarray, m: int, *, eight_bit: bool,
-                         t: int = 512) -> jnp.ndarray:
+                         t: int = 512, bounded15: bool = False
+                         ) -> jnp.ndarray:
     """eq counts for all self-pairs over packed word registers; m = true
     register count (pad halves/bytes are equal on both sides of every
     pair, so raw counts exceed eq by the pad amount — corrected here).
+    bounded15: halves are < 2^15 (ranks) — the cheaper eq15 detect.
     Traceable."""
     n0 = packed.shape[0]
     t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
     a = _swar_pad_rows(packed, t)
     seg_idx = jnp.asarray(_circ_seg_index(a.shape[0], t))
     per = 4 if eight_bit else 2
-    raw = _circ_self_swar(a, seg_idx, t=t,
-                          mode="eq8" if eight_bit else "eq16")
+    mode = "eq8" if eight_bit else ("eq15" if bounded15 else "eq16")
+    raw = _circ_self_swar(a, seg_idx, t=t, mode=mode)
     extra = per * packed.shape[1] - m
     return raw[:n0, :n0] - jnp.int32(extra)
 
@@ -437,11 +448,9 @@ def _pairwise_swar(a: jnp.ndarray, b: jnp.ndarray, *, mode: str, tm: int):
     def body(_, at):
         av = at[:, None, :]
         bv = b[None, :, :]
-        if mode == "eq16":
-            eq = swar16_eq_tile(av, bv)
-            return None, (eq, eq)
-        if mode == "eq8":
-            eq = swar8_eq_tile(av, bv)
+        if mode in ("eq16", "eq15", "eq8"):
+            eq = {"eq16": swar16_eq_tile, "eq15": swar15_eq_tile,
+                  "eq8": swar8_eq_tile}[mode](av, bv)
             return None, (eq, eq)
         return None, (swar16_gt_tile(av, bv), swar16_gt_tile(bv, av))
 
@@ -450,12 +459,12 @@ def _pairwise_swar(a: jnp.ndarray, b: jnp.ndarray, *, mode: str, tm: int):
 
 
 def count_eq_packed(a_packed, b_packed, m: int, *, eight_bit: bool,
-                    tm: int = 256) -> jnp.ndarray:
+                    tm: int = 256, bounded15: bool = False) -> jnp.ndarray:
     """Rectangular eq counts over packed words (pad-corrected)."""
     per = 4 if eight_bit else 2
     extra = per * a_packed.shape[1] - m
-    eq, _ = _pairwise_swar(a_packed, b_packed,
-                           mode="eq8" if eight_bit else "eq16", tm=tm)
+    mode = "eq8" if eight_bit else ("eq15" if bounded15 else "eq16")
+    eq, _ = _pairwise_swar(a_packed, b_packed, mode=mode, tm=tm)
     return eq - jnp.int32(extra)
 
 

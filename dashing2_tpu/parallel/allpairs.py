@@ -188,7 +188,8 @@ def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
                 aa = a3[:, :, None, :]
                 b4 = bb[:, None, :, :]
                 if eq_only:
-                    eq = CK.swar16_eq_tile(aa, b4)
+                    # packed halves here are always dense ranks < 2^15
+                    eq = CK.swar15_eq_tile(aa, b4)
                     return None, (eq, eq)
                 gt = CK.swar16_gt_tile(aa, b4)
                 lt = CK.swar16_gt_tile(b4, aa)

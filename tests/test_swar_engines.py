@@ -32,6 +32,10 @@ def test_swar_kernels_exact(m):
     ref_gt = (vals[:, None, :] > vals[None, :, :]).sum(-1)
     eq = np.asarray(CK.count_eq_self_packed(pk, m, eight_bit=False, t=32))
     assert (eq == ref_eq).all()
+    # bounded-halves (< 2^15) fast detect: identical counts on ranks
+    eq15 = np.asarray(CK.count_eq_self_packed(pk, m, eight_bit=False,
+                                              t=32, bounded15=True))
+    assert (eq15 == ref_eq).all()
     gt, lt = CK.count_gtlt_self_packed16(pk, t=32)
     assert (np.asarray(gt) == ref_gt).all()
     assert (np.asarray(lt) == ref_gt.T).all()
