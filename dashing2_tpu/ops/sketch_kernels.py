@@ -98,11 +98,46 @@ def oph_sketch_segments(hashed: jnp.ndarray, valid: jnp.ndarray,
     return regs.reshape(nseqs, m), counts.reshape(nseqs, m)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "seed", "want_counts"))
+def oph_sketch_rows_scatter(hashed: jnp.ndarray, valid: jnp.ndarray, *,
+                            m: int, seed: int = H.OPH_DEFAULT_SEED,
+                            want_counts: bool = True
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-wise OPH via ONE flat segment_min scatter over (row, bucket)
+    segments — bit-identical to oph_sketch_rows. XLA lowers TPU
+    scatters to a scalar-unit serial loop, trading the dense engine's
+    O(nk*m) vector work for O(nk) serial updates; which wins is
+    shape-dependent (experiments/r3_oph_scatter.py measures it).
+    Select with DASHING2_TPU_OPH_ENGINE=scatter."""
+    ids = DH.oph_hash(hashed, seed)
+    R, nk = ids.shape
+    idx = (ids % jnp.uint64(m)).astype(jnp.int32)
+    row = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
+    seg = jnp.where(valid, row * m + idx, R * m)
+    regs = jax.ops.segment_min(ids.reshape(-1), seg.reshape(-1),
+                               num_segments=R * m + 1)[:R * m]
+    regs = regs.reshape(R, m)
+    if not want_counts:
+        return regs, jnp.zeros((R, m), jnp.uint32)
+    ismin = jnp.where(valid, (ids == jnp.take_along_axis(
+        regs, idx, axis=1)).astype(jnp.uint32), jnp.uint32(0))
+    counts = jax.ops.segment_sum(ismin.reshape(-1), seg.reshape(-1),
+                                 num_segments=R * m + 1)[:R * m]
+    return regs, counts.reshape(R, m).astype(jnp.uint32)
+
+
+def oph_rows_engine() -> str:
+    """'dense' (bucket-one-hot, default) or 'scatter' (segment_min)."""
+    import os
+    return os.environ.get("DASHING2_TPU_OPH_ENGINE", "dense")
+
+
 @functools.partial(jax.jit, static_argnames=("m", "seed", "want_counts",
                                               "chunk"))
-def oph_sketch_rows(hashed: jnp.ndarray, valid: jnp.ndarray, *, m: int,
-                    seed: int = H.OPH_DEFAULT_SEED, want_counts: bool = True,
-                    chunk: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def oph_sketch_rows_dense(hashed: jnp.ndarray, valid: jnp.ndarray, *,
+                          m: int, seed: int = H.OPH_DEFAULT_SEED,
+                          want_counts: bool = True, chunk: int = 4096
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-wise OPH: each row of hashed (R, nk) is one item's k-mer
     stream chunk; returns per-row (R, m) registers (+ min-multiplicity
     counts). Dense bucket-one-hot min-reduce over nk — no sort, no
@@ -149,6 +184,19 @@ def oph_sketch_rows(hashed: jnp.ndarray, valid: jnp.ndarray, *, m: int,
     counts, _ = jax.lax.scan(cbody, jnp.zeros((R, m), jnp.uint32),
                              (ids_t, idx_t, val_t))
     return regs, counts
+
+
+def oph_sketch_rows(hashed, valid, *, m: int,
+                    seed: int = H.OPH_DEFAULT_SEED,
+                    want_counts: bool = True, chunk: int = 4096):
+    """Row-wise OPH dispatcher: dense bucket-one-hot engine by default,
+    segment_min scatter engine with DASHING2_TPU_OPH_ENGINE=scatter
+    (bit-identical outputs; see oph_sketch_rows_scatter)."""
+    if oph_rows_engine() == "scatter":
+        return oph_sketch_rows_scatter(hashed, valid, m=m, seed=seed,
+                                       want_counts=want_counts)
+    return oph_sketch_rows_dense(hashed, valid, m=m, seed=seed,
+                                 want_counts=want_counts, chunk=chunk)
 
 
 def oph_to_sigs(regs: np.ndarray) -> np.ndarray:

@@ -99,7 +99,7 @@ def _hash_chunk_batch(chunks: jnp.ndarray, filterset: jnp.ndarray, *,
 
 @functools.lru_cache(maxsize=32)
 def _fused_oph_fn(hkw_items: tuple, m: int, seed: int, want_counts: bool,
-                  use_fs: bool):
+                  use_fs: bool, oph_engine: str = "dense"):
     """ONE jitted function for the whole per-batch OPH sketch step:
     encode/hash/minimize -> ownership/downsample/filterset masks -> OPH
     dense-rows registers (+ counts) -> packed (R, m*2) u64 result. The
@@ -114,8 +114,13 @@ def _fused_oph_fn(hkw_items: tuple, m: int, seed: int, want_counts: bool,
     def f(chunks, filterset):
         hashed, valid = _hash_chunk_batch(chunks, filterset,
                                           use_filterset=use_fs, **hkw)
-        r, c = SK.oph_sketch_rows(hashed, valid, m=m, seed=seed,
-                                  want_counts=want_counts)
+        if oph_engine == "scatter":
+            r, c = SK.oph_sketch_rows_scatter(hashed, valid, m=m,
+                                              seed=seed,
+                                              want_counts=want_counts)
+        else:
+            r, c = SK.oph_sketch_rows_dense(hashed, valid, m=m, seed=seed,
+                                            want_counts=want_counts)
         return jnp.concatenate([r, c.astype(jnp.uint64)], axis=1)
     return f
 
@@ -513,7 +518,8 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             # device<->host round-trip latency per batch (2s each over a
             # remote chip; dispatch itself is fast and queues on device)
             fused = _fused_oph_fn(_hkw_key(hkw), m, H.OPH_DEFAULT_SEED,
-                                  want_counts, use_fs)
+                                  want_counts, use_fs,
+                                  SK.oph_rows_engine())
             inflight: List[tuple] = []
 
             def drain():

@@ -238,3 +238,23 @@ def test_fused_oph_step_matches_unfused():
         ref = np.concatenate([np.asarray(r),
                               np.asarray(c).astype(np.uint64)], axis=1)
         assert np.array_equal(out, ref)
+
+
+def test_oph_scatter_engine_matches_dense():
+    """The segment_min scatter engine must be bit-identical to the
+    dense one-hot engine (registers AND min-multiplicity counts)."""
+    from dashing2_tpu import hashing as H
+    from dashing2_tpu.ops import sketch_kernels as SK
+
+    rng = np.random.default_rng(19)
+    R, nk, m = 6, 5000, 64
+    h = jnp.asarray(rng.integers(1, 1 << 63, size=(R, nk)
+                                 ).astype(np.uint64))
+    v = jnp.asarray(rng.random((R, nk)) < 0.9)
+    r1, c1 = SK.oph_sketch_rows_dense(h, v, m=m, seed=H.OPH_DEFAULT_SEED,
+                                      want_counts=True)
+    r2, c2 = SK.oph_sketch_rows_scatter(h, v, m=m,
+                                        seed=H.OPH_DEFAULT_SEED,
+                                        want_counts=True)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
