@@ -126,8 +126,93 @@ def oph_sketch_rows_scatter(hashed: jnp.ndarray, valid: jnp.ndarray, *,
     return regs, counts.reshape(R, m).astype(jnp.uint32)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "seed", "want_counts"))
+def oph_sketch_rows_sort(hashed: jnp.ndarray, valid: jnp.ndarray, *,
+                         m: int, seed: int = H.OPH_DEFAULT_SEED,
+                         want_counts: bool = True
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-wise OPH via per-row rotation sort — bit-identical to
+    oph_sketch_rows_dense, at O(nk log^2 nk) comparator work instead of
+    the dense engine's O(nk*m) select/min inflation.
+
+    The trick: for power-of-two m the bucket is the LOW lg(m) bits of
+    the id (oph.h:166 idx = id % m), so all ids in a bucket share those
+    bits and ``rotr(id, lg m)`` is (a) a bijection, (b) bucket-major —
+    the bucket becomes the HIGH bits — and (c) order-preserving WITHIN
+    each bucket. ONE payload-free u64 sort per row therefore groups
+    buckets contiguously with each bucket's min id at the run head, and
+    the id is recovered by rotl. Extraction to dense (R, m) is a second
+    single-limb sort: bucket heads keyed by bucket index, everything
+    else keyed m, plus one always-present sentinel per bucket
+    (key=U64MAX) so every bucket owns >=1 entry — after that sort the
+    first 2m columns contain all heads+sentinels and a small dense
+    min-reduce (R, 2m, m) places them.
+
+    Min-multiplicity counts ride as a second payload: the count of the
+    current min is the length of the first equal-key run of its bucket
+    (equal rotated keys == equal ids), computed from the sorted stream
+    by a suffix-cummin over change positions.
+
+    Non-power-of-two m (the rotation trick needs bucket == low bits)
+    delegates to the dense engine. Caveat shared with the segments
+    engine: a VALID id equal to u64::max is indistinguishable from the
+    empty sentinel (probability 2^-64 per k-mer under the invertible
+    id hash), in which case its multiplicity reports 0.
+    """
+    if m & (m - 1) or m == 1:
+        return oph_sketch_rows_dense(hashed, valid, m=m, seed=seed,
+                                     want_counts=want_counts)
+    ids = DH.oph_hash(hashed, seed)
+    R, nk = ids.shape
+    lgm = m.bit_length() - 1
+    shift = 64 - lgm
+    key = (ids >> jnp.uint64(lgm)) | (ids << jnp.uint64(shift))
+    key = jnp.where(valid, key, jnp.uint64(U64MAX))
+    key_s = jax.lax.sort(key, dimension=1)
+    bucket_s = (key_s >> jnp.uint64(shift)).astype(jnp.int32)
+    headb = jnp.concatenate([jnp.ones((R, 1), bool),
+                             bucket_s[:, 1:] != bucket_s[:, :-1]], axis=1)
+    ck = jnp.where(headb, bucket_s, jnp.int32(m))
+    # sentinels: one per bucket, value U64MAX / count 0, so empty
+    # buckets keep their slot in the compacted front window
+    ck_all = jnp.concatenate(
+        [ck, jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (R, m))], 1)
+    key_all = jnp.concatenate(
+        [key_s, jnp.full((R, m), U64MAX, jnp.uint64)], 1)
+    if want_counts:
+        iota = jnp.arange(nk, dtype=jnp.int32)
+        headk = jnp.concatenate([jnp.ones((R, 1), bool),
+                                 key_s[:, 1:] != key_s[:, :-1]], axis=1)
+        nxt = jnp.where(headk, iota, jnp.int32(nk))
+        suff = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
+        run_end = jnp.concatenate([suff[:, 1:],
+                                   jnp.full((R, 1), nk, jnp.int32)], 1)
+        cnt = (run_end - iota).astype(jnp.uint32)
+        cnt_all = jnp.concatenate([cnt, jnp.zeros((R, m), jnp.uint32)], 1)
+        ck2, key2, cnt2 = jax.lax.sort((ck_all, key_all, cnt_all),
+                                       dimension=1, num_keys=1)
+    else:
+        ck2, key2 = jax.lax.sort((ck_all, key_all), dimension=1,
+                                 num_keys=1)
+    S = min(2 * m, nk + m)
+    sck, skey = ck2[:, :S], key2[:, :S]
+    on = sck[:, :, None] == jnp.arange(m, dtype=jnp.int32)[None, None, :]
+    regs_rot = jnp.min(jnp.where(on, skey[:, :, None],
+                                 jnp.uint64(U64MAX)), axis=1)
+    regs = (regs_rot << jnp.uint64(lgm)) | (regs_rot >> jnp.uint64(shift))
+    if not want_counts:
+        return regs, jnp.zeros((R, m), jnp.uint32)
+    scnt = cnt2[:, :S]
+    ismin = on & (skey[:, :, None] == regs_rot[:, None, :])
+    counts = jnp.sum(jnp.where(ismin, scnt[:, :, None], jnp.uint32(0)),
+                     axis=1, dtype=jnp.uint32)
+    counts = jnp.where(regs == U64MAX, jnp.uint32(0), counts)
+    return regs, counts
+
+
 def oph_rows_engine() -> str:
-    """'dense' (bucket-one-hot, default) or 'scatter' (segment_min)."""
+    """'dense' (bucket-one-hot, default), 'sort' (per-row rotation
+    sort), or 'scatter' (segment_min)."""
     import os
     return os.environ.get("DASHING2_TPU_OPH_ENGINE", "dense")
 
@@ -190,11 +275,15 @@ def oph_sketch_rows(hashed, valid, *, m: int,
                     seed: int = H.OPH_DEFAULT_SEED,
                     want_counts: bool = True, chunk: int = 4096):
     """Row-wise OPH dispatcher: dense bucket-one-hot engine by default,
-    segment_min scatter engine with DASHING2_TPU_OPH_ENGINE=scatter
-    (bit-identical outputs; see oph_sketch_rows_scatter)."""
-    if oph_rows_engine() == "scatter":
+    rotation-sort engine with DASHING2_TPU_OPH_ENGINE=sort, segment_min
+    scatter engine with =scatter (bit-identical outputs)."""
+    eng = oph_rows_engine()
+    if eng == "scatter":
         return oph_sketch_rows_scatter(hashed, valid, m=m, seed=seed,
                                        want_counts=want_counts)
+    if eng == "sort":
+        return oph_sketch_rows_sort(hashed, valid, m=m, seed=seed,
+                                    want_counts=want_counts)
     return oph_sketch_rows_dense(hashed, valid, m=m, seed=seed,
                                  want_counts=want_counts, chunk=chunk)
 

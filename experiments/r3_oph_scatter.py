@@ -88,6 +88,25 @@ def main():
         print(f".at[].min: FAILED {type(e).__name__}: "
               f"{str(e).splitlines()[:2]}", flush=True)
 
+    for wc in (False, True):
+        def mk_sort(K, wc=wc):
+            @jax.jit
+            def run(ids, valid):
+                def body(c, _):
+                    r, _cnt = SK.oph_sketch_rows_sort(
+                        c, valid, m=m, seed=H.OPH_DEFAULT_SEED,
+                        want_counts=wc)
+                    return c ^ (r[:, :1] & jnp.uint64(1)), None
+                c, _ = jax.lax.scan(body, ids, None, length=K)
+                return c[0, 0].astype(jnp.int32)
+            return run
+        try:
+            t = _timed_chain(mk_sort, (ids, valid))
+            report(f"rotation-sort rows want_counts={wc}", t)
+        except Exception as e:
+            print(f"sort wc={wc}: FAILED {type(e).__name__}: "
+                  f"{str(e).splitlines()[:2]}", flush=True)
+
     def mk_dense(K):
         @jax.jit
         def run(ids, valid):

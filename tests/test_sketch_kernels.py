@@ -240,6 +240,51 @@ def test_fused_oph_step_matches_unfused():
         assert np.array_equal(out, ref)
 
 
+def test_oph_sort_engine_matches_dense():
+    """The rotation-sort engine must be bit-identical to the dense
+    one-hot engine (registers AND min-multiplicity counts), including
+    duplicate ids (repeated k-mers -> multiplicity > 1), sparse
+    validity, and rows whose buckets are partly empty."""
+    from dashing2_tpu import hashing as H
+    from dashing2_tpu.ops import sketch_kernels as SK
+
+    rng = np.random.default_rng(23)
+    for R, nk, m, dup, pvalid in ((6, 5000, 64, False, 0.9),
+                                  (3, 700, 256, True, 0.97),
+                                  (2, 100, 128, True, 0.5),
+                                  (4, 2048, 1024, True, 1.0)):
+        h = rng.integers(1, 1 << 63, size=(R, nk)).astype(np.uint64)
+        if dup:
+            # repeat a quarter of the stream to force count ties
+            src = rng.integers(0, nk, size=nk // 4)
+            dst = rng.integers(0, nk, size=nk // 4)
+            h[:, dst] = h[:, src]
+        hj = jnp.asarray(h)
+        v = jnp.asarray(rng.random((R, nk)) < pvalid)
+        for wc in (True, False):
+            r1, c1 = SK.oph_sketch_rows_dense(
+                hj, v, m=m, seed=H.OPH_DEFAULT_SEED, want_counts=wc)
+            r2, c2 = SK.oph_sketch_rows_sort(
+                hj, v, m=m, seed=H.OPH_DEFAULT_SEED, want_counts=wc)
+            assert np.array_equal(np.asarray(r1), np.asarray(r2))
+            assert np.array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_oph_sort_engine_non_pow2_delegates():
+    from dashing2_tpu import hashing as H
+    from dashing2_tpu.ops import sketch_kernels as SK
+
+    rng = np.random.default_rng(29)
+    h = jnp.asarray(rng.integers(1, 1 << 63, size=(2, 300)
+                                 ).astype(np.uint64))
+    v = jnp.ones((2, 300), bool)
+    r1, c1 = SK.oph_sketch_rows_dense(h, v, m=96,
+                                      seed=H.OPH_DEFAULT_SEED)
+    r2, c2 = SK.oph_sketch_rows_sort(h, v, m=96, seed=H.OPH_DEFAULT_SEED)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+
+
 def test_oph_scatter_engine_matches_dense():
     """The segment_min scatter engine must be bit-identical to the
     dense one-hot engine (registers AND min-multiplicity counts)."""
