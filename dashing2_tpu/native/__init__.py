@@ -22,9 +22,12 @@ def _build_dir() -> str:
     return d
 
 
-def _load_lib(name: str, src_file: str, link: list) -> Optional[ctypes.CDLL]:
+def _load_lib(name: str, src_file: str, link: list,
+              cflags: tuple = ()) -> Optional[ctypes.CDLL]:
     """Compile (once, content-hashed) and load a native component; None
-    when the toolchain is unavailable (callers fall back to Python)."""
+    when the toolchain is unavailable (callers fall back to Python).
+    `cflags` are attempted first and dropped on compile failure (e.g.
+    -march=native on an unsupported toolchain)."""
     with _lock:
         if name in _libs:
             return _libs[name]
@@ -33,6 +36,8 @@ def _load_lib(name: str, src_file: str, link: list) -> Optional[ctypes.CDLL]:
             src = os.path.join(os.path.dirname(__file__), src_file)
             with open(src, "rb") as f:
                 tag = hashlib.sha256(f.read()).hexdigest()[:16]
+            if cflags:
+                tag = f"{tag}-{hashlib.sha256(' '.join(cflags).encode()).hexdigest()[:6]}"
             # DASHING2_TPU_SANITIZE=address|undefined builds the native
             # components under ASan/UBSan (the reference's dashing2-add
             # target, Makefile:102-103); tests then exercise them
@@ -46,10 +51,16 @@ def _load_lib(name: str, src_file: str, link: list) -> Optional[ctypes.CDLL]:
             so = os.path.join(_build_dir(), f"lib{name}-{tag}.so")
             if not os.path.exists(so):
                 tmp = so + f".tmp{os.getpid()}"
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     src, "-o", tmp] + flags + link,
-                    check=True, capture_output=True)
+                base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        src, "-o", tmp]
+                try:
+                    subprocess.run(base + list(cflags) + flags + link,
+                                   check=True, capture_output=True)
+                except subprocess.CalledProcessError:
+                    if not cflags:
+                        raise
+                    subprocess.run(base + flags + link, check=True,
+                                   capture_output=True)
                 os.replace(tmp, so)
             lib = ctypes.CDLL(so)
         except Exception as e:  # toolchain missing etc: fall back silently
@@ -87,6 +98,25 @@ def load_myers_lib() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int64, ctypes.c_int, i64p]
         lib.myers_one.restype = ctypes.c_int64
         lib.myers_one.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib._sigs_set = True
+    return lib
+
+
+def load_oph_lib() -> Optional[ctypes.CDLL]:
+    """Native threaded OPH sketcher (default DNA path; heterogeneous
+    host-cores placement of the scatter-shaped bucket-min update)."""
+    lib = _load_lib("ophsketch", "oph_sketch.cpp", ["-lpthread"],
+                    cflags=("-march=native", "-funroll-loops"))
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        c = ctypes
+        lib.oph_rows_native.restype = None
+        lib.oph_rows_native.argtypes = [
+            c.POINTER(c.c_ubyte), c.c_int64, c.c_int64,
+            c.c_int32, c.c_int32, c.c_int32,
+            c.c_uint64, c.c_uint64,
+            c.c_int32, c.c_uint64, c.c_uint64,
+            c.c_int64, c.c_int64, c.c_int64, c.c_int32,
+            c.POINTER(c.c_uint64), c.POINTER(c.c_uint32)]
         lib._sigs_set = True
     return lib
 

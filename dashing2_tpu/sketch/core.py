@@ -132,6 +132,48 @@ def _hkw_key(hkw: dict) -> tuple:
     return tuple(sorted(hkw.items()))
 
 
+def _native_oph_supported(hkw: dict, use_fs: bool) -> bool:
+    """Config coverage of the native host OPH sketcher: the default DNA
+    path (2-bit exact codes, no minimizer window / spaced seeds /
+    rolling / entropy scoring / filterset)."""
+    from ..enums import Alphabet
+    return (not use_fs and not hkw["entmin"] and not hkw["rolling"]
+            and not hkw["use128"] and not hkw["spacing_offsets"]
+            and hkw["w"] <= hkw["k"] and 1 <= hkw["k"] <= 32
+            and hkw["alphabet"] in (Alphabet.DNA, Alphabet.DNAC))
+
+
+def _native_oph_rows(lib, chunks: np.ndarray, hkw: dict, m: int,
+                     seed: int, want_counts: bool, nthreads: int = 0):
+    """Sketch one (R, L) chunk batch on host cores via the native
+    engine; bit-identical to the device path for supported configs."""
+    import ctypes
+
+    chunks = np.ascontiguousarray(chunks, dtype=np.uint8)
+    R, L = chunks.shape
+    regs = np.empty((R, m), np.uint64)
+    counts = np.empty((R, m), np.uint32) if want_counts else None
+    span = hkw.get("span") or hkw["k"]
+    lo, hi = K.owned_kmer_range(span, hkw["w"], hkw["chunk_len"])
+    ds = hkw["downsample_threshold"] < (1 << 64) - 1
+    oph_xor = int(H.mt19937_64_first(seed)) ^ H.CEIXOR_OPH
+    if nthreads <= 0:
+        nthreads = int(os.environ.get("DASHING2_TPU_NATIVE_THREADS", 0))
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.oph_rows_native(
+        chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        R, L, hkw["k"], int(hkw["canon"]), int(hkw["seed_is_zero"]),
+        hkw["xormask"], oph_xor & 0xFFFFFFFFFFFFFFFF,
+        int(ds), hkw["downsample_threshold"] & 0xFFFFFFFFFFFFFFFF,
+        DOWNSAMPLE_SALT, lo, hi, m, nthreads,
+        regs.ctypes.data_as(u64p),
+        counts.ctypes.data_as(u32p) if want_counts else u32p())
+    if counts is None:
+        counts = np.zeros((R, m), np.uint32)
+    return regs, counts
+
+
 def _hash_kwargs(opts: Dashing2Options, chunk_len: int) -> dict:
     spacing = (tuple(K.parse_spacing(opts.spacing, opts.k))
                if opts.spacing else None)
@@ -514,8 +556,26 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         # O(nk*m) FLOPs for scatter-free TPU execution (8.8ms/2.1Mbase on
         # a v5e); on CPU that arithmetic is catastrophic, so the
         # work-efficient sort-based segment kernel runs there instead
+        native_lib = None
+        if (SK.oph_rows_engine() == "native"
+                and _native_oph_supported(hkw, use_fs)):
+            from .. import native as _nat
+            native_lib = _nat.load_oph_lib()
         dense_rows = jax.default_backend() != "cpu"
-        if dense_rows:
+        if native_lib is not None:
+            # heterogeneous placement: the scatter-shaped bucket-min
+            # update runs on host cores (threads across batch rows)
+            # while the device stays free for the comparison phase
+            for chunks, ids in prefetch(_iter_chunk_batches(
+                    opts, items_iter(), chunk_len, rows_per_batch)):
+                r, c = _native_oph_rows(native_lib, chunks, hkw, m,
+                                        H.OPH_DEFAULT_SEED, want_counts)
+                for row, item_id in enumerate(ids):
+                    if item_id < 0:
+                        continue
+                    regs[item_id], counts[item_id] = _merge_oph(
+                        regs[item_id], counts[item_id], r[row], c[row])
+        elif dense_rows:
             # dispatch every batch asynchronously, fetch results in
             # bounded groups: per-batch synchronous pulls pay the
             # device<->host round-trip latency per batch (2s each over a
