@@ -269,6 +269,36 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# sketch step failed: {e}", file=sys.stderr)
 
+    # native host engine for the same step (heterogeneous placement:
+    # host cores sketch while the device runs the compare phase) —
+    # single-threaded here; threads partition rows on many-core hosts
+    try:
+        import multiprocessing
+
+        from dashing2_tpu import native as NAT
+        from dashing2_tpu.sketch.core import _native_oph_rows
+        lib = NAT.load_oph_lib()
+        if lib is not None:
+            cnp = np.asarray(codes)
+            _native_oph_rows(lib, cnp, hkw, m, H.OPH_DEFAULT_SEED, False)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _native_oph_rows(lib, cnp, hkw, m, H.OPH_DEFAULT_SEED,
+                                 False)
+                ts.append(time.perf_counter() - t0)
+            ncore = multiprocessing.cpu_count()
+            rate = R * L / min(ts)
+            extra["sketch_native_mbase_per_sec_per_core"] = round(
+                rate / 1e6, 1)
+            extra["sketch_native_host_cores"] = ncore
+            print(f"# native host sketch engine: {min(ts)*1e3:.1f} "
+                  f"ms/batch = {rate/1e6:.0f} Mbase/s per core "
+                  f"({ncore} host core(s) available; threads partition "
+                  f"batch rows)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# native sketch engine failed: {e}", file=sys.stderr)
+
     pps = up / t_head_min
     print(json.dumps({
         "metric": "fastcmp0.5_bbit_similarity_unique_pairs_per_sec",
