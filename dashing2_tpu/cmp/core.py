@@ -410,31 +410,47 @@ def _swar_pack(kind: str, data, m: int, fd: float):
       compressed_ab_measures32), so feeding (m - eq, 0) is
       bit-identical for ANY m.
     * only 'ab' with fd < 8 needs separate gt/lt (g_b applies to alpha
-      and beta individually)."""
+      and beta individually).
+
+    Word density scales with the value bound: u8 values (< 2^9) and
+    dense ranks with n <= 512 pack THREE 10-bit fields per word
+    (gtlt10/eq10, 1.5x the halves density); ranks with n <= 256 pack
+    FOUR bytes per word for eq (eq8, 2x)."""
     import jax.numpy as jnp
 
-    from ..ops.cmp_kernels import dense_ranks, pack8, pack16
-    eq_kind = kind in ("eqfull", "bbit")
+    from ..ops.cmp_kernels import dense_ranks, pack8, pack10, pack16
     need_gtlt = kind == "ab" and fd < 8.0
     dt = data.dtype
+    n = data.shape[0]
     if not need_gtlt:
-        if eq_kind and dt == jnp.uint8:
+        # every eq-consuming kind compares the registers themselves, so
+        # u8/u16 values pack directly with no rank pass
+        if dt == jnp.uint8:
             packed = pack8(data)
             return packed, "eq8", 4 * packed.shape[1] - m
-        if eq_kind and dt == jnp.uint16:
+        if dt == jnp.uint16:
             # full 16-bit range: the general zero-half detect
             packed = pack16(data)
             return packed, "eq16", 2 * packed.shape[1] - m
-        # u32/u64/ordered-f64: dense ranks (equality-preserving,
-        # < 2^15) — the cheaper bounded eq15 detect applies
-        packed = pack16(dense_ranks(data).astype(jnp.uint32))
+        # u32/u64/ordered-f64: dense ranks (equality-preserving); the
+        # rank bound n picks the densest safe packing
+        ranks = dense_ranks(data).astype(jnp.uint32)
+        if n <= 256:
+            packed = pack8(ranks)
+            return packed, "eq8", 4 * packed.shape[1] - m
+        if n <= 512:
+            packed = pack10(ranks)
+            return packed, "eq10", 3 * packed.shape[1] - m
+        packed = pack16(ranks)
         return packed, "eq15", 2 * packed.shape[1] - m
     if dt == jnp.uint8:
-        packed = pack16(data)     # u8 values < 256 < 2^15: no ranks
-    else:
-        # u16/u32 ab gtlt: dense ranks (< n < 2^15, order-isomorphic)
-        packed = pack16(dense_ranks(data).astype(jnp.uint32))
-    return packed, "gtlt16", 0
+        # u8 values < 2^9: three-per-word guard fields, no rank pass
+        return pack10(data), "gtlt10", 0
+    # u16/u32 ab gtlt: dense ranks (order-isomorphic, < n)
+    ranks = dense_ranks(data).astype(jnp.uint32)
+    if n <= 512:
+        return pack10(ranks), "gtlt10", 0
+    return pack16(ranks), "gtlt16", 0
 
 
 def _swar_fused_matrix(kind: str, data, m: int, fd: float, msr: Measure,
@@ -457,7 +473,7 @@ def _swar_fused_matrix(kind: str, data, m: int, fd: float, msr: Measure,
     nt = npad // t
     nd = nt // 2 + 1
     xs, ys = circ_self_swar_tiles(a, t=t, mode=mode8)
-    if mode8 == "gtlt16":
+    if mode8.startswith("gtlt"):
         c1l, c2l = xs, ys                 # gt, lt tiles (ab fd<8 only)
         c1u, c2u = ys, xs
     else:
@@ -608,12 +624,12 @@ def _panel_matrix_fn_m(kind: str, m: int, msr: Measure, k: int, fd: float,
             # same engine policy as the self-pairs path (_swar_pack):
             # eq-only wherever the estimator consumes only gt + lt
             packed, pmode, extra = _swar_pack(kind, data, m, fd)
-            if pmode == "gtlt16":
-                c1, c2 = count_gtlt_packed16(packed[:nf], packed[nf:])
+            if pmode.startswith("gtlt"):
+                c1, c2 = count_gtlt_packed16(packed[:nf], packed[nf:],
+                                             mode=pmode)
             else:
                 eq = count_eq_packed(packed[:nf], packed[nf:], m,
-                                     eight_bit=(pmode == "eq8"),
-                                     bounded15=(pmode == "eq15"))
+                                     mode=pmode)
                 if kind in ("eqfull", "bbit"):
                     c1, c2 = eq, None
                 else:

@@ -274,6 +274,13 @@ _H16 = 0x80008000
 _L15 = 0x7FFF7FFF
 _H8 = 0x80808080
 _L7 = 0x7F7F7F7F
+# 10-bit fields at bit offsets 0/10/20 (three per u32 word, bits 30-31
+# spare): values bounded below 2^9 leave bit 9 of each field as a guard
+# bit, so the same borrow/carry tricks apply at 1.5x the pack16 density.
+# u8 registers qualify unconditionally (255 < 512) with NO rank pass;
+# dense ranks qualify whenever n <= 512.
+_H10 = 0x20080200      # bit 9 of each 10-bit field
+_L9 = 0x1FF7FDFF       # low 9 value bits of each field
 
 
 def pack16(x: jnp.ndarray) -> jnp.ndarray:
@@ -328,6 +335,41 @@ def swar8_eq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.int32(4 * a.shape[-1]) - nz.sum(-1, dtype=jnp.int32)
 
 
+def pack10(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, m) integer registers with values < 2^9 -> (N, ceil(m/3)) u32
+    words of three 10-bit fields (zero-padded; pad fields are equal and
+    non-gt on both sides of every pair — eq callers correct by the pad
+    amount, gt/lt callers need no correction)."""
+    x = jnp.asarray(x).astype(jnp.uint32)
+    pad = (-x.shape[1]) % 3
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], pad), jnp.uint32)], axis=1)
+    w = x.reshape(x.shape[0], -1, 3)
+    return (w[..., 0] << 20) | (w[..., 1] << 10) | w[..., 2]
+
+
+def swar10_eq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """eq counts for 2^9-bounded fields packed three-per-word: x = a ^ b
+    stays < 2^9 per field, so x + 0x1FF cannot carry across fields and
+    its bit 9 alone flags x != 0 (the pack10 analogue of
+    swar15_eq_tile)."""
+    x = a ^ b
+    nz = jax.lax.population_count((x + jnp.uint32(_L9))
+                                  & jnp.uint32(_H10))
+    return jnp.int32(3 * a.shape[-1]) - nz.sum(-1, dtype=jnp.int32)
+
+
+def swar10_gt_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """gt counts (#fields with a_f > b_f) for 2^9-bounded fields packed
+    three-per-word: the biased minuend (b | guard) - a keeps every
+    field-difference positive (a_f < 2^9 <= b_f | 2^9), so no borrow
+    crosses fields and per-field bit 9 is clear iff a_f > b_f."""
+    h = jnp.uint32(_H10)
+    return jax.lax.population_count(~((b | h) - a) & h).sum(
+        -1, dtype=jnp.int32)
+
+
 def pack8(x: jnp.ndarray) -> jnp.ndarray:
     """(N, m) u8 registers -> (N, ceil(m/4)) u32 words (zero-pad; +pad
     eq per self-pair corrected by callers)."""
@@ -339,6 +381,13 @@ def pack8(x: jnp.ndarray) -> jnp.ndarray:
     w = x.reshape(x.shape[0], -1, 4)
     return (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) \
         | w[..., 3]
+
+
+_EQ_TILES = {"eq16": swar16_eq_tile, "eq15": swar15_eq_tile,
+             "eq8": swar8_eq_tile, "eq10": swar10_eq_tile}
+_GT_TILES = {"gtlt16": swar16_gt_tile, "gtlt10": swar10_gt_tile}
+FIELDS_PER_WORD = {"eq16": 2, "eq15": 2, "eq8": 4, "eq10": 3,
+                   "gtlt16": 2, "gtlt10": 3}
 
 
 def circ_self_swar_tiles(packed: jnp.ndarray, *, t: int, mode: str):
@@ -360,12 +409,11 @@ def circ_self_swar_tiles(packed: jnp.ndarray, *, t: int, mode: str):
         rolled = jax.lax.dynamic_slice(p6, (d, zero, zero), (nt, t, w))
         a = p3[:, :, None, :]
         b = rolled[:, None, :, :]
-        if mode in ("eq16", "eq15", "eq8"):
-            eq = {"eq16": swar16_eq_tile, "eq15": swar15_eq_tile,
-                  "eq8": swar8_eq_tile}[mode](a, b)
+        if mode in _EQ_TILES:
+            eq = _EQ_TILES[mode](a, b)
             return None, (eq, eq)
-        gt = swar16_gt_tile(a, b)
-        lt = swar16_gt_tile(b, a)
+        gt = _GT_TILES[mode](a, b)
+        lt = _GT_TILES[mode](b, a)
         return None, (gt, lt)
 
     _, (xs, ys) = jax.lax.scan(body, None, jnp.arange(nd, dtype=jnp.int32))
@@ -403,34 +451,37 @@ def _swar_pad_rows(packed: jnp.ndarray, t: int) -> jnp.ndarray:
     return packed
 
 
-def count_eq_self_packed(packed: jnp.ndarray, m: int, *, eight_bit: bool,
-                         t: int = 512, bounded15: bool = False
+def count_eq_self_packed(packed: jnp.ndarray, m: int, *,
+                         eight_bit: bool = False, t: int = 512,
+                         bounded15: bool = False, mode: str = None
                          ) -> jnp.ndarray:
     """eq counts for all self-pairs over packed word registers; m = true
-    register count (pad halves/bytes are equal on both sides of every
-    pair, so raw counts exceed eq by the pad amount — corrected here).
-    bounded15: halves are < 2^15 (ranks) — the cheaper eq15 detect.
-    Traceable."""
+    register count (pad halves/bytes/fields are equal on both sides of
+    every pair, so raw counts exceed eq by the pad amount — corrected
+    here). mode selects the detect directly ('eq16'/'eq15'/'eq8'/'eq10');
+    the legacy eight_bit/bounded15 flags map onto it. Traceable."""
+    if mode is None:
+        mode = "eq8" if eight_bit else ("eq15" if bounded15 else "eq16")
     n0 = packed.shape[0]
     t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
     a = _swar_pad_rows(packed, t)
     seg_idx = jnp.asarray(_circ_seg_index(a.shape[0], t))
-    per = 4 if eight_bit else 2
-    mode = "eq8" if eight_bit else ("eq15" if bounded15 else "eq16")
     raw = _circ_self_swar(a, seg_idx, t=t, mode=mode)
-    extra = per * packed.shape[1] - m
+    extra = FIELDS_PER_WORD[mode] * packed.shape[1] - m
     return raw[:n0, :n0] - jnp.int32(extra)
 
 
-def count_gtlt_self_packed16(packed: jnp.ndarray, t: int = 512
+def count_gtlt_self_packed16(packed: jnp.ndarray, t: int = 512,
+                             mode: str = "gtlt16"
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(gt, lt) counts for all self-pairs over 2^15-bounded packed
-    halves (pad halves equal -> contribute no gt/lt). lt == gt.T."""
+    """(gt, lt) counts for all self-pairs over guard-bounded packed
+    fields — 'gtlt16' halves < 2^15, 'gtlt10' fields < 2^9 (pad fields
+    equal -> contribute no gt/lt). lt == gt.T."""
     n0 = packed.shape[0]
     t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
     a = _swar_pad_rows(packed, t)
     seg_idx = jnp.asarray(_circ_seg_index(a.shape[0], t))
-    gt = _circ_self_swar(a, seg_idx, t=t, mode="gtlt16")
+    gt = _circ_self_swar(a, seg_idx, t=t, mode=mode)
     gt = gt[:n0, :n0]
     return gt, gt.T
 
@@ -448,30 +499,31 @@ def _pairwise_swar(a: jnp.ndarray, b: jnp.ndarray, *, mode: str, tm: int):
     def body(_, at):
         av = at[:, None, :]
         bv = b[None, :, :]
-        if mode in ("eq16", "eq15", "eq8"):
-            eq = {"eq16": swar16_eq_tile, "eq15": swar15_eq_tile,
-                  "eq8": swar8_eq_tile}[mode](av, bv)
+        if mode in _EQ_TILES:
+            eq = _EQ_TILES[mode](av, bv)
             return None, (eq, eq)
-        return None, (swar16_gt_tile(av, bv), swar16_gt_tile(bv, av))
+        return None, (_GT_TILES[mode](av, bv), _GT_TILES[mode](bv, av))
 
     _, (xs, ys) = jax.lax.scan(body, None, tiles)
     return (xs.reshape(nt * tm, -1)[:na], ys.reshape(nt * tm, -1)[:na])
 
 
-def count_eq_packed(a_packed, b_packed, m: int, *, eight_bit: bool,
-                    tm: int = 256, bounded15: bool = False) -> jnp.ndarray:
+def count_eq_packed(a_packed, b_packed, m: int, *, eight_bit: bool = False,
+                    tm: int = 256, bounded15: bool = False,
+                    mode: str = None) -> jnp.ndarray:
     """Rectangular eq counts over packed words (pad-corrected)."""
-    per = 4 if eight_bit else 2
-    extra = per * a_packed.shape[1] - m
-    mode = "eq8" if eight_bit else ("eq15" if bounded15 else "eq16")
+    if mode is None:
+        mode = "eq8" if eight_bit else ("eq15" if bounded15 else "eq16")
+    extra = FIELDS_PER_WORD[mode] * a_packed.shape[1] - m
     eq, _ = _pairwise_swar(a_packed, b_packed, mode=mode, tm=tm)
     return eq - jnp.int32(extra)
 
 
-def count_gtlt_packed16(a_packed, b_packed, tm: int = 256
+def count_gtlt_packed16(a_packed, b_packed, tm: int = 256,
+                        mode: str = "gtlt16"
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rectangular (gt, lt) counts over 2^15-bounded packed halves."""
-    gt, lt = _pairwise_swar(a_packed, b_packed, mode="gtlt16", tm=tm)
+    """Rectangular (gt, lt) counts over guard-bounded packed fields."""
+    gt, lt = _pairwise_swar(a_packed, b_packed, mode=mode, tm=tm)
     return gt, lt
 
 

@@ -62,6 +62,39 @@ def test_swar_8bit_and_16bit_fullrange_eq():
     assert (eq16 == (v16[:, None, :] == v16[None, :, :]).sum(-1)).all()
 
 
+@pytest.mark.parametrize("m", [64, 63, 17])
+def test_swar_pack10_kernels_exact(m):
+    """Three-per-word 10-bit guard fields: u8 values direct (no rank
+    pass) for gt/lt; ranks < 512 for the bounded eq10 detect."""
+    rng = np.random.default_rng(11)
+    n = 150
+    v8 = rng.integers(0, 256, size=(n, m)).astype(np.uint8)
+    v8[rng.random((n, m)) < 0.3] = v8[0, 0]  # ties
+    pk = CK.pack10(jnp.asarray(v8))
+    ref_eq = (v8[:, None, :] == v8[None, :, :]).sum(-1)
+    ref_gt = (v8[:, None, :] > v8[None, :, :]).sum(-1)
+    gt, lt = CK.count_gtlt_self_packed16(pk, t=32, mode="gtlt10")
+    assert (np.asarray(gt) == ref_gt).all()
+    assert (np.asarray(lt) == ref_gt.T).all()
+    eq = np.asarray(CK.count_eq_self_packed(pk, m, t=32, mode="eq10"))
+    assert (eq == ref_eq).all()
+    # rectangular
+    gtr, ltr = CK.count_gtlt_packed16(pk[:40], pk[40:], mode="gtlt10")
+    assert (np.asarray(gtr) == ref_gt[:40, 40:]).all()
+    ref_lt = (v8[:40][:, None, :] < v8[40:][None, :, :]).sum(-1)
+    assert (np.asarray(ltr) == ref_lt).all()
+    eqr = np.asarray(CK.count_eq_packed(pk[:40], pk[40:], m, mode="eq10"))
+    assert (eqr == ref_eq[:40, 40:]).all()
+    # ranks of wider values < n <= 512 qualify for the same fields
+    vals = rng.integers(0, 1 << 62, size=(n, m)).astype(np.uint64)
+    vals[rng.random((n, m)) < 0.2] = vals[0, 0]
+    r = np.asarray(jax.jit(CK.dense_ranks)(jnp.asarray(vals)))
+    pkr = CK.pack10(jnp.asarray(r))
+    g2, l2 = CK.count_gtlt_self_packed16(pkr, t=32, mode="gtlt10")
+    assert (np.asarray(g2)
+            == (vals[:, None, :] > vals[None, :, :]).sum(-1)).all()
+
+
 def _close(a, b, tol=3e-7):
     """COUNTS are bit-exact between routes (kernel tests assert that);
     the f32 measure epilogues run as different XLA graphs, whose FMA
@@ -134,9 +167,27 @@ def test_ab_u64_nonpow2_m_swar_route_bitexact():
 
 
 @pytest.mark.parametrize("kind,dtype,fd", [
+    ("full", np.uint64, 8.0),    # ranks > 512: eq15 halves
+    ("ab", np.uint16, 2.0),      # ranks > 512: gtlt16 halves
+])
+def test_large_n_swar_route_pack16(kind, dtype, fd):
+    """n > 512 exceeds the 10-bit field bound — the halves engines must
+    still route and agree with XLA (covers the pack16 branches the
+    small-n tests no longer reach)."""
+    rng = np.random.default_rng(15)
+    n, m = 560, 32
+    hi = min(int(np.iinfo(dtype).max) + 1, 1 << 62)
+    data = rng.integers(0, hi, size=(n, m)).astype(dtype)
+    data[rng.random((n, m)) < 0.2] = data[0, 0]
+    cards = rng.uniform(1e4, 1e6, size=n)
+    a, b = _route_pair(kind, data, cards, m, Measure.SIMILARITY, fd)
+    _close(a, b, tol=2e-6 if kind == "ab" and fd < 8 else 3e-7)
+
+
+@pytest.mark.parametrize("kind,dtype,fd", [
     ("ab", np.uint8, 1.0),       # gtlt tiles, asymmetric mirror
     ("bbit", np.uint8, 1.0),     # eq8 tiles
-    ("full", np.uint64, 8.0),    # eq16-on-ranks tiles
+    ("full", np.uint64, 8.0),    # eq-on-ranks tiles
 ])
 def test_containment_mirror_tiles(kind, dtype, fd):
     """CONTAINMENT is row-normalized (asymmetric): the per-tile fused
