@@ -831,27 +831,45 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
         n = d.shape[0]
         m = opts.sketchsize
         if n <= 32767:
-            # SWAR packed ranks: 2-4x the u64 limb compare rate and half
-            # the replicated bytes per chip (counts bit-identical —
-            # ranks are order-isomorphic per column). Kinds whose
-            # estimator consumes only gt + lt ride eq-only bands (one
-            # pass per band instead of two).
+            # SWAR packed words: 2-6x the u64 limb compare rate and a
+            # fraction of the replicated bytes per chip (counts
+            # bit-identical — equality survives any injective relabel,
+            # order the rank reduction). Same density policy as the
+            # single-chip _swar_pack: u8/u16 values pack directly, wider
+            # registers rank first, and the value/rank bound picks
+            # 4-, 3- or 2-fields-per-word engines. Kinds whose estimator
+            # consumes only gt + lt ride eq-only bands (one pass per
+            # band instead of two).
             import jax
             import jax.numpy as jnp
-            r = np.asarray(jax.jit(CK.dense_ranks)(
-                jnp.asarray(np.asarray(d)))).astype(np.uint32)
-            W = (r.shape[1] + 1) // 2
-            packed = (r[:, 0::2] << np.uint32(16)) | (
-                r[:, 1::2] if r.shape[1] % 2 == 0
-                else np.concatenate(
-                    [r[:, 1::2], np.zeros((n, 1), np.uint32)], axis=1))
+
+            from ..parallel.allpairs import pack_words_np
+            dnp = np.asarray(d)
             eq_ok = not (kind in ("ab", "nibble-ab")
                          and opts.fd_level < 8.0)
-            cnt = sharded_selfpairs(mesh, packed, packed16=True,
-                                    eq_only=eq_ok)
-            fn = _counts_epilogue_fn(kind, m, opts.measure, opts.k,
-                                     opts.fd_level, from_eq=eq_ok,
-                                     eq_extra=2 * W - d.shape[1])
+            if eq_ok:
+                if dnp.dtype == np.uint8:
+                    vals, pmode = dnp, "eq8"
+                elif dnp.dtype == np.uint16:
+                    vals, pmode = dnp, "eq16"
+                else:
+                    vals = np.asarray(jax.jit(CK.dense_ranks)(
+                        jnp.asarray(dnp))).astype(np.uint32)
+                    pmode = ("eq8" if n <= 256 else
+                             "eq10" if n <= 512 else "eq15")
+            elif dnp.dtype == np.uint8:
+                vals, pmode = dnp, "gtlt10"
+            else:
+                vals = np.asarray(jax.jit(CK.dense_ranks)(
+                    jnp.asarray(dnp))).astype(np.uint32)
+                pmode = "gtlt10" if n <= 512 else "gtlt16"
+            packed = pack_words_np(vals, pmode)
+            cnt = sharded_selfpairs(mesh, packed, mode=pmode)
+            fn = _counts_epilogue_fn(
+                kind, m, opts.measure, opts.k, opts.fd_level,
+                from_eq=eq_ok,
+                eq_extra=(CK.FIELDS_PER_WORD[pmode] * packed.shape[1]
+                          - d.shape[1]))
         else:
             d64 = (np.asarray(d).astype(np.uint64)
                    if d.dtype != np.uint64 else d)

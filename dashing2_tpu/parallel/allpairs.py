@@ -134,9 +134,29 @@ def sharded_similarity(mesh: Mesh, sigs_u64: jnp.ndarray,
     return jax.jit(step)(sigs_u64, sigs_u64, cards, cards)
 
 
+def pack_words_np(x: np.ndarray, mode: str) -> np.ndarray:
+    """Host-side (numpy) analogue of cmp_kernels pack16/pack10/pack8:
+    (n, m) bounded integer registers -> (n, ceil(m/per)) u32 SWAR words
+    for the given engine mode (zero-padded tail fields)."""
+    from ..ops import cmp_kernels as CK
+    per = CK.FIELDS_PER_WORD[mode]
+    x = np.ascontiguousarray(x).astype(np.uint32)
+    pad = (-x.shape[1]) % per
+    if pad:
+        x = np.concatenate(
+            [x, np.zeros((x.shape[0], pad), np.uint32)], axis=1)
+    w = x.reshape(x.shape[0], -1, per)
+    width = 32 // per if per != 3 else 10
+    out = np.zeros(w.shape[:2], np.uint32)
+    for i in range(per):
+        out |= w[..., i] << np.uint32(width * (per - 1 - i))
+    return out
+
+
 def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
                       packed16: bool = False,
-                      eq_only: bool = False) -> jnp.ndarray:
+                      eq_only: bool = False,
+                      mode: str = None) -> jnp.ndarray:
     """Multi-chip symmetric all-pairs gt matrix via the circulant band
     decomposition: band d compares every block-row against block-rows
     rolled by d, and bands shard evenly across devices — each chip does
@@ -144,24 +164,29 @@ def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
     band tiles all-gather (tiny vs the compare work) and every chip
     assembles the full matrix with one row-granular take.
 
-    regs: (n, m) u64 registers, or — with packed16 — (n, ceil(m/2)) u32
-    SWAR-packed halves (dense ranks < 2^15; see cmp_kernels pack16),
-    which compare at 2-4x the u64 limb rate and halve the replicated
-    operand bytes each chip holds.
+    regs: (n, m) u64 registers (mode 'u64'), or (n, W) u32 SWAR-packed
+    words (pack_words_np / cmp_kernels pack16/pack10/pack8) for any
+    packed engine mode — which compare at 2-6x the u64 limb rate and
+    shrink the replicated operand bytes each chip holds. The legacy
+    packed16/eq_only flags map onto mode 'gtlt16'/'eq15'.
 
-    Returns the (n, n) int32 gt matrix; lt == gt.T. With eq_only
-    (packed16 only) each band computes ONE eq pass instead of the two
-    gt/lt passes (~40% less compare work) and the EQ matrix is returned
-    — valid for every estimator that consumes gt/lt only through the
-    sum gt + lt = m - eq (all kinds except 'ab' with fd < 8; the raw
-    count is in HALVES incl. the packing pad, callers correct by
-    2*W - m)."""
+    Gt modes return the (n, n) int32 gt matrix; lt == gt.T. Eq modes
+    compute ONE eq pass per band instead of the two gt/lt passes (~40%
+    less compare work) and return the EQ matrix — valid for every
+    estimator that consumes gt/lt only through the sum
+    gt + lt = m - eq (all kinds except 'ab' with fd < 8; the raw count
+    is in FIELDS incl. the packing pad, callers correct by
+    per*W - m)."""
     from ..ops import cmp_kernels as CK
 
+    if mode is None:
+        mode = ("u64" if not packed16
+                else ("eq15" if eq_only else "gtlt16"))
+    packed = mode != "u64"
     n0 = regs.shape[0]
     D = mesh.devices.size
     t = max(8, min(t, 1 << max(n0 - 1, 1).bit_length()))
-    a = np.asarray(regs, dtype=np.uint32 if packed16 else np.uint64)
+    a = np.asarray(regs, dtype=np.uint32 if packed else np.uint64)
     pad = (-a.shape[0]) % t
     if pad:
         a = np.concatenate([a, np.zeros((pad, a.shape[1]), a.dtype)])
@@ -178,7 +203,7 @@ def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
         in_specs=(P(None, None), P("rows")),
         out_specs=(P("rows"), P("rows")))
     def band_shard(av, my_bands):
-        if packed16:
+        if packed:
             a3 = av.reshape(nt, t, m)
             a6 = jnp.concatenate([a3, a3])
 
@@ -187,12 +212,11 @@ def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
                 bb = jax.lax.dynamic_slice(a6, (d, zero, zero), (nt, t, m))
                 aa = a3[:, :, None, :]
                 b4 = bb[:, None, :, :]
-                if eq_only:
-                    # packed halves here are always dense ranks < 2^15
-                    eq = CK.swar15_eq_tile(aa, b4)
+                if mode in CK._EQ_TILES:
+                    eq = CK._EQ_TILES[mode](aa, b4)
                     return None, (eq, eq)
-                gt = CK.swar16_gt_tile(aa, b4)
-                lt = CK.swar16_gt_tile(b4, aa)
+                gt = CK._GT_TILES[mode](aa, b4)
+                lt = CK._GT_TILES[mode](b4, aa)
                 return None, (gt, lt)
 
             _, (gts, lts) = jax.lax.scan(body, None, my_bands)

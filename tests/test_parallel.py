@@ -86,3 +86,31 @@ def test_sharded_selfpairs_matches_single():
     gt = np.asarray(sharded_selfpairs(mesh, a, t=32))
     gt2, lt2 = count_gtlt(a, a)
     np.testing.assert_array_equal(gt, np.asarray(gt2))
+
+
+def test_sharded_selfpairs_packed_modes():
+    """Every packed band engine mode returns counts equal to the naive
+    reference (gt for gtlt modes, eq for eq modes; pad fields corrected
+    by the caller contract per*W - m)."""
+    import jax
+    import numpy as np
+    from dashing2_tpu.ops.cmp_kernels import FIELDS_PER_WORD, dense_ranks
+    from dashing2_tpu.parallel.allpairs import (make_mesh, pack_words_np,
+                                                sharded_selfpairs)
+    rng = np.random.default_rng(10)
+    n, m = 200, 48
+    vals = rng.integers(0, 1 << 62, size=(n, m)).astype(np.uint64)
+    vals[rng.random((n, m)) < 0.25] = vals[0, 0]
+    ranks = np.asarray(jax.jit(dense_ranks)(vals)).astype(np.uint32)
+    ref_gt = (vals[:, None, :] > vals[None, :, :]).sum(-1)
+    ref_eq = (vals[:, None, :] == vals[None, :, :]).sum(-1)
+    mesh = make_mesh(len(jax.devices()))
+    for mode in ("gtlt16", "gtlt10", "eq15", "eq10", "eq8"):
+        pk = pack_words_np(ranks, mode)
+        cnt = np.asarray(sharded_selfpairs(mesh, pk, t=32, mode=mode))
+        if mode.startswith("gtlt"):
+            np.testing.assert_array_equal(cnt, ref_gt, err_msg=mode)
+        else:
+            extra = FIELDS_PER_WORD[mode] * pk.shape[1] - m
+            np.testing.assert_array_equal(cnt - extra, ref_eq,
+                                          err_msg=mode)
