@@ -419,7 +419,7 @@ def _swar_pack(kind: str, data, m: int, fd: float):
     import jax.numpy as jnp
 
     from ..ops.cmp_kernels import dense_ranks, pack8, pack10, pack16
-    need_gtlt = kind == "ab" and fd < 8.0
+    need_gtlt = kind in ("ab", "nibble-ab") and fd < 8.0
     dt = data.dtype
     n = data.shape[0]
     if not need_gtlt:
@@ -707,22 +707,28 @@ def _block_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
 def _block_matrix_swar_fn(kind: str, m: int, msr: Measure, k: int,
                           fd: float, lo: int, hi: int):
     """SWAR variant of the row-block engine: the full register matrix
-    rank-reduces ONCE (the rank space must span every row the block
-    compares against), packs, and the owned rows [lo, hi) compare
-    against all rows via the rectangular packed engines. Counts are
-    bit-identical to the u64 form, at 2-4x the limb compare rate."""
+    packs ONCE under the shared _swar_pack policy (any rank space must
+    span every row the block compares against), and the owned rows
+    [lo, hi) compare against all rows via the rectangular packed
+    engines — eq-only single scans wherever the estimator consumes
+    gt/lt only through their sum, density by the value/rank bound.
+    Counts are bit-identical to the u64 form at 2-6x the limb rate."""
     import jax
     import jax.numpy as jnp
 
     def f(all_data, lh_cards, rh_cards, b, gbt, gbinv):
-        from ..ops.cmp_kernels import (count_gtlt_packed16, dense_ranks,
-                                       pack16)
-        packed = pack16(dense_ranks(all_data).astype(jnp.uint32))
-        gt, lt = count_gtlt_packed16(packed[lo:hi], packed)
-        if kind in ("ab", "full", "nibble-ab"):
-            c1, c2 = gt, lt
+        from ..ops.cmp_kernels import count_eq_packed, count_gtlt_packed16
+        packed, pmode, _ = _swar_pack(kind, all_data, m, fd)
+        if pmode.startswith("gtlt"):
+            c1, c2 = count_gtlt_packed16(packed[lo:hi], packed,
+                                         mode=pmode)
         else:
-            c1, c2 = jnp.int32(m) - gt - lt, None
+            eq = count_eq_packed(packed[lo:hi], packed, m, mode=pmode)
+            if kind in ("eqfull", "bbit", "nibble-bbit"):
+                c1, c2 = eq, None
+            else:
+                c1 = jnp.int32(m) - eq
+                c2 = jnp.zeros_like(eq)
         return _tiled_epilogue(kind, m, msr, k, fd, c1, c2,
                                lh_cards, rh_cards, b, (gbt, gbinv))
 

@@ -280,15 +280,15 @@ def distributed_sketch_cmp(opts, groups: Sequence[str],
         lhc = np.asarray(cards[lo:hi], np.float64)
         rhc = np.asarray(cards, np.float64)
         if _swar_route(kind, n, opts.fd_level, _kernel_mode()):
-            # packed-rank engine: ranks computed over ALL rows once,
-            # owned rows compare against the packed matrix (2-4x the
-            # u64 limb rate, counts bit-identical)
+            # packed engine (shared _swar_pack policy): values/ranks
+            # packed over ALL rows once, owned rows compare against the
+            # packed matrix (2-6x the u64 limb rate, counts
+            # bit-identical)
             fn = _block_matrix_swar_fn(kind, opts.sketchsize,
                                        opts.measure, opts.k,
                                        opts.fd_level, lo, hi)
-            block = np.asarray(fn(data if data.dtype == np.uint64
-                                  else data.astype(np.uint64),
-                                  lhc, rhc, np.float64(bf), gbt, gbinv))
+            block = np.asarray(fn(data, lhc, rhc, np.float64(bf),
+                                  gbt, gbinv))
         else:
             if data.dtype != np.uint64:
                 data = data.astype(np.uint64)

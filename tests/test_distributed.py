@@ -312,9 +312,18 @@ def test_distributed_block_swar_route_matches(fixtures):
 
     rng = np.random.default_rng(17)
     n, m = 120, 128
-    for kind, fd in [("full", 8.0), ("eqfull", 8.0), ("ab", 1.0),
-                     ("bbit", 2.0)]:
-        data = rng.integers(0, 1 << 62, size=(n, m)).astype(np.uint64)
+    for kind, fd, dt in [("full", 8.0, np.uint64),
+                         ("eqfull", 8.0, np.uint64),
+                         ("ab", 1.0, np.uint64),
+                         ("bbit", 2.0, np.uint64),
+                         # compressed-register dtypes: direct value
+                         # packing (no rank pass) in the swar engine
+                         ("ab", 1.0, np.uint8),
+                         ("ab", 2.0, np.uint16),
+                         ("bbit", 1.0, np.uint8),
+                         ("bbit", 2.0, np.uint16)]:
+        hi_v = min(int(np.iinfo(dt).max) + 1, 1 << 62)
+        data = rng.integers(0, hi_v, size=(n, m)).astype(dt)
         data[rng.random((n, m)) < 0.3] = data[0, 0]
         cards = rng.uniform(1e3, 1e5, size=n)
         gbt, gbinv = _gb_args(1.2, m)
