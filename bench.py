@@ -229,6 +229,19 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# bbit u8 path failed: {e}", file=sys.stderr)
 
+    # --fastcmp 1 a/b gtlt (u8, pack10 3-per-word borrow-trick fields)
+    try:
+        t_a8, t_a8_med = fused_time("ab", u8, 1.0, swar_mode)
+        extra["ab_u8_pairs_per_sec"] = round(up / t_a8)
+        extra["ab_u8_vs_measured_cpu"] = round(
+            up / t_a8 / _denom("count_gtlt_u8"), 2)
+        print(f"# fastcmp-1 ab u8 fused similarity: {t_a8*1e3:.2f} ms "
+              f"(med {t_a8_med*1e3:.2f}) = {up/t_a8/1e9:.2f} G pairs/s "
+              f"({extra['ab_u8_vs_measured_cpu']}x measured CPU u8 "
+              f"gtlt)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# ab u8 path failed: {e}", file=sys.stderr)
+
     # ------------------------------------------------------------------
     # sketch phase: fused encode+hash+OPH step
     # ------------------------------------------------------------------
