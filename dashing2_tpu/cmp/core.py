@@ -927,42 +927,107 @@ def _pair_counts_fn(two_limb: bool, block: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=8)
+def _pair_counts_swar_fn(mode: str, m: int, block: int):
+    """SWAR variant of the pair-list counts: rows of the PACKED word
+    matrix gather at 1/4 the limb-split traffic and compare with the
+    popcount gt tiles; eq falls out of the trichotomy (pad fields are
+    equal on both sides, so they never contribute to gt/lt and
+    eq = m - gt - lt is exact for the true register count m)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cmp_kernels import _GT_TILES
+    tile = _GT_TILES[mode]
+
+    def f(pk, ia, ib):
+        nb = ia.shape[0] // block
+
+        def body(_, idx):
+            ja, jb = idx
+            pa = jnp.take(pk, ja, axis=0)
+            pb = jnp.take(pk, jb, axis=0)
+            gt = tile(pa, pb)
+            lt = tile(pb, pa)
+            return None, (jnp.int32(m) - gt - lt, gt, lt)
+
+        _, (eq, gt, lt) = jax.lax.scan(
+            body, None, (ia.reshape(nb, block), ib.reshape(nb, block)))
+        return eq.reshape(-1), gt.reshape(-1), lt.reshape(-1)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=2)
+def _swar_pack_fn(kind: str):
+    """Module-cached jits for the one-time pair-list packing passes
+    (inline lambdas would defeat jax's executable cache across results)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cmp_kernels import dense_ranks, pack10, pack16
+    if kind == "pack10":
+        return jax.jit(pack10)
+    return jax.jit(lambda x: pack16(dense_ranks(x).astype(jnp.uint32)))
+
+
 def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
                         block: int = 8192, cache: dict | None = None,
                         cache_key: str = ""):
     """(eq, gt, lt) int64 vectors for a pair list over any register
     representation, computed on the accelerator. Returns None when the
     host path is preferable (CPU backend or a small pair list). With
-    `cache`, the limb-split device arrays persist across calls."""
+    `cache`, the prepared device arrays persist across calls.
+
+    When the registers admit a SWAR packing (u8 values pack 3 guard
+    fields per word; anything else rank-reduces when n <= 32767 — the
+    refine/dedup loops reuse the packed matrix across many calls, so
+    the one-time rank sort amortizes), gathers move 1/4 the limb-split
+    bytes and the compares run as popcount tiles; counts are
+    bit-identical (rank reduction is order-isomorphic per column)."""
     import jax
     import jax.numpy as jnp
     if jax.default_backend() == "cpu" or len(ia) < 2048:
         return None
     if cache is not None and cache_key in cache:
-        hi_dev, lo_dev, two = cache[cache_key]
+        entry = cache[cache_key]
     else:
         data = np.asarray(data)
-        if data.dtype == np.uint64:
-            hi = (data >> np.uint64(32)).astype(np.uint32)
-            lo = data.astype(np.uint32)
-            two = True
+        if data.dtype == np.uint8:
+            entry = ("swar", _swar_pack_fn("pack10")(jnp.asarray(data)),
+                     "gtlt10", data.shape[1])
+        elif data.shape[0] <= 32767:
+            pk = _swar_pack_fn("rank16")(jnp.asarray(data))
+            entry = ("swar", pk, "gtlt16", data.shape[1])
         else:
-            hi, two = None, False
-            lo = data if data.dtype == np.uint32 \
-                else data.astype(np.uint32)
-        lo_dev = jnp.asarray(lo)
-        # single-limb: the hi operand is unused in the kernel (DCE'd);
-        # pass lo so no extra array ships to the device
-        hi_dev = jnp.asarray(hi) if two else lo_dev
+            if data.dtype == np.uint64:
+                hi = (data >> np.uint64(32)).astype(np.uint32)
+                lo = data.astype(np.uint32)
+                two = True
+            else:
+                hi, two = None, False
+                lo = data if data.dtype == np.uint32 \
+                    else data.astype(np.uint32)
+            lo_dev = jnp.asarray(lo)
+            # single-limb: the hi operand is unused in the kernel
+            # (DCE'd); pass lo so no extra array ships to the device
+            hi_dev = jnp.asarray(hi) if two else lo_dev
+            entry = ("limb", hi_dev, lo_dev, two)
         if cache is not None:
-            cache[cache_key] = (hi_dev, lo_dev, two)
+            cache[cache_key] = entry
     pad = (-len(ia)) % block
     iap = np.concatenate([ia, np.zeros(pad, ia.dtype)]) if pad else ia
     ibp = np.concatenate([ib, np.zeros(pad, ib.dtype)]) if pad else ib
-    fn = _pair_counts_fn(two, block)
-    eq, gt, lt = fn(hi_dev, lo_dev,
-                    jnp.asarray(iap.astype(np.int32)),
-                    jnp.asarray(ibp.astype(np.int32)))
+    iaj = jnp.asarray(iap.astype(np.int32))
+    ibj = jnp.asarray(ibp.astype(np.int32))
+    if entry[0] == "swar":
+        _, pk, pmode, mtrue = entry
+        fn = _pair_counts_swar_fn(pmode, mtrue, block)
+        eq, gt, lt = fn(pk, iaj, ibj)
+    else:
+        _, hi_dev, lo_dev, two = entry
+        fn = _pair_counts_fn(two, block)
+        eq, gt, lt = fn(hi_dev, lo_dev, iaj, ibj)
     eq, gt, lt = jax.device_get((eq, gt, lt))
     n = len(ia)
     return (eq[:n].astype(np.int64), gt[:n].astype(np.int64),
@@ -996,9 +1061,10 @@ def _pair_counts_cached(opts, result, creps, ia, ib):
             d = np.asarray(creps.data)
             if creps.nibble_packed:
                 d = _unpack_nibbles(d)
-            cache[key] = (creps.data,
-                          d if d.dtype in (np.uint32, np.uint64)
-                          else d.astype(np.uint32))
+            # native dtype preserved: _device_pair_counts picks its
+            # packing by dtype (u8 -> pack10) and casts for the limb
+            # fallback itself
+            cache[key] = (creps.data, d)
     elif opts.sspace == SketchSpace.SPACE_SET \
             and opts.truncation_method <= 0:
         key = f"ordered-{bool(opts.regt32)}"

@@ -182,3 +182,38 @@ def test_device_pair_counts_fn_matches_numpy():
     assert np.array_equal(np.asarray(eq), (A == B).sum(1))
     assert np.array_equal(np.asarray(gt), (A > B).sum(1))
     assert np.array_equal(np.asarray(lt), (A < B).sum(1))
+
+
+def test_pair_counts_swar_fn_matches_numpy():
+    """The SWAR pair-list kernels (packed popcount gt tiles, eq via the
+    trichotomy) must be bit-identical to host comparisons: pack10 over
+    raw u8 registers, pack16 over per-column dense ranks of u64
+    registers (rank reduction is order-isomorphic per column so eq/gt/lt
+    are unchanged). Covers odd m (pad fields must not leak into counts)."""
+    import jax.numpy as jnp
+    from dashing2_tpu.cmp.core import _pair_counts_swar_fn, _swar_pack_fn
+    rng = np.random.default_rng(11)
+    n, m, P = 96, 101, 2048   # m not divisible by 2 or 3
+    ia = rng.integers(0, n, size=P).astype(np.int32)
+    ib = rng.integers(0, n, size=P).astype(np.int32)
+
+    d8 = rng.integers(0, 256, size=(n, m), dtype=np.uint8)
+    d8[5] = d8[9]
+    pk = _swar_pack_fn("pack10")(jnp.asarray(d8))
+    eq, gt, lt = _pair_counts_swar_fn("gtlt10", m, 1024)(
+        pk, jnp.asarray(ia), jnp.asarray(ib))
+    A, B = d8[ia], d8[ib]
+    assert np.array_equal(np.asarray(eq), (A == B).sum(1))
+    assert np.array_equal(np.asarray(gt), (A > B).sum(1))
+    assert np.array_equal(np.asarray(lt), (A < B).sum(1))
+
+    d64 = rng.integers(0, 1 << 63, size=(n, m), dtype=np.uint64)
+    d64[3] = d64[7]
+    d64[:, 40] = d64[0, 40]   # heavy column ties exercise dense ranks
+    pk = _swar_pack_fn("rank16")(jnp.asarray(d64))
+    eq, gt, lt = _pair_counts_swar_fn("gtlt16", m, 1024)(
+        pk, jnp.asarray(ia), jnp.asarray(ib))
+    A, B = d64[ia], d64[ib]
+    assert np.array_equal(np.asarray(eq), (A == B).sum(1))
+    assert np.array_equal(np.asarray(gt), (A > B).sum(1))
+    assert np.array_equal(np.asarray(lt), (A < B).sum(1))
