@@ -958,6 +958,18 @@ def _pair_counts_swar_fn(mode: str, m: int, block: int):
     return jax.jit(f)
 
 
+def _pair_device_wanted(npairs: int) -> bool:
+    """Device pair-list counts pay off on an accelerator with enough
+    pairs to amortize dispatch; DASHING2_TPU_PAIR_DEVICE=force routes
+    through the device engines regardless (CPU integration tests)."""
+    import os
+
+    import jax
+    if os.environ.get("DASHING2_TPU_PAIR_DEVICE", "") == "force":
+        return True
+    return jax.default_backend() != "cpu" and npairs >= 2048
+
+
 @functools.lru_cache(maxsize=2)
 def _swar_pack_fn(kind: str):
     """Module-cached jits for the one-time pair-list packing passes
@@ -987,7 +999,7 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
     bit-identical (rank reduction is order-isomorphic per column)."""
     import jax
     import jax.numpy as jnp
-    if jax.default_backend() == "cpu" or len(ia) < 2048:
+    if not _pair_device_wanted(len(ia)):
         return None
     if cache is not None and cache_key in cache:
         entry = cache[cache_key]
@@ -1039,8 +1051,7 @@ def _pair_counts_cached(opts, result, creps, ia, ib):
     ONCE per (result, representation) — the refine/dedup loops call
     measure_pairs many times over the same registers, and both the host
     row gathers and repeated device uploads would dominate otherwise."""
-    import jax
-    if jax.default_backend() == "cpu" or len(ia) < 2048:
+    if not _pair_device_wanted(len(ia)):
         return None
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET or (
             opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE):

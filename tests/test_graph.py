@@ -98,6 +98,29 @@ def test_dedup_clusters(fixtures, tmp_path):
         assert member_of[dup] == member_of[orig], (dup, orig, clusters)
 
 
+def test_device_pair_path_matches_host(fixtures, tmp_path, monkeypatch):
+    """DASHING2_TPU_PAIR_DEVICE=force routes refine/dedup pair counts
+    through the device SWAR engines (pack10/rank-pack16) even on the CPU
+    backend; outputs must be byte-identical to the host pair path for
+    both the KNN graph and greedy dedup, across default and fastcmp-1
+    representations."""
+    for args in (
+        ["sketch", "-k", "21", "-S", "512", "--topk", "3",
+         "--binary-output"],
+        ["sketch", "-k", "21", "-S", "512", "--fastcmp", "1",
+         "--bbit-sigs", "--topk", "3", "--binary-output"],
+        ["sketch", "-k", "21", "-S", "512", "--greedy", "0.95",
+         "--binary-output"],
+    ):
+        host_out = tmp_path / "host.bin"
+        dev_out = tmp_path / "dev.bin"
+        monkeypatch.delenv("DASHING2_TPU_PAIR_DEVICE", raising=False)
+        assert run_cli(args + ["--cmpout", str(host_out)] + fixtures) == 0
+        monkeypatch.setenv("DASHING2_TPU_PAIR_DEVICE", "force")
+        assert run_cli(args + ["--cmpout", str(dev_out)] + fixtures) == 0
+        assert host_out.read_bytes() == dev_out.read_bytes(), args
+
+
 def test_dedup_human_output(fixtures, tmp_path):
     out = tmp_path / "dedup.txt"
     run_cli(["sketch", "-k", "21", "-S", "256", "--greedy", "0.99",
