@@ -34,7 +34,10 @@ def _timed_chain(make_fn, args, reps=3, K=3):
 
 
 def main():
-    R, C, m = 256, 32768, 1024
+    import os
+    R = int(os.environ.get("D2_R", 256))
+    C = int(os.environ.get("D2_C", 32768))
+    m = int(os.environ.get("D2_MBUCK", 1024))
     bases = R * C
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1, 1 << 63, size=(R, C)
@@ -66,6 +69,74 @@ def main():
         report("segment_min u64 flat", t)
     except Exception as e:
         print(f"segment_min u64: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[:2]}", flush=True)
+
+    def mk_seg2(K):
+        """2x u32 segment_min passes: hi first, then lo tie-broken by a
+        per-element gather of the hi winners (avoids u64 emulation
+        INSIDE the scatter at the cost of one element gather)."""
+        U32MAX = jnp.uint32(0xFFFFFFFF)
+
+        @jax.jit
+        def run(ids, valid):
+            def body(c, _):
+                idx = (c % jnp.uint64(m)).astype(jnp.int32)
+                row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+                seg = jnp.where(valid, row * m + idx, R * m).reshape(-1)
+                hi = (c >> jnp.uint64(32)).astype(jnp.uint32).reshape(-1)
+                lo = c.astype(jnp.uint32).reshape(-1)
+                min_hi = jax.ops.segment_min(
+                    jnp.where(valid.reshape(-1), hi, U32MAX), seg,
+                    num_segments=R * m + 1)
+                cand = hi == jnp.take(min_hi, seg)
+                min_lo = jax.ops.segment_min(
+                    jnp.where(valid.reshape(-1) & cand, lo, U32MAX), seg,
+                    num_segments=R * m + 1)
+                regs = ((min_hi[:R * m].astype(jnp.uint64)
+                         << jnp.uint64(32))
+                        | min_lo[:R * m].astype(jnp.uint64)
+                        ).reshape(R, m)
+                return c ^ (regs[0, 0] & jnp.uint64(1)), None
+            c, _ = jax.lax.scan(body, ids, None, length=K)
+            return c[0, 0].astype(jnp.int32)
+        return run
+    # parity: the 2-pass formulation must reproduce the per-(row,
+    # bucket) u64 min on a small slice (numpy oracle over raw ids)
+    U32M = jnp.uint32(0xFFFFFFFF)
+
+    @jax.jit
+    def seg2_regs(c, valid):
+        idx = (c % jnp.uint64(m)).astype(jnp.int32)
+        row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+        seg = jnp.where(valid, row * m + idx, R * m).reshape(-1)
+        hi = (c >> jnp.uint64(32)).astype(jnp.uint32).reshape(-1)
+        lo = c.astype(jnp.uint32).reshape(-1)
+        vf = valid.reshape(-1)
+        min_hi = jax.ops.segment_min(jnp.where(vf, hi, U32M), seg,
+                                     num_segments=R * m + 1)
+        cand = hi == jnp.take(min_hi, seg)
+        min_lo = jax.ops.segment_min(jnp.where(vf & cand, lo, U32M), seg,
+                                     num_segments=R * m + 1)
+        return ((min_hi[:R * m].astype(jnp.uint64) << jnp.uint64(32))
+                | min_lo[:R * m].astype(jnp.uint64)).reshape(R, m)
+
+    sl = min(R, 4)
+    got = np.asarray(seg2_regs(ids[:sl], valid[:sl]))[:sl]
+    idn, vn = np.asarray(ids[:sl]), np.asarray(valid[:sl])
+    ref = np.full((sl, m), 0xFFFFFFFFFFFFFFFF, np.uint64)
+    for r in range(sl):
+        for j in range(idn.shape[1]):
+            if vn[r, j]:
+                b = int(idn[r, j] % m)
+                ref[r, b] = min(ref[r, b], idn[r, j])
+    assert np.array_equal(got, ref), "2-pass u32 parity FAILED"
+    print("2-pass u32 parity vs numpy: OK", flush=True)
+
+    try:
+        t = _timed_chain(mk_seg2, (ids, valid))
+        report("segment_min 2x u32 passes", t)
+    except Exception as e:
+        print(f"segment_min 2xu32: FAILED {type(e).__name__}: "
               f"{str(e).splitlines()[:2]}", flush=True)
 
     def mk_at(K):
