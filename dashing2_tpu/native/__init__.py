@@ -112,7 +112,7 @@ def load_oph_lib() -> Optional[ctypes.CDLL]:
         lib.oph_rows_native.restype = None
         lib.oph_rows_native.argtypes = [
             c.POINTER(c.c_ubyte), c.c_int64, c.c_int64,
-            c.c_int32, c.c_int32, c.c_int32,
+            c.c_int32, c.c_int32, c.c_int32, c.c_int32,
             c.c_uint64, c.c_uint64,
             c.c_int32, c.c_uint64, c.c_uint64,
             c.c_int64, c.c_int64, c.c_int64, c.c_int32,

@@ -6,10 +6,12 @@
 // k-mer. On many-core TPU hosts this engine sketches on the CPU while
 // the device runs the N^2 comparison phase. Semantics are bit-identical
 // to ops/kmers.hashed_kmers + ops/sketch_kernels.oph_sketch_rows for
-// the supported configuration (DNA/DNAC 2-bit codes, k <= 32, w == k,
-// no spaced seeds / rolling / entropy minimizers / filterset):
+// the supported configuration (DNA/DNAC 2-bit codes, k <= 32, no
+// spaced seeds / rolling / entropy minimizers / filterset):
 //   - 2-bit encode with reverse-complement canonicalization
 //     (reference bns::Encoder::canonicalize; kmers.py:169-199)
+//   - window-w lexicographic minimizer selection when w > k
+//     (bns::Encoder window mode; kmers.py:360-394 semantics)
 //   - maskfn scrambler WangHash(kmer ^ XORMASK) (enums.h:136)
 //   - per-chunk ownership window + optional downsampling
 //     (d2.h:176-179 semantics; sketch/core.py:83-91)
@@ -67,7 +69,7 @@ static inline uint64_t window2(const uint64_t* packed, int64_t q) {
 struct Params {
     const uint8_t* codes;
     int64_t R, L;
-    int32_t k;
+    int32_t k, w;            // w > k enables minimizer-window selection
     bool canon, seed_is_zero, downsample;
     uint64_t xormask, oph_xor, ds_threshold, ds_salt;
     int64_t own_lo, own_hi;  // k-mer position window [lo, hi)
@@ -80,9 +82,81 @@ struct RowScratch {
     std::vector<uint64_t> fwd_packed;   // bases reversed, 2-bit LE
     std::vector<uint64_t> rc_packed;    // complemented bases, 2-bit LE
     std::vector<int32_t> run;           // valid-run length ending at base
+    std::vector<uint64_t> score;        // minimizer scores (w > k)
+    std::vector<uint64_t> wmin;         // per-window minima (w > k)
+    std::vector<uint8_t> sel;           // minimizer-selected mask (w > k)
+    std::vector<int32_t> deque;         // monotonic-deque index ring
     uint64_t ids[kBlock + 8];
     uint8_t live[kBlock / 8 + 2];       // one lane-mask byte per 8 ids
 };
+
+// Window-w lexicographic minimizer selection, bit-identical to
+// ops/kmers.minimizer_mask (kmers.py:360-394): scores are the canonical
+// k-mer CODES (invalid positions -> u64::max), a position is selected
+// iff its score equals the min of some window containing it AND no
+// equal score occurs in the previous nwin-1 positions (leftmost tie
+// break). The device's _shift_right pads out-of-range slots with
+// u64::max, so a maxv score near the array edges "hits" / "prev-eqs"
+// against the padding — mirrored here exactly (reachable only for the
+// k=32 all-T k-mer, whose code is u64::max like the invalid sentinel).
+static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
+    const int32_t k = p.k;
+    const uint64_t mask = (k == 32) ? kU64Max : ((1ULL << (2 * k)) - 1);
+    const int64_t npos = p.L - k + 1;
+    const int64_t nwin = (int64_t)p.w - k + 1;
+    const int64_t nw = npos - nwin + 1;          // window count (may be <=0)
+    const int64_t Lk = p.L - k;
+    s.score.resize(npos);
+    s.sel.assign(npos, 0);
+    for (int64_t i = 0; i < npos; ++i) {
+        if (!clean && s.run[i + k - 1] < k) { s.score[i] = kU64Max; continue; }
+        uint64_t v = window2(s.fwd_packed.data(), Lk - i) & mask;
+        if (p.canon) {
+            const uint64_t rc = window2(s.rc_packed.data(), i) & mask;
+            v = std::min(v, rc);
+        }
+        s.score[i] = v;
+    }
+    if (nw > 0) {
+        // sliding min over scores, window nwin (monotonic deque)
+        s.wmin.resize(nw);
+        s.deque.clear();
+        size_t head = 0;
+        for (int64_t i = 0; i < npos; ++i) {
+            while (s.deque.size() > head &&
+                   s.score[s.deque.back()] > s.score[i])
+                s.deque.pop_back();
+            s.deque.push_back((int32_t)i);
+            if (s.deque[head] <= i - nwin) ++head;
+            if (i >= nwin - 1) s.wmin[i - nwin + 1] = s.score[s.deque[head]];
+        }
+    }
+    // hit = (sliding max of wmin over windows containing i) == score[i],
+    // with the out-of-range-maxv padding term; then leftmost tie break.
+    s.deque.clear();
+    size_t head = 0;
+    for (int64_t i = 0; i < npos; ++i) {
+        if (i < nw) {
+            while (s.deque.size() > head &&
+                   s.wmin[s.deque.back()] <= s.wmin[i])
+                s.deque.pop_back();
+            s.deque.push_back((int32_t)i);
+        }
+        while (s.deque.size() > head && s.deque[head] < i - nwin + 1)
+            ++head;
+        const uint64_t sc = s.score[i];
+        bool hit = (i - nwin + 1 < 0 || i > nw - 1) && sc == kU64Max;
+        if (!hit && s.deque.size() > head)
+            hit = s.wmin[s.deque[head]] == sc;
+        if (!hit) continue;
+        if (!clean && s.run[i + k - 1] < k) continue;   // invalid position
+        bool prev_eq = (i < nwin - 1) && sc == kU64Max;
+        const int64_t dmax = std::min<int64_t>(i, nwin - 1);
+        for (int64_t d = 1; d <= dmax && !prev_eq; ++d)
+            prev_eq = s.score[i - d] == sc;
+        s.sel[i] = !prev_eq;
+    }
+}
 
 #ifdef D2_OPH_AVX512
 // bits [2*q_i, 2*q_i + 64) of the packed stream for 8 per-lane indices
@@ -181,6 +255,8 @@ static void sketch_rows(const Params& p, int64_t r0, int64_t r1) {
         if (cnts) std::fill(cnts, cnts + p.m, 0u);
         if (hi <= lo) continue;
         const bool clean = pack_row(p, row, s);
+        const bool use_sel = p.w > p.k;
+        if (use_sel) minimizer_select(p, s, clean);
         const int64_t Lk = p.L - k;
         for (int64_t b0 = lo; b0 < hi; b0 += kBlock) {
             const int n = (int)std::min<int64_t>(kBlock, hi - b0);
@@ -258,6 +334,12 @@ static void sketch_rows(const Params& p, int64_t r0, int64_t r1) {
                 s.live[t >> 3] = mk;
             }
 #endif
+            // minimizer mask folds into the per-lane liveness bytes
+            if (use_sel) {
+                for (int t = 0; t < n; ++t)
+                    if (!s.sel[b0 + t])
+                        s.live[t >> 3] &= (uint8_t)~(1u << (t & 7));
+            }
             // scalar phase: bucket-min (+ multiplicity) updates
             if (cnts) {
                 for (int t = 0; t < n; ++t) {
@@ -288,13 +370,14 @@ extern "C" {
 // codes: (R, L) row-major uint8 alphabet codes (0..3, 0xFF invalid).
 // out_regs: (R, m) u64; out_counts: (R, m) u32 or null.
 void oph_rows_native(const uint8_t* codes, int64_t R, int64_t L,
-                     int32_t k, int32_t canon, int32_t seed_is_zero,
+                     int32_t k, int32_t w, int32_t canon,
+                     int32_t seed_is_zero,
                      uint64_t xormask, uint64_t oph_xor,
                      int32_t downsample, uint64_t ds_threshold,
                      uint64_t ds_salt, int64_t own_lo, int64_t own_hi,
                      int64_t m, int32_t nthreads,
                      uint64_t* out_regs, uint32_t* out_counts) {
-    Params p{codes, R, L, k, canon != 0, seed_is_zero != 0,
+    Params p{codes, R, L, k, w, canon != 0, seed_is_zero != 0,
              downsample != 0,
              xormask, oph_xor, ds_threshold, ds_salt,
              own_lo, own_hi, m, out_regs, out_counts};

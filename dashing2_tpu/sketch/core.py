@@ -134,12 +134,12 @@ def _hkw_key(hkw: dict) -> tuple:
 
 def _native_oph_supported(hkw: dict, use_fs: bool) -> bool:
     """Config coverage of the native host OPH sketcher: the default DNA
-    path (2-bit exact codes, no minimizer window / spaced seeds /
-    rolling / entropy scoring / filterset)."""
+    path (2-bit exact codes, incl. w>k lexicographic minimizer windows;
+    no spaced seeds / rolling / entropy scoring / filterset)."""
     from ..enums import Alphabet
     return (not use_fs and not hkw["entmin"] and not hkw["rolling"]
             and not hkw["use128"] and not hkw["spacing_offsets"]
-            and hkw["w"] <= hkw["k"] and 1 <= hkw["k"] <= 32
+            and 1 <= hkw["k"] <= 32
             and hkw["alphabet"] in (Alphabet.DNA, Alphabet.DNAC))
 
 
@@ -163,7 +163,8 @@ def _native_oph_rows(lib, chunks: np.ndarray, hkw: dict, m: int,
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.oph_rows_native(
         chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        R, L, hkw["k"], int(hkw["canon"]), int(hkw["seed_is_zero"]),
+        R, L, hkw["k"], hkw["w"], int(hkw["canon"]),
+        int(hkw["seed_is_zero"]),
         hkw["xormask"], oph_xor & 0xFFFFFFFFFFFFFFFF,
         int(ds), hkw["downsample_threshold"] & 0xFFFFFFFFFFFFFFFF,
         DOWNSAMPLE_SALT, lo, hi, m, nthreads,

@@ -72,6 +72,43 @@ def test_native_matches_device(k, canon, seed_is_zero, ds_frac):
         assert np.array_equal(np.asarray(c_dev), c_nat)
 
 
+@pytest.mark.parametrize("k,w,invalid_frac,ds_frac", [
+    (21, 31, 0.02, None),    # typical minimizer config
+    (31, 50, 0.0, None),     # clean row, wide window
+    (32, 40, 0.05, None),    # k=32 edge (all-T code == invalid sentinel)
+    (4, 12, 0.10, None),     # tiny k, heavy invalids, dense ties
+    (21, 31, 0.02, 0.5),     # minimizers + downsampling
+])
+def test_native_minimizers_match_device(k, w, invalid_frac, ds_frac):
+    """w > k window-minimizer selection (lexicographic, leftmost tie
+    break, kmers.py:360-394 incl. the out-of-range maxv padding edges)
+    must be bit-identical between the native engine and the device
+    path."""
+    rng = np.random.default_rng(hash((k, w, invalid_frac)) % 2**32)
+    R, L, m = 5, 700, 128
+    ds = (1 << 64) - 1 if ds_frac is None else int(ds_frac * 2**64)
+    hkw = _hkw(k=k, w=w, chunk_len=L - 100, ds=ds)
+    assert _native_oph_supported(hkw, use_fs=False)
+    chunks = _codes(rng, R, L, invalid_frac=invalid_frac)
+    if k == 4:
+        # low-entropy periodic rows force dense score ties so the
+        # leftmost tie break is exercised (invalids re-sprinkled)
+        motif = rng.integers(0, 4, size=(R, 5)).astype(np.uint8)
+        chunks = np.tile(motif, (1, L // 5 + 1))[:, :L]
+        chunks[rng.random((R, L)) < invalid_frac] = 0xFF
+    for want_counts in (True, False):
+        hashed, valid = _hash_chunk_batch(
+            jnp.asarray(chunks), jnp.zeros(1, jnp.uint64),
+            use_filterset=False, **hkw)
+        r_dev, c_dev = SK.oph_sketch_rows_dense(
+            hashed, valid, m=m, seed=H.OPH_DEFAULT_SEED,
+            want_counts=want_counts)
+        r_nat, c_nat = _native_oph_rows(lib, chunks, hkw, m,
+                                        H.OPH_DEFAULT_SEED, want_counts)
+        assert np.array_equal(np.asarray(r_dev), r_nat), (k, w)
+        assert np.array_equal(np.asarray(c_dev), c_nat), (k, w)
+
+
 def test_native_threads_layout_independent():
     """Row partitioning across thread counts must not change results."""
     rng = np.random.default_rng(7)
@@ -87,7 +124,10 @@ def test_native_threads_layout_independent():
 
 def test_native_unsupported_configs_rejected():
     assert not _native_oph_supported(_hkw(k=40), False)       # k > 32
-    assert not _native_oph_supported(_hkw(w=50), False)       # minimizers
+    assert _native_oph_supported(_hkw(w=50), False)   # minimizers: native
+    h = _hkw(w=50)
+    h["entmin"] = True                           # entropy scoring: not
+    assert not _native_oph_supported(h, False)
     assert not _native_oph_supported(_hkw(), True)            # filterset
     h = _hkw(); h["rolling"] = True
     assert not _native_oph_supported(h, False)
