@@ -958,6 +958,70 @@ def _pair_counts_swar_fn(mode: str, m: int, block: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=8)
+def _pair_counts_sharded_fn(kind: str, mode_or_two, m: int, block: int,
+                            ndev: int):
+    """Mesh-sharded pair-list counts: the pair vector shards across all
+    devices while the (small) register matrix replicates — each chip
+    scans its share of pair blocks with the same per-block body as the
+    single-chip fns, zero cross-device communication. kind='swar' wraps
+    the packed popcount tiles (mode_or_two = engine mode), kind='limb'
+    the u32 limb compares (mode_or_two = two_limb)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("pairs",))
+    if kind == "swar":
+        from ..ops.cmp_kernels import _GT_TILES
+        tile = _GT_TILES[mode_or_two]
+
+        def blockfn(pk_or_hi, lo, ja, jb):
+            pa = jnp.take(pk_or_hi, ja, axis=0)
+            pb = jnp.take(pk_or_hi, jb, axis=0)
+            gt = tile(pa, pb)
+            lt = tile(pb, pa)
+            return jnp.int32(m) - gt - lt, gt, lt
+    else:
+        two_limb = bool(mode_or_two)
+
+        def blockfn(hi, lo, ja, jb):
+            ah = jnp.take(hi, ja, axis=0)
+            bh = jnp.take(hi, jb, axis=0)
+            al = jnp.take(lo, ja, axis=0)
+            bl = jnp.take(lo, jb, axis=0)
+            if two_limb:
+                hi_eq = ah == bh
+                gt = ((ah > bh) | (hi_eq & (al > bl))).sum(
+                    1, dtype=jnp.int32)
+                lt = ((ah < bh) | (hi_eq & (al < bl))).sum(
+                    1, dtype=jnp.int32)
+                eq = (hi_eq & (al == bl)).sum(1, dtype=jnp.int32)
+            else:
+                gt = (al > bl).sum(1, dtype=jnp.int32)
+                lt = (al < bl).sum(1, dtype=jnp.int32)
+                eq = (al == bl).sum(1, dtype=jnp.int32)
+            return eq, gt, lt
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P("pairs"), P("pairs")),
+        out_specs=(P("pairs"), P("pairs"), P("pairs")))
+    def step(a, b, ia, ib):
+        nb = ia.shape[0] // block
+
+        def body(_, idx):
+            ja, jb = idx
+            return None, blockfn(a, b, ja, jb)
+
+        _, (eq, gt, lt) = jax.lax.scan(
+            body, None, (ia.reshape(nb, block), ib.reshape(nb, block)))
+        return eq.reshape(-1), gt.reshape(-1), lt.reshape(-1)
+
+    return jax.jit(step)
+
+
 def _pair_device_wanted(npairs: int) -> bool:
     """Device pair-list counts pay off on an accelerator with enough
     pairs to amortize dispatch; DASHING2_TPU_PAIR_DEVICE=force routes
@@ -1027,19 +1091,38 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
             entry = ("limb", hi_dev, lo_dev, two)
         if cache is not None:
             cache[cache_key] = entry
-    pad = (-len(ia)) % block
+    # mesh sharding: with >1 device and enough pairs to fill every
+    # chip's first block, the pair vector shards across the mesh (the
+    # register matrix is tiny and replicates)
+    import os
+    ndev = len(jax.devices())
+    if ndev > 1 and (len(ia) < block * ndev
+                     or os.environ.get("DASHING2_TPU_MULTICHIP",
+                                       "1") == "0"):
+        ndev = 1
+    pad = (-len(ia)) % (block * ndev)
     iap = np.concatenate([ia, np.zeros(pad, ia.dtype)]) if pad else ia
     ibp = np.concatenate([ib, np.zeros(pad, ib.dtype)]) if pad else ib
     iaj = jnp.asarray(iap.astype(np.int32))
     ibj = jnp.asarray(ibp.astype(np.int32))
     if entry[0] == "swar":
         _, pk, pmode, mtrue = entry
-        fn = _pair_counts_swar_fn(pmode, mtrue, block)
-        eq, gt, lt = fn(pk, iaj, ibj)
+        if ndev > 1:
+            fn = _pair_counts_sharded_fn("swar", pmode, mtrue, block,
+                                         ndev)
+            eq, gt, lt = fn(pk, pk, iaj, ibj)
+        else:
+            fn = _pair_counts_swar_fn(pmode, mtrue, block)
+            eq, gt, lt = fn(pk, iaj, ibj)
     else:
         _, hi_dev, lo_dev, two = entry
-        fn = _pair_counts_fn(two, block)
-        eq, gt, lt = fn(hi_dev, lo_dev, iaj, ibj)
+        if ndev > 1:
+            fn = _pair_counts_sharded_fn("limb", bool(two), 0, block,
+                                         ndev)
+            eq, gt, lt = fn(hi_dev, lo_dev, iaj, ibj)
+        else:
+            fn = _pair_counts_fn(two, block)
+            eq, gt, lt = fn(hi_dev, lo_dev, iaj, ibj)
     eq, gt, lt = jax.device_get((eq, gt, lt))
     n = len(ia)
     return (eq[:n].astype(np.int64), gt[:n].astype(np.int64),

@@ -217,3 +217,45 @@ def test_pair_counts_swar_fn_matches_numpy():
     assert np.array_equal(np.asarray(eq), (A == B).sum(1))
     assert np.array_equal(np.asarray(gt), (A > B).sum(1))
     assert np.array_equal(np.asarray(lt), (A < B).sum(1))
+
+
+def test_device_pair_counts_sharded_matches_host():
+    """The full _device_pair_counts routing with the pair vector sharded
+    over the (virtual 8-device) mesh: SWAR packing decisions, padding to
+    block*ndev, and the shard_map fns must reproduce host comparisons
+    exactly for u8 (pack10), rank-packed u64, and the large-n limb
+    fallback."""
+    import jax
+    from dashing2_tpu.cmp.core import _device_pair_counts
+    ndev = len(jax.devices())
+    if ndev < 2:
+        import pytest
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.default_rng(23)
+    n, m = 96, 33
+    block = 256
+    P = block * ndev + 77          # forces padding
+    ia = rng.integers(0, n, size=P).astype(np.int64)
+    ib = rng.integers(0, n, size=P).astype(np.int64)
+    import os
+    os.environ["DASHING2_TPU_PAIR_DEVICE"] = "force"
+    try:
+        for data in (
+            rng.integers(0, 256, size=(n, m), dtype=np.uint8),
+            rng.integers(0, 1 << 63, size=(n, m), dtype=np.uint64),
+        ):
+            out = _device_pair_counts(data, ia, ib, block=block)
+            A, B = data[ia], data[ib]
+            assert np.array_equal(out[0], (A == B).sum(1))
+            assert np.array_equal(out[1], (A > B).sum(1))
+            assert np.array_equal(out[2], (A < B).sum(1))
+        # limb fallback: n > 32767 rank bound (thin m keeps it cheap)
+        big = rng.integers(0, 1 << 63, size=(32770, 3), dtype=np.uint64)
+        out = _device_pair_counts(big, ia % 32770, ib % 32770,
+                                  block=block)
+        A, B = big[ia % 32770], big[ib % 32770]
+        assert np.array_equal(out[0], (A == B).sum(1))
+        assert np.array_equal(out[1], (A > B).sum(1))
+        assert np.array_equal(out[2], (A < B).sum(1))
+    finally:
+        del os.environ["DASHING2_TPU_PAIR_DEVICE"]
