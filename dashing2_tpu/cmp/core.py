@@ -927,29 +927,53 @@ def _pair_counts_fn(two_limb: bool, block: int):
     return jax.jit(f)
 
 
+def _swar_pair_block(mode: str, m: int):
+    """Per-block (eq, gt, lt) body over packed word rows. Gt modes
+    compute both direction tiles, with eq from the trichotomy (pad
+    fields are equal on both sides so they never contribute to gt/lt;
+    eq = m - gt - lt is exact for the true register count m). Eq modes
+    (eq-consuming representations) run ONE denser eq tile — pack8 is 4
+    fields/word vs the gt packs' 2-3 — returning zeros for gt/lt, which
+    the representation's consumer discards by construction."""
+    import jax.numpy as jnp
+
+    from ..ops.cmp_kernels import _EQ_TILES, _GT_TILES, FIELDS_PER_WORD
+
+    if mode in _EQ_TILES:
+        tile = _EQ_TILES[mode]
+        per = FIELDS_PER_WORD[mode]
+
+        def body(pa, pb):
+            eq = tile(pa, pb) - jnp.int32(per * pa.shape[-1] - m)
+            z = jnp.zeros_like(eq)
+            return eq, z, z
+    else:
+        tile = _GT_TILES[mode]
+
+        def body(pa, pb):
+            gt = tile(pa, pb)
+            lt = tile(pb, pa)
+            return jnp.int32(m) - gt - lt, gt, lt
+    return body
+
+
 @functools.lru_cache(maxsize=8)
 def _pair_counts_swar_fn(mode: str, m: int, block: int):
     """SWAR variant of the pair-list counts: rows of the PACKED word
     matrix gather at 1/4 the limb-split traffic and compare with the
-    popcount gt tiles; eq falls out of the trichotomy (pad fields are
-    equal on both sides, so they never contribute to gt/lt and
-    eq = m - gt - lt is exact for the true register count m)."""
+    popcount tiles (_swar_pair_block)."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.cmp_kernels import _GT_TILES
-    tile = _GT_TILES[mode]
+    blk = _swar_pair_block(mode, m)
 
     def f(pk, ia, ib):
         nb = ia.shape[0] // block
 
         def body(_, idx):
             ja, jb = idx
-            pa = jnp.take(pk, ja, axis=0)
-            pb = jnp.take(pk, jb, axis=0)
-            gt = tile(pa, pb)
-            lt = tile(pb, pa)
-            return None, (jnp.int32(m) - gt - lt, gt, lt)
+            return None, blk(jnp.take(pk, ja, axis=0),
+                             jnp.take(pk, jb, axis=0))
 
         _, (eq, gt, lt) = jax.lax.scan(
             body, None, (ia.reshape(nb, block), ib.reshape(nb, block)))
@@ -974,15 +998,11 @@ def _pair_counts_sharded_fn(kind: str, mode_or_two, m: int, block: int,
 
     mesh = Mesh(np.array(jax.devices()[:ndev]), ("pairs",))
     if kind == "swar":
-        from ..ops.cmp_kernels import _GT_TILES
-        tile = _GT_TILES[mode_or_two]
+        blk = _swar_pair_block(mode_or_two, m)
 
         def blockfn(pk_or_hi, lo, ja, jb):
-            pa = jnp.take(pk_or_hi, ja, axis=0)
-            pb = jnp.take(pk_or_hi, jb, axis=0)
-            gt = tile(pa, pb)
-            lt = tile(pb, pa)
-            return jnp.int32(m) - gt - lt, gt, lt
+            return blk(jnp.take(pk_or_hi, ja, axis=0),
+                       jnp.take(pk_or_hi, jb, axis=0))
     else:
         two_limb = bool(mode_or_two)
 
@@ -1034,22 +1054,24 @@ def _pair_device_wanted(npairs: int) -> bool:
     return jax.default_backend() != "cpu" and npairs >= 2048
 
 
-@functools.lru_cache(maxsize=2)
+@functools.lru_cache(maxsize=4)
 def _swar_pack_fn(kind: str):
     """Module-cached jits for the one-time pair-list packing passes
     (inline lambdas would defeat jax's executable cache across results)."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.cmp_kernels import dense_ranks, pack10, pack16
+    from ..ops.cmp_kernels import dense_ranks, pack8, pack10, pack16
     if kind == "pack10":
         return jax.jit(pack10)
+    if kind == "pack8":
+        return jax.jit(pack8)
     return jax.jit(lambda x: pack16(dense_ranks(x).astype(jnp.uint32)))
 
 
 def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
                         block: int = 8192, cache: dict | None = None,
-                        cache_key: str = ""):
+                        cache_key: str = "", want: str = "gtlt"):
     """(eq, gt, lt) int64 vectors for a pair list over any register
     representation, computed on the accelerator. Returns None when the
     host path is preferable (CPU backend or a small pair list). With
@@ -1060,7 +1082,13 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
     refine/dedup loops reuse the packed matrix across many calls, so
     the one-time rank sort amortizes), gathers move 1/4 the limb-split
     bytes and the compares run as popcount tiles; counts are
-    bit-identical (rank reduction is order-isomorphic per column)."""
+    bit-identical (rank reduction is order-isomorphic per column).
+
+    want='eq' (the representation consumes only equality counts —
+    b-bit truncations, eqfull k-mer sets) selects the DENSER eq-only
+    packings (pack8 4-per-word for u8, rank halves with the cheap eq15
+    detect otherwise) and one tile per block instead of two; gt/lt
+    return as zeros, which such consumers discard by construction."""
     import jax
     import jax.numpy as jnp
     if not _pair_device_wanted(len(ia)):
@@ -1070,11 +1098,18 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
     else:
         data = np.asarray(data)
         if data.dtype == np.uint8:
-            entry = ("swar", _swar_pack_fn("pack10")(jnp.asarray(data)),
-                     "gtlt10", data.shape[1])
+            if want == "eq":
+                entry = ("swar",
+                         _swar_pack_fn("pack8")(jnp.asarray(data)),
+                         "eq8", data.shape[1])
+            else:
+                entry = ("swar",
+                         _swar_pack_fn("pack10")(jnp.asarray(data)),
+                         "gtlt10", data.shape[1])
         elif data.shape[0] <= 32767:
             pk = _swar_pack_fn("rank16")(jnp.asarray(data))
-            entry = ("swar", pk, "gtlt16", data.shape[1])
+            entry = ("swar", pk, "eq15" if want == "eq" else "gtlt16",
+                     data.shape[1])
         else:
             if data.dtype == np.uint64:
                 hi = (data >> np.uint64(32)).astype(np.uint32)
@@ -1172,8 +1207,18 @@ def _pair_counts_cached(opts, result, creps, ia, ib):
                          and result.kmers.size == sigs.size)
             cache[key] = (None, result.kmers if use_kmers
                           else sigs.view(np.uint64).reshape(sigs.shape))
+    # the representation determines which counts its estimator consumes
+    # (mirrors the discard logic in measure_pairs): b-bit truncations
+    # and eqfull k-mer sets read eq only -> denser eq-only engines
+    if creps.data is not None:
+        want = "eq" if creps.truncation > 0 else "gtlt"
+    elif opts.sspace == SketchSpace.SPACE_SET \
+            and opts.truncation_method <= 0:
+        want = "gtlt"
+    else:
+        want = "eq"
     return _device_pair_counts(cache[key][1], ia, ib, cache=cache,
-                               cache_key=key + "_dev")
+                               cache_key=key + "_dev", want=want)
 
 
 def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,

@@ -249,6 +249,11 @@ def test_device_pair_counts_sharded_matches_host():
             assert np.array_equal(out[0], (A == B).sum(1))
             assert np.array_equal(out[1], (A > B).sum(1))
             assert np.array_equal(out[2], (A < B).sum(1))
+            # eq-only engines (pack8 / rank eq15): eq exact, gt/lt zero
+            out = _device_pair_counts(data, ia, ib, block=block,
+                                      want="eq")
+            assert np.array_equal(out[0], (A == B).sum(1))
+            assert not out[1].any() and not out[2].any()
         # limb fallback: n > 32767 rank bound (thin m keeps it cheap)
         big = rng.integers(0, 1 << 63, size=(32770, 3), dtype=np.uint64)
         out = _device_pair_counts(big, ia % 32770, ib % 32770,
