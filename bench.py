@@ -243,6 +243,37 @@ def main():
         print(f"# ab u8 path failed: {e}", file=sys.stderr)
 
     # ------------------------------------------------------------------
+    # pair-list counts (the dedup/refine/KNN hot path): SWAR packed
+    # engines over an explicit pair vector, 1M pairs over 10240 items
+    # ------------------------------------------------------------------
+    try:
+        from dashing2_tpu.cmp.core import (_pair_counts_swar_fn,
+                                           _swar_pack_fn)
+        P = 1 << 20
+        ia = jnp.asarray(rng.integers(0, n, size=P).astype(np.int32))
+        ib = jnp.asarray(rng.integers(0, n, size=P).astype(np.int32))
+        pk16 = _swar_pack_fn("rank16")(u64)
+        fn16 = _pair_counts_swar_fn("gtlt16", m, 8192)
+
+        def mk_pl(K):
+            @jax.jit
+            def run(pk, ia, ib):
+                def body(c, _):
+                    eq, gt, lt = fn16(pk, c, ib)   # nested jit inlines
+                    return c ^ (eq[:1] & 1), (eq.sum(), gt.sum(),
+                                              lt.sum())
+                c, s = jax.lax.scan(body, ia, None, length=K)
+                return c[0] + sum(x.sum() for x in s)
+            return run
+        t_pl, t_pl_med = _timed_chain(mk_pl, (pk16, ia, ib), reps=3, K=3)
+        extra["pairlist_rank16_pairs_per_sec"] = round(P / t_pl)
+        print(f"# pair-list counts (rank16 gtlt, 1M pairs): "
+              f"{t_pl*1e3:.2f} ms (med {t_pl_med*1e3:.2f}) = "
+              f"{P/t_pl/1e9:.2f} G pairs/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# pair-list bench failed: {e}", file=sys.stderr)
+
+    # ------------------------------------------------------------------
     # sketch phase: fused encode+hash+OPH step
     # ------------------------------------------------------------------
     try:
