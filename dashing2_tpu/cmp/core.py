@@ -641,6 +641,74 @@ def _panel_matrix_fn_m(kind: str, m: int, msr: Measure, k: int, fd: float,
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=32)
+def _panel_matrix_fn_sharded(kind: str, m: int, msr: Measure, k: int,
+                             fd: float, nf: int, mode: str, ndev: int):
+    """Multi-chip panel engine: the packing/rank pass runs globally
+    (rank space shared across refs+queries), then the rectangular
+    counts shard by REFERENCE rows over the mesh (queries replicate —
+    they are small) with zero cross-device communication; the epilogue
+    stays outside the shard_map and GSPMD keeps it row-sharded."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
+    nfp = -(-nf // ndev) * ndev
+    pad = nfp - nf
+
+    def f(data, cards, b, gbt, gbinv):
+        gb = (gbt, gbinv)
+        from ..ops.cmp_kernels import count_eq_packed, count_gtlt_packed16
+        if kind.startswith("nibble"):
+            lo = data & jnp.uint8(0xF)
+            hi = data >> jnp.uint8(4)
+            regs = jnp.concatenate([lo, hi], axis=1)
+            refs, qrys = regs[:nf], regs[nf:]
+            pmode = "nibble"
+        else:
+            packed, pmode, _extra = _swar_pack(kind, data, m, fd)
+            refs, qrys = packed[:nf], packed[nf:]
+        if pad:
+            refs = jnp.concatenate(
+                [refs, jnp.zeros((pad, refs.shape[1]), refs.dtype)])
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("rows", None), P(None, None)),
+            out_specs=(P("rows", None), P("rows", None)))
+        def counts(refs_blk, q_all):
+            if kind.startswith("nibble"):
+                from ..ops.pallas_cmp import _nibble_mxu
+                eq, gt, lt = _nibble_mxu(refs_blk, q_all,
+                                         want_gtlt=(kind == "nibble-ab"))
+                return (gt, lt) if kind == "nibble-ab" \
+                    else (eq, jnp.zeros_like(eq))
+            if pmode.startswith("gtlt"):
+                return count_gtlt_packed16(refs_blk, q_all, mode=pmode)
+            eq = count_eq_packed(refs_blk, q_all, m, mode=pmode)
+            if kind in ("eqfull", "bbit", "nibble-bbit"):
+                return eq, jnp.zeros_like(eq)
+            return jnp.int32(m) - eq, jnp.zeros_like(eq)
+
+        c1, c2 = counts(refs, qrys)
+        c1 = c1[:nf]
+        # mirror _panel_matrix_fn: eq-consuming kinds pass c2=None to
+        # the epilogue; the "m - eq" word kinds keep the zeros array
+        if kind == "nibble-bbit" or (
+                not kind.startswith("nibble")
+                and not pmode.startswith("gtlt")
+                and kind in ("eqfull", "bbit")):
+            c2 = None
+        else:
+            c2 = c2[:nf]
+        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2,
+                               cards[:nf], cards[nf:], b, gb)
+
+    return jax.jit(f)
+
+
 def _panel_available(kind: str, data, n: int, nf: int) -> bool:
     """Panels ride the fused engine for nibble kinds (MXU) and for the
     word kinds whenever the SWAR route applies (rank space bounded by
@@ -785,8 +853,14 @@ def _panel_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     cards = np.asarray(result.cardinalities, np.float64)
     bf = max(creps.b, 1.0 + 1e-9)
     gbt, gbinv = _gb_args(bf, opts.sketchsize)
-    fn = _panel_matrix_fn(kind, opts.sketchsize, opts.measure, opts.k,
-                          opts.fd_level, nf)
+    mesh = _multichip_mesh()
+    if mesh is not None and nf >= mesh.devices.size:
+        fn = _panel_matrix_fn_sharded(
+            kind, opts.sketchsize, opts.measure, opts.k, opts.fd_level,
+            nf, _kernel_mode(), int(mesh.devices.size))
+    else:
+        fn = _panel_matrix_fn(kind, opts.sketchsize, opts.measure,
+                              opts.k, opts.fd_level, nf)
     return np.asarray(fn(data, cards, np.float64(bf), gbt, gbinv))
 
 

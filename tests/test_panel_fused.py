@@ -55,6 +55,37 @@ def test_panel_fused_matches_generic_full_kind(msr, m):
     assert all(b.shape[1] == nq for b in fused.values())
 
 
+@pytest.mark.parametrize("kind_opts", [
+    dict(kmer_result=1),                                   # full gt/lt
+    dict(kmer_result=1, fd_level=1.0, truncation_method=1),  # bbit u8
+])
+def test_panel_sharded_matches_single_device(kind_opts):
+    """The mesh-sharded panel engine (refs rows sharded, queries
+    replicated) must match the single-device fused engine on the same
+    SWAR route."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.default_rng(13)
+    n, m, nq = 140, 96, 44
+    res1 = _mkres(rng, n, m, nq)
+    res2 = SketchingResult(names=list(res1.names))
+    res2.signatures = res1.signatures.copy()
+    res2.cardinalities = res1.cardinalities.copy()
+    res2.nq = nq
+    opts = Dashing2DistOptions(sketchsize=m, **kind_opts)
+    multi = _run(opts, res1, "swar")
+    os.environ["DASHING2_TPU_MULTICHIP"] = "0"
+    try:
+        single = _run(opts, res2, "swar")
+    finally:
+        del os.environ["DASHING2_TPU_MULTICHIP"]
+    assert multi.keys() == single.keys()
+    for k in multi:
+        np.testing.assert_allclose(multi[k], single[k],
+                                   rtol=2e-7, atol=2e-7)
+
+
 def test_panel_fused_matches_generic_bbit_u16():
     rng = np.random.default_rng(12)
     n, m, nq = 100, 64, 30
