@@ -388,12 +388,14 @@ def _swar_route(kind: str, n: int, fd: float, mode: str) -> bool:
     accumulation — 2-4x the unpacked circulant throughput, counts
     bit-identical (rank reduction is order-isomorphic per column).
     TPU-only by default; DASHING2_TPU_KERNEL=swar forces it (tests),
-    =xla disables."""
+    =xla disables. Past the 2^15 single-half rank bound the two-level
+    pack30 engines carry the route to n < 2^30 at ~2x the per-register
+    cost (still well ahead of the u64 limb compares)."""
     if mode == "swar":
-        return n <= 32767    # gt-halves needs ranks < 2^15
+        return n < (1 << 30)
     if mode not in ("mxu", "pallas"):
         return False
-    return 64 <= n <= 32767
+    return 64 <= n < (1 << 30)
 
 
 def _swar_pack(kind: str, data, m: int, fd: float):
@@ -433,7 +435,8 @@ def _swar_pack(kind: str, data, m: int, fd: float):
             packed = pack16(data)
             return packed, "eq16", 2 * packed.shape[1] - m
         # u32/u64/ordered-f64: dense ranks (equality-preserving); the
-        # rank bound n picks the densest safe packing
+        # rank bound n picks the densest safe packing (two-level 15-bit
+        # halves past the 2^15 single-half bound)
         ranks = dense_ranks(data).astype(jnp.uint32)
         if n <= 256:
             packed = pack8(ranks)
@@ -441,8 +444,12 @@ def _swar_pack(kind: str, data, m: int, fd: float):
         if n <= 512:
             packed = pack10(ranks)
             return packed, "eq10", 3 * packed.shape[1] - m
-        packed = pack16(ranks)
-        return packed, "eq15", 2 * packed.shape[1] - m
+        if n <= 32767:
+            packed = pack16(ranks)
+            return packed, "eq15", 2 * packed.shape[1] - m
+        from ..ops.cmp_kernels import pack30
+        packed = pack30(ranks)
+        return packed, "eq30", packed.shape[1] - m
     if dt == jnp.uint8:
         # u8 values < 2^9: three-per-word guard fields, no rank pass
         return pack10(data), "gtlt10", 0
@@ -450,7 +457,10 @@ def _swar_pack(kind: str, data, m: int, fd: float):
     ranks = dense_ranks(data).astype(jnp.uint32)
     if n <= 512:
         return pack10(ranks), "gtlt10", 0
-    return pack16(ranks), "gtlt16", 0
+    if n <= 32767:
+        return pack16(ranks), "gtlt16", 0
+    from ..ops.cmp_kernels import pack30
+    return pack30(ranks), "gtlt30", 0
 
 
 def _swar_fused_matrix(kind: str, data, m: int, fd: float, msr: Measure,
@@ -910,7 +920,7 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
             d = _unpack_nibbles(np.asarray(d))
         n = d.shape[0]
         m = opts.sketchsize
-        if n <= 32767:
+        if n < (1 << 30):
             # SWAR packed words: 2-6x the u64 limb compare rate and a
             # fraction of the replicated bytes per chip (counts
             # bit-identical — equality survives any injective relabel,
@@ -936,13 +946,15 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                     vals = np.asarray(jax.jit(CK.dense_ranks)(
                         jnp.asarray(dnp))).astype(np.uint32)
                     pmode = ("eq8" if n <= 256 else
-                             "eq10" if n <= 512 else "eq15")
+                             "eq10" if n <= 512 else
+                             "eq15" if n <= 32767 else "eq30")
             elif dnp.dtype == np.uint8:
                 vals, pmode = dnp, "gtlt10"
             else:
                 vals = np.asarray(jax.jit(CK.dense_ranks)(
                     jnp.asarray(dnp))).astype(np.uint32)
-                pmode = "gtlt10" if n <= 512 else "gtlt16"
+                pmode = ("gtlt10" if n <= 512 else
+                         "gtlt16" if n <= 32767 else "gtlt30")
             packed = pack_words_np(vals, pmode)
             cnt = sharded_selfpairs(mesh, packed, mode=pmode)
             fn = _counts_epilogue_fn(
@@ -1135,11 +1147,15 @@ def _swar_pack_fn(kind: str):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.cmp_kernels import dense_ranks, pack8, pack10, pack16
+    from ..ops.cmp_kernels import (dense_ranks, pack8, pack10, pack16,
+                                   pack30)
     if kind == "pack10":
         return jax.jit(pack10)
     if kind == "pack8":
         return jax.jit(pack8)
+    if kind == "rank30":
+        return jax.jit(
+            lambda x: pack30(dense_ranks(x).astype(jnp.uint32)))
     return jax.jit(lambda x: pack16(dense_ranks(x).astype(jnp.uint32)))
 
 
@@ -1183,6 +1199,13 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
         elif data.shape[0] <= 32767:
             pk = _swar_pack_fn("rank16")(jnp.asarray(data))
             entry = ("swar", pk, "eq15" if want == "eq" else "gtlt16",
+                     data.shape[1])
+        elif data.shape[0] < (1 << 30) and len(ia) >= 65536:
+            # past the 2^15 rank bound the rank sort costs O(n m log n)
+            # — worth it only when the pair list (or the refine/dedup
+            # loop it opens, which reuses the cached packing) is large
+            pk = _swar_pack_fn("rank30")(jnp.asarray(data))
+            entry = ("swar", pk, "eq30" if want == "eq" else "gtlt30",
                      data.shape[1])
         else:
             if data.dtype == np.uint64:

@@ -370,6 +370,46 @@ def swar10_gt_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         -1, dtype=jnp.int32)
 
 
+def pack30(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, m) integer registers with values < 2^30 (dense ranks for any
+    practical N) -> (N, 2*ceil(m/2)) u32 words: the HIGH 15 bits of
+    each value pack two-per-word in the first half of the word axis,
+    the LOW 15 bits in the second half. The 30-bit tiles recombine the
+    per-half flags (gt = gt_hi | (eq_hi & gt_lo)), extending the SWAR
+    fast path beyond the 2^15 single-half rank bound at ~2x the
+    per-register cost. One register per word overall (FIELDS_PER_WORD
+    1): zero-padded tail fields are equal/non-gt on both sides."""
+    x = jnp.asarray(x).astype(jnp.uint32)
+    return jnp.concatenate([pack16(x >> jnp.uint32(15)),
+                            pack16(x & jnp.uint32(0x7FFF))], axis=1)
+
+
+def swar30_gt_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """gt counts for pack30 rows: per-half gt flags via the borrow
+    trick, hi-half equality via the bounded nonzero detect, combined
+    lexicographically before one popcount."""
+    W = a.shape[-1] // 2
+    ah, al = a[..., :W], a[..., W:]
+    bh, bl = b[..., :W], b[..., W:]
+    h = jnp.uint32(_H16)
+    gthi = ~((bh | h) - ah) & h
+    nzhi = ((ah ^ bh) + jnp.uint32(_L15)) & h    # halves < 2^15
+    gtlo = ~((bl | h) - al) & h
+    return jax.lax.population_count(gthi | (~nzhi & gtlo)).sum(
+        -1, dtype=jnp.int32)
+
+
+def swar30_eq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """eq counts for pack30 rows: a register is equal iff BOTH 15-bit
+    halves match — one bounded nonzero detect on the OR of the half
+    xors (each < 2^15, so their OR is too)."""
+    W = a.shape[-1] // 2
+    x = (a[..., :W] ^ b[..., :W]) | (a[..., W:] ^ b[..., W:])
+    nz = jax.lax.population_count((x + jnp.uint32(_L15))
+                                  & jnp.uint32(_H16))
+    return jnp.int32(2 * W) - nz.sum(-1, dtype=jnp.int32)
+
+
 def pack8(x: jnp.ndarray) -> jnp.ndarray:
     """(N, m) u8 registers -> (N, ceil(m/4)) u32 words (zero-pad; +pad
     eq per self-pair corrected by callers)."""
@@ -384,10 +424,12 @@ def pack8(x: jnp.ndarray) -> jnp.ndarray:
 
 
 _EQ_TILES = {"eq16": swar16_eq_tile, "eq15": swar15_eq_tile,
-             "eq8": swar8_eq_tile, "eq10": swar10_eq_tile}
-_GT_TILES = {"gtlt16": swar16_gt_tile, "gtlt10": swar10_gt_tile}
+             "eq8": swar8_eq_tile, "eq10": swar10_eq_tile,
+             "eq30": swar30_eq_tile}
+_GT_TILES = {"gtlt16": swar16_gt_tile, "gtlt10": swar10_gt_tile,
+             "gtlt30": swar30_gt_tile}
 FIELDS_PER_WORD = {"eq16": 2, "eq15": 2, "eq8": 4, "eq10": 3,
-                   "gtlt16": 2, "gtlt10": 3}
+                   "gtlt16": 2, "gtlt10": 3, "eq30": 1, "gtlt30": 1}
 
 
 def circ_self_swar_tiles(packed: jnp.ndarray, *, t: int, mode: str):

@@ -135,12 +135,18 @@ def sharded_similarity(mesh: Mesh, sigs_u64: jnp.ndarray,
 
 
 def pack_words_np(x: np.ndarray, mode: str) -> np.ndarray:
-    """Host-side (numpy) analogue of cmp_kernels pack16/pack10/pack8:
-    (n, m) bounded integer registers -> (n, ceil(m/per)) u32 SWAR words
-    for the given engine mode (zero-padded tail fields)."""
+    """Host-side (numpy) analogue of cmp_kernels pack16/pack10/pack8/
+    pack30: (n, m) bounded integer registers -> u32 SWAR words for the
+    given engine mode (zero-padded tail fields). The *30 modes emit
+    (n, 2*ceil(m/2)): hi-15-bit halves two-per-word first, then the
+    lo-15-bit halves."""
     from ..ops import cmp_kernels as CK
-    per = CK.FIELDS_PER_WORD[mode]
     x = np.ascontiguousarray(x).astype(np.uint32)
+    if mode in ("eq30", "gtlt30"):
+        return np.concatenate(
+            [pack_words_np(x >> np.uint32(15), "eq16"),
+             pack_words_np(x & np.uint32(0x7FFF), "eq16")], axis=1)
+    per = CK.FIELDS_PER_WORD[mode]
     pad = (-x.shape[1]) % per
     if pad:
         x = np.concatenate(

@@ -254,7 +254,8 @@ def test_device_pair_counts_sharded_matches_host():
                                       want="eq")
             assert np.array_equal(out[0], (A == B).sum(1))
             assert not out[1].any() and not out[2].any()
-        # limb fallback: n > 32767 rank bound (thin m keeps it cheap)
+        # limb fallback: n > 32767 rank bound with a small pair list
+        # (thin m keeps it cheap)
         big = rng.integers(0, 1 << 63, size=(32770, 3), dtype=np.uint64)
         out = _device_pair_counts(big, ia % 32770, ib % 32770,
                                   block=block)
@@ -262,5 +263,16 @@ def test_device_pair_counts_sharded_matches_host():
         assert np.array_equal(out[0], (A == B).sum(1))
         assert np.array_equal(out[1], (A > B).sum(1))
         assert np.array_equal(out[2], (A < B).sum(1))
+        # large pair list over the same matrix -> two-level rank30 pack
+        ial = rng.integers(0, 32770, size=70000).astype(np.int64)
+        ibl = rng.integers(0, 32770, size=70000).astype(np.int64)
+        for want in ("gtlt", "eq"):
+            out = _device_pair_counts(big, ial, ibl, block=block,
+                                      want=want)
+            A, B = big[ial], big[ibl]
+            assert np.array_equal(out[0], (A == B).sum(1))
+            if want == "gtlt":
+                assert np.array_equal(out[1], (A > B).sum(1))
+                assert np.array_equal(out[2], (A < B).sum(1))
     finally:
         del os.environ["DASHING2_TPU_PAIR_DEVICE"]

@@ -95,6 +95,40 @@ def test_swar_pack10_kernels_exact(m):
             == (vals[:, None, :] > vals[None, :, :]).sum(-1)).all()
 
 
+@pytest.mark.parametrize("m", [64, 63, 17])
+def test_swar_pack30_kernels_exact(m):
+    """Two-level 15-bit halves for values < 2^30 (dense ranks past the
+    2^15 single-half bound): gt combines per-half flags
+    lexicographically, eq detects on the OR of the half xors. Values
+    drawn across the full 30-bit range stand in for large-N ranks."""
+    rng = np.random.default_rng(17)
+    n = 150
+    v = rng.integers(0, 1 << 30, size=(n, m)).astype(np.uint32)
+    v[rng.random((n, m)) < 0.3] = v[0, 0]          # ties
+    v[:, 0] = (1 << 30) - 1                        # max-value edge
+    v[0, 1] = 0
+    pk = CK.pack30(jnp.asarray(v))
+    assert pk.shape[1] == 2 * ((m + 1) // 2)
+    ref_eq = (v[:, None, :] == v[None, :, :]).sum(-1)
+    ref_gt = (v[:, None, :] > v[None, :, :]).sum(-1)
+    gt, lt = CK.count_gtlt_self_packed16(pk, t=32, mode="gtlt30")
+    assert (np.asarray(gt) == ref_gt).all()
+    assert (np.asarray(lt) == ref_gt.T).all()
+    eq = np.asarray(CK.count_eq_self_packed(pk, m, t=32, mode="eq30"))
+    assert (eq == ref_eq).all()
+    # rectangular (the panel/row-block engines)
+    gtr, ltr = CK.count_gtlt_packed16(pk[:40], pk[40:], mode="gtlt30")
+    assert (np.asarray(gtr) == ref_gt[:40, 40:]).all()
+    ref_lt = (v[:40][:, None, :] < v[40:][None, :, :]).sum(-1)
+    assert (np.asarray(ltr) == ref_lt).all()
+    eqr = np.asarray(CK.count_eq_packed(pk[:40], pk[40:], m,
+                                        mode="eq30"))
+    assert (eqr == ref_eq[:40, 40:]).all()
+    # host packer agrees with the device packer
+    from dashing2_tpu.parallel.allpairs import pack_words_np
+    assert np.array_equal(pack_words_np(v, "gtlt30"), np.asarray(pk))
+
+
 def _close(a, b, tol=3e-7):
     """COUNTS are bit-exact between routes (kernel tests assert that);
     the f32 measure epilogues run as different XLA graphs, whose FMA
