@@ -10,6 +10,7 @@ vectorized on the count matrices (cmp/estimators).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -212,12 +213,69 @@ def _counts_int(a: np.ndarray, b: np.ndarray, want_gtlt: bool):
     return np.asarray(CK.count_eq(a, b)), None, None
 
 
+@functools.lru_cache(maxsize=16)
+def _block_counts_swar_fn(mode: str, m: int):
+    """Jitted (rows x cols) block counts over the cached packed matrix:
+    device row gathers + the rectangular SWAR tiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cmp_kernels import (_EQ_TILES, count_eq_packed,
+                                   count_gtlt_packed16)
+
+    @jax.jit
+    def f(pk, rows, cols):
+        a = jnp.take(pk, rows, axis=0)
+        b = jnp.take(pk, cols, axis=0)
+        if mode in _EQ_TILES:
+            eq = count_eq_packed(a, b, m, mode=mode)
+            return eq, eq, eq
+        gt, lt = count_gtlt_packed16(a, b, mode=mode)
+        return jnp.int32(m) - gt - lt, gt, lt
+    return f
+
+
+def _device_block_counts(opts, result, creps, rows, cols):
+    """Row-block counts through the same cached SWAR packings as the
+    pair-list path (shared per-result device cache, so block jobs and
+    the refine/dedup loops reuse one packed matrix). None -> host
+    blocks. Nibble representations keep their MXU engines."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    nprod = len(rows) * len(cols)
+    force = os.environ.get("DASHING2_TPU_PAIR_DEVICE", "") == "force"
+    if not force and (jax.default_backend() == "cpu"
+                      or nprod < (1 << 20)):
+        return None
+    if creps.nibble_packed:
+        return None
+    info = _rep_device_cache(opts, result, creps)
+    if info is None:
+        return None
+    cache, key, data, want = info
+    entry = _prepare_pack_entry(data, want, nprod, cache, key + "_dev")
+    if entry[0] != "swar":
+        return None
+    _, pk, mode, mtrue = entry
+    fn = _block_counts_swar_fn(mode, mtrue)
+    eq, gt, lt = fn(pk, jnp.asarray(rows.astype(np.int32)),
+                    jnp.asarray(cols.astype(np.int32)))
+    if want == "eq":
+        return np.asarray(eq), None, None
+    return None, np.asarray(gt), np.asarray(lt)
+
+
 def _count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
                     creps: CompressedReps, rows: np.ndarray,
                     cols: np.ndarray):
     """Compute (eq, gt, lt) int32 count matrices for row-index arrays
     rows x cols. Only the matrices the estimator needs are non-None."""
     m = opts.sketchsize
+    dev = _device_block_counts(opts, result, creps, rows, cols)
+    if dev is not None:
+        return dev
     if creps.data is not None:
         A = creps.data[rows]
         B = creps.data[cols]
@@ -308,8 +366,6 @@ def _measure_block(opts: Dashing2DistOptions, result: SketchingResult,
     return _dispatch_measures(opts, creps, eq, gt, lt, lh, rh
                               ).astype(np.float32)
 
-
-import functools
 
 
 def _measure_epilogue(kind: str, m: int, msr: Measure, k: int, fd: float,
@@ -1159,6 +1215,55 @@ def _swar_pack_fn(kind: str):
     return jax.jit(lambda x: pack16(dense_ranks(x).astype(jnp.uint32)))
 
 
+def _prepare_pack_entry(data, want: str, npairs_hint: int,
+                        cache: dict | None, cache_key: str):
+    """Device-resident comparison operands for a register matrix,
+    cached per (result, representation): a SWAR packing where one
+    applies (("swar", packed, mode, m) — u8 values pack directly, wider
+    data rank-reduces; the rank30 sort past n=32767 is gated on the job
+    size since it costs O(n m log n)) or u32 limb splits
+    (("limb", hi, lo, two)) otherwise."""
+    import jax.numpy as jnp
+    if cache is not None and cache_key in cache:
+        return cache[cache_key]
+    data = np.asarray(data)
+    if data.dtype == np.uint8:
+        if want == "eq":
+            entry = ("swar", _swar_pack_fn("pack8")(jnp.asarray(data)),
+                     "eq8", data.shape[1])
+        else:
+            entry = ("swar", _swar_pack_fn("pack10")(jnp.asarray(data)),
+                     "gtlt10", data.shape[1])
+    elif data.shape[0] <= 32767:
+        pk = _swar_pack_fn("rank16")(jnp.asarray(data))
+        entry = ("swar", pk, "eq15" if want == "eq" else "gtlt16",
+                 data.shape[1])
+    elif data.shape[0] < (1 << 30) and npairs_hint >= 65536:
+        # past the 2^15 rank bound the rank sort costs O(n m log n) —
+        # worth it only when the pair list (or the refine/dedup loop it
+        # opens, which reuses the cached packing) is large
+        pk = _swar_pack_fn("rank30")(jnp.asarray(data))
+        entry = ("swar", pk, "eq30" if want == "eq" else "gtlt30",
+                 data.shape[1])
+    else:
+        if data.dtype == np.uint64:
+            hi = (data >> np.uint64(32)).astype(np.uint32)
+            lo = data.astype(np.uint32)
+            two = True
+        else:
+            hi, two = None, False
+            lo = data if data.dtype == np.uint32 \
+                else data.astype(np.uint32)
+        lo_dev = jnp.asarray(lo)
+        # single-limb: the hi operand is unused in the kernel (DCE'd);
+        # pass lo so no extra array ships to the device
+        hi_dev = jnp.asarray(hi) if two else lo_dev
+        entry = ("limb", hi_dev, lo_dev, two)
+    if cache is not None:
+        cache[cache_key] = entry
+    return entry
+
+
 def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
                         block: int = 8192, cache: dict | None = None,
                         cache_key: str = "", want: str = "gtlt"):
@@ -1183,46 +1288,7 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
     import jax.numpy as jnp
     if not _pair_device_wanted(len(ia)):
         return None
-    if cache is not None and cache_key in cache:
-        entry = cache[cache_key]
-    else:
-        data = np.asarray(data)
-        if data.dtype == np.uint8:
-            if want == "eq":
-                entry = ("swar",
-                         _swar_pack_fn("pack8")(jnp.asarray(data)),
-                         "eq8", data.shape[1])
-            else:
-                entry = ("swar",
-                         _swar_pack_fn("pack10")(jnp.asarray(data)),
-                         "gtlt10", data.shape[1])
-        elif data.shape[0] <= 32767:
-            pk = _swar_pack_fn("rank16")(jnp.asarray(data))
-            entry = ("swar", pk, "eq15" if want == "eq" else "gtlt16",
-                     data.shape[1])
-        elif data.shape[0] < (1 << 30) and len(ia) >= 65536:
-            # past the 2^15 rank bound the rank sort costs O(n m log n)
-            # — worth it only when the pair list (or the refine/dedup
-            # loop it opens, which reuses the cached packing) is large
-            pk = _swar_pack_fn("rank30")(jnp.asarray(data))
-            entry = ("swar", pk, "eq30" if want == "eq" else "gtlt30",
-                     data.shape[1])
-        else:
-            if data.dtype == np.uint64:
-                hi = (data >> np.uint64(32)).astype(np.uint32)
-                lo = data.astype(np.uint32)
-                two = True
-            else:
-                hi, two = None, False
-                lo = data if data.dtype == np.uint32 \
-                    else data.astype(np.uint32)
-            lo_dev = jnp.asarray(lo)
-            # single-limb: the hi operand is unused in the kernel
-            # (DCE'd); pass lo so no extra array ships to the device
-            hi_dev = jnp.asarray(hi) if two else lo_dev
-            entry = ("limb", hi_dev, lo_dev, two)
-        if cache is not None:
-            cache[cache_key] = entry
+    entry = _prepare_pack_entry(data, want, len(ia), cache, cache_key)
     # mesh sharding: with >1 device and enough pairs to fill every
     # chip's first block, the pair vector shards across the mesh (the
     # register matrix is tiny and replicates)
@@ -1261,13 +1327,11 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
             lt[:n].astype(np.int64))
 
 
-def _pair_counts_cached(opts, result, creps, ia, ib):
-    """Device pair counts with the register matrix prepared and pushed
-    ONCE per (result, representation) — the refine/dedup loops call
-    measure_pairs many times over the same registers, and both the host
-    row gathers and repeated device uploads would dominate otherwise."""
-    if not _pair_device_wanted(len(ia)):
-        return None
+def _rep_device_cache(opts, result, creps):
+    """(cache, key, data, want) for the device comparison operands of
+    this (result, representation), or None when the representation has
+    no register-count form. `want` records which counts the estimator
+    consumes (mirrors the discard logic in measure_pairs)."""
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET or (
             opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE):
         return None
@@ -1304,9 +1368,8 @@ def _pair_counts_cached(opts, result, creps, ia, ib):
                          and result.kmers.size == sigs.size)
             cache[key] = (None, result.kmers if use_kmers
                           else sigs.view(np.uint64).reshape(sigs.shape))
-    # the representation determines which counts its estimator consumes
-    # (mirrors the discard logic in measure_pairs): b-bit truncations
-    # and eqfull k-mer sets read eq only -> denser eq-only engines
+    # b-bit truncations and eqfull k-mer sets read eq only -> denser
+    # eq-only engines
     if creps.data is not None:
         want = "eq" if creps.truncation > 0 else "gtlt"
     elif opts.sspace == SketchSpace.SPACE_SET \
@@ -1314,7 +1377,21 @@ def _pair_counts_cached(opts, result, creps, ia, ib):
         want = "gtlt"
     else:
         want = "eq"
-    return _device_pair_counts(cache[key][1], ia, ib, cache=cache,
+    return cache, key, cache[key][1], want
+
+
+def _pair_counts_cached(opts, result, creps, ia, ib):
+    """Device pair counts with the register matrix prepared and pushed
+    ONCE per (result, representation) — the refine/dedup loops call
+    measure_pairs many times over the same registers, and both the host
+    row gathers and repeated device uploads would dominate otherwise."""
+    if not _pair_device_wanted(len(ia)):
+        return None
+    info = _rep_device_cache(opts, result, creps)
+    if info is None:
+        return None
+    cache, key, data, want = info
+    return _device_pair_counts(data, ia, ib, cache=cache,
                                cache_key=key + "_dev", want=want)
 
 

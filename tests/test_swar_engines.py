@@ -129,6 +129,40 @@ def test_swar_pack30_kernels_exact(m):
     assert np.array_equal(pack_words_np(v, "gtlt30"), np.asarray(pk))
 
 
+@pytest.mark.parametrize("kind_opts", [
+    dict(kmer_result=1),                                     # full gt/lt
+    dict(kmer_result=1, fd_level=1.0, truncation_method=1),  # bbit u8
+    dict(kmer_result=1, fd_level=1.0),                       # ab u8 gtlt
+])
+def test_device_block_counts_match_host(kind_opts, monkeypatch):
+    """The generic row-block path (N > SELF_MAX) with the device SWAR
+    block engine forced must emit byte-identical blocks to the host
+    block path (counts are integers; the epilogue is the same numpy
+    code either way)."""
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.result import SketchingResult
+    n, m = 150, 96
+
+    def mk():
+        rng = np.random.default_rng(29)
+        res = SketchingResult(names=[f"s{i}" for i in range(n)])
+        res.signatures = np.abs(rng.normal(size=(n, m))) + 1e-9
+        res.cardinalities = rng.uniform(1e3, 1e5, size=n)
+        return res
+
+    res1 = mk()
+    res2 = mk()
+    opts = Dashing2DistOptions(sketchsize=m, **kind_opts)
+    monkeypatch.setenv("DASHING2_TPU_SELF_MAX", "0")   # force block path
+    monkeypatch.delenv("DASHING2_TPU_PAIR_DEVICE", raising=False)
+    host = dict(C.pairwise_matrix(opts, res1))
+    monkeypatch.setenv("DASHING2_TPU_PAIR_DEVICE", "force")
+    dev = dict(C.pairwise_matrix(opts, res2))
+    assert host.keys() == dev.keys()
+    for k in host:
+        assert np.array_equal(host[k], dev[k]), k
+
+
 def _close(a, b, tol=3e-7):
     """COUNTS are bit-exact between routes (kernel tests assert that);
     the f32 measure epilogues run as different XLA graphs, whose FMA
