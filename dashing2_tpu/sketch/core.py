@@ -562,7 +562,12 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                 and _native_oph_supported(hkw, use_fs)):
             from .. import native as _nat
             native_lib = _nat.load_oph_lib()
-        dense_rows = jax.default_backend() != "cpu"
+        # an EXPLICIT engine request routes through the device-dispatch
+        # path even on the CPU backend (tests drive the multichip
+        # sharded dispatch this way; unset means backend default)
+        dense_rows = (jax.default_backend() != "cpu"
+                      or os.environ.get("DASHING2_TPU_OPH_ENGINE", "")
+                      in ("dense", "sort", "scatter"))
         if native_lib is not None:
             # heterogeneous placement: the scatter-shaped bucket-min
             # update runs on host cores (threads across batch rows)
@@ -584,6 +589,23 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             fused = _fused_oph_fn(_hkw_key(hkw), m, H.OPH_DEFAULT_SEED,
                                   want_counts, use_fs,
                                   SK.oph_rows_engine())
+            # multichip: batch rows are independent, so they shard
+            # across the mesh with zero collectives — device_put with a
+            # row sharding and GSPMD partitions the whole fused step
+            row_sh = None
+            if (jax.device_count() > 1
+                    and os.environ.get("DASHING2_TPU_MULTICHIP",
+                                       "1") != "0"):
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.allpairs import make_mesh
+                row_sh = NamedSharding(make_mesh(),
+                                       PartitionSpec("rows", None))
+
+            def put(x):
+                if row_sh is not None and \
+                        x.shape[0] % row_sh.mesh.devices.size == 0:
+                    return jax.device_put(x, row_sh)
+                return jnp.asarray(x)
             inflight: List[tuple] = []
 
             def drain():
@@ -608,7 +630,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             window = int(os.environ.get("DASHING2_TPU_INFLIGHT", 64))
             for chunks, ids in prefetch(_iter_chunk_batches(
                     opts, items_iter(), chunk_len, rows_per_batch)):
-                inflight.append((fused(jnp.asarray(chunks), fs_dev), ids))
+                inflight.append((fused(put(chunks), fs_dev), ids))
                 if len(inflight) >= window:
                     drain()
             drain()

@@ -135,6 +135,25 @@ def test_native_unsupported_configs_rejected():
     assert not _native_oph_supported(h, False)
 
 
+@pytest.mark.parametrize("engine", ["dense", "sort", "scatter"])
+def test_device_engines_e2e_match_default(engine, tmp_path, monkeypatch):
+    """Explicit device OPH engines through the CLI (which on the test
+    mesh also exercises the multichip row-sharded dispatch — batch rows
+    shard over the 8 virtual devices) produce byte-identical output to
+    the default CPU segments path."""
+    from dashing2_tpu.cli import main
+    paths = make(str(tmp_path / "fa"), n_genomes=4, length=6000)
+    out_d, out_e = str(tmp_path / "d.bin"), str(tmp_path / "e.bin")
+    args = ["sketch", "-S", "128", "-k", "31", "--binary-output",
+            "--cmpout"]
+    monkeypatch.delenv("DASHING2_TPU_OPH_ENGINE", raising=False)
+    assert main(args + [out_d] + paths) == 0
+    monkeypatch.setenv("DASHING2_TPU_OPH_ENGINE", engine)
+    assert main(args + [out_e] + paths) == 0
+    with open(out_d, "rb") as f1, open(out_e, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_native_engine_e2e_matches_default(tmp_path, monkeypatch):
     """DASHING2_TPU_OPH_ENGINE=native through the CLI produces
     byte-identical output to the default engine."""
