@@ -611,16 +611,24 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             def drain():
                 if not inflight:
                     return
-                # one stacked device array -> ONE host transfer per drain
-                packed = np.asarray(jnp.stack([p for p, _ in inflight]))
-                for b, (_, bids) in enumerate(inflight):
-                    r = packed[b, :, :m]
-                    c = packed[b, :, m:].astype(np.uint32)
-                    for row, item_id in enumerate(bids):
-                        if item_id < 0:
-                            continue
-                        regs[item_id], counts[item_id] = _merge_oph(
-                            regs[item_id], counts[item_id], r[row], c[row])
+                # one stacked device array -> ONE host transfer per
+                # drain, grouped by batch shape (the tail batch pads to
+                # a smaller power of two than the full batches, so a
+                # window can hold two row counts)
+                by_shape: dict = {}
+                for p, bids in inflight:
+                    by_shape.setdefault(p.shape, []).append((p, bids))
+                for group in by_shape.values():
+                    packed = np.asarray(jnp.stack([p for p, _ in group]))
+                    for b, (_, bids) in enumerate(group):
+                        r = packed[b, :, :m]
+                        c = packed[b, :, m:].astype(np.uint32)
+                        for row, item_id in enumerate(bids):
+                            if item_id < 0:
+                                continue
+                            regs[item_id], counts[item_id] = _merge_oph(
+                                regs[item_id], counts[item_id],
+                                r[row], c[row])
                 inflight.clear()
 
             # dispatch-ahead window: more overlap but each in-flight

@@ -154,6 +154,24 @@ def test_device_engines_e2e_match_default(engine, tmp_path, monkeypatch):
         assert f1.read() == f2.read()
 
 
+def test_dense_path_mixed_shape_drain(tmp_path, monkeypatch):
+    """A tail batch (padded to a smaller power of two) sharing a drain
+    window with full batches must not break the async dispatch loop
+    (regression: jnp.stack over mixed shapes raised on any corpus whose
+    chunk count was not a multiple of rows_per_batch)."""
+    from dashing2_tpu.config import Dashing2Options
+    from dashing2_tpu.sketch.core import sketch_fastx
+    monkeypatch.setenv("DASHING2_TPU_OPH_ENGINE", "dense")
+    paths = make(str(tmp_path / "fa"), n_genomes=21, length=3000)
+    opts = Dashing2Options(k=21, sketchsize=64)
+    res = sketch_fastx(opts, paths, rows_per_batch=16)  # 1 full + tail
+    monkeypatch.delenv("DASHING2_TPU_OPH_ENGINE")
+    ref = sketch_fastx(Dashing2Options(k=21, sketchsize=64), paths,
+                       rows_per_batch=16)
+    assert np.array_equal(np.asarray(res.signatures),
+                          np.asarray(ref.signatures))
+
+
 def test_native_engine_e2e_matches_default(tmp_path, monkeypatch):
     """DASHING2_TPU_OPH_ENGINE=native through the CLI produces
     byte-identical output to the default engine."""
