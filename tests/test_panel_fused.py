@@ -58,6 +58,8 @@ def test_panel_fused_matches_generic_full_kind(msr, m):
 @pytest.mark.parametrize("kind_opts", [
     dict(kmer_result=1),                                   # full gt/lt
     dict(kmer_result=1, fd_level=1.0, truncation_method=1),  # bbit u8
+    dict(kmer_result=1, fd_level=0.5, truncation_method=1),  # nibble-bbit
+    dict(kmer_result=1, fd_level=0.5),                       # nibble-ab
 ])
 def test_panel_sharded_matches_single_device(kind_opts):
     """The mesh-sharded panel engine (refs rows sharded, queries
