@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from dashing2_tpu.ops.cmp_kernels import (circ_self_swar_tiles, pack8,
-                                          pack10, pack16)
+                                          pack10, pack16, pack30)
 
 
 def _timed_chain(make_fn, args, reps=3, K=4):
@@ -43,10 +43,12 @@ def main():
               flush=True)
 
     v8 = rng.integers(0, 256, size=(n, m)).astype(np.uint8)
+    v30 = rng.integers(0, 1 << 30, size=(n, m)).astype(np.uint32)
     packs = {
         "pack16": jnp.asarray(pack16(jnp.asarray(v8))),
         "pack10": jnp.asarray(pack10(jnp.asarray(v8))),
         "pack8": jnp.asarray(pack8(jnp.asarray(v8))),
+        "pack30": jnp.asarray(pack30(jnp.asarray(v30))),
     }
 
     def mk(K, data, t_, mode, nout):
@@ -68,10 +70,12 @@ def main():
         ("gt+lt pack10 fields (NEW)", "pack10", "gtlt10", 2),
         ("eq pack10 fields", "pack10", "eq10", 1),
         ("eq pack8 (reference point)", "pack8", "eq8", 1),
+        ("gt+lt pack30 two-level (n>2^15 ranks)", "pack30", "gtlt30", 2),
+        ("eq pack30 two-level", "pack30", "eq30", 1),
     ]
     for name, pk, mode, nout in cases:
         data = packs[pk]
-        for t_ in (512,):
+        for t_ in (min(512, n),):
             t = _timed_chain(
                 lambda K, d=data, tt=t_, md=mode, no=nout:
                 mk(K, d, tt, md, no), (data,))
