@@ -211,10 +211,83 @@ def oph_sketch_rows_sort(hashed: jnp.ndarray, valid: jnp.ndarray, *,
 
 
 def oph_rows_engine() -> str:
-    """'dense' (bucket-one-hot, default), 'sort' (per-row rotation
-    sort), or 'scatter' (segment_min)."""
+    """'dense' (bucket-one-hot, default), 'dense2' (split hi/lo u32
+    passes), 'sort' (per-row rotation sort), or 'scatter'
+    (segment_min)."""
     import os
     return os.environ.get("DASHING2_TPU_OPH_ENGINE", "dense")
+
+
+@functools.partial(jax.jit, static_argnames=("m", "seed", "want_counts",
+                                              "chunk"))
+def oph_sketch_rows_dense2(hashed: jnp.ndarray, valid: jnp.ndarray, *,
+                           m: int, seed: int = H.OPH_DEFAULT_SEED,
+                           want_counts: bool = True, chunk: int = 4096
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split hi/lo u32 variant of the dense bucket-one-hot engine —
+    bit-identical to oph_sketch_rows_dense, trading the u64-emulated
+    min-select in the O(nk*m) inner loop for two u32 passes:
+
+      pass A: per (row, bucket) min of the ids' HIGH u32 words;
+      pass B: per (row, bucket) min of the LOW words restricted to
+              k-mers whose high word equals pass A's winner.
+
+    (min_hi, min_lo_among_hi_winners) == the u64 min exactly, and every
+    inner op is a native-width u32 compare/select instead of the
+    2-limb emulation. The ids are read twice (HBM traffic is trivial
+    next to the O(nk*m) lane work)."""
+    ids = DH.oph_hash(hashed, seed)
+    idx = jnp.where(valid, (ids % jnp.uint64(m)).astype(jnp.int32),
+                    jnp.int32(-1))
+    R, nk = ids.shape
+    U32MAX = jnp.uint32(0xFFFFFFFF)
+    hi = (ids >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = ids.astype(jnp.uint32)
+    pad = (-nk) % chunk
+    if pad:
+        hi = jnp.concatenate([hi, jnp.zeros((R, pad), hi.dtype)], 1)
+        lo = jnp.concatenate([lo, jnp.zeros((R, pad), lo.dtype)], 1)
+        idx = jnp.concatenate([idx, jnp.full((R, pad), -1, idx.dtype)], 1)
+    nc = hi.shape[1] // chunk
+    hi_t = jnp.moveaxis(hi.reshape(R, nc, chunk), 1, 0)
+    lo_t = jnp.moveaxis(lo.reshape(R, nc, chunk), 1, 0)
+    idx_t = jnp.moveaxis(idx.reshape(R, nc, chunk), 1, 0)
+    cols = jnp.arange(m, dtype=jnp.int32)
+
+    def body_hi(regs, xs):
+        chi, cidx = xs
+        on = cidx[:, :, None] == cols[None, None, :]
+        cmin = jnp.min(jnp.where(on, chi[:, :, None], U32MAX), axis=1)
+        return jnp.minimum(regs, cmin), None
+
+    min_hi, _ = jax.lax.scan(body_hi, jnp.full((R, m), U32MAX, jnp.uint32),
+                             (hi_t, idx_t))
+
+    def body_lo(regs, xs):
+        chi, clo, cidx = xs
+        on = ((cidx[:, :, None] == cols[None, None, :])
+              & (chi[:, :, None] == min_hi[:, None, :]))
+        cmin = jnp.min(jnp.where(on, clo[:, :, None], U32MAX), axis=1)
+        return jnp.minimum(regs, cmin), None
+
+    min_lo, _ = jax.lax.scan(body_lo, jnp.full((R, m), U32MAX, jnp.uint32),
+                             (hi_t, lo_t, idx_t))
+    regs = ((min_hi.astype(jnp.uint64) << jnp.uint64(32))
+            | min_lo.astype(jnp.uint64))
+    # empty buckets: both passes return U32MAX halves == U64MAX sentinel
+    if not want_counts:
+        return regs, jnp.zeros((R, m), jnp.uint32)
+
+    def cbody(counts, xs):
+        chi, clo, cidx = xs
+        ismin = ((cidx[:, :, None] == cols[None, None, :])
+                 & (chi[:, :, None] == min_hi[:, None, :])
+                 & (clo[:, :, None] == min_lo[:, None, :]))
+        return counts + ismin.sum(1).astype(jnp.uint32), None
+
+    counts, _ = jax.lax.scan(cbody, jnp.zeros((R, m), jnp.uint32),
+                             (hi_t, lo_t, idx_t))
+    return regs, counts
 
 
 @functools.partial(jax.jit, static_argnames=("m", "seed", "want_counts",
@@ -275,8 +348,9 @@ def oph_sketch_rows(hashed, valid, *, m: int,
                     seed: int = H.OPH_DEFAULT_SEED,
                     want_counts: bool = True, chunk: int = 4096):
     """Row-wise OPH dispatcher: dense bucket-one-hot engine by default,
-    rotation-sort engine with DASHING2_TPU_OPH_ENGINE=sort, segment_min
-    scatter engine with =scatter (bit-identical outputs)."""
+    split-u32 dense engine with DASHING2_TPU_OPH_ENGINE=dense2,
+    rotation-sort engine with =sort, segment_min scatter engine with
+    =scatter (bit-identical outputs)."""
     eng = oph_rows_engine()
     if eng == "scatter":
         return oph_sketch_rows_scatter(hashed, valid, m=m, seed=seed,
@@ -284,6 +358,9 @@ def oph_sketch_rows(hashed, valid, *, m: int,
     if eng == "sort":
         return oph_sketch_rows_sort(hashed, valid, m=m, seed=seed,
                                     want_counts=want_counts)
+    if eng == "dense2":
+        return oph_sketch_rows_dense2(hashed, valid, m=m, seed=seed,
+                                      want_counts=want_counts, chunk=chunk)
     return oph_sketch_rows_dense(hashed, valid, m=m, seed=seed,
                                  want_counts=want_counts, chunk=chunk)
 

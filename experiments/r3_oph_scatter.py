@@ -192,6 +192,20 @@ def main():
     t = _timed_chain(mk_dense, (ids, valid))
     report("dense one-hot rows (current)", t)
 
+    def mk_dense2(K):
+        @jax.jit
+        def run(ids, valid):
+            def body(c, _):
+                r, _cnt = SK.oph_sketch_rows_dense2(
+                    c, valid, m=m, seed=H.OPH_DEFAULT_SEED,
+                    want_counts=False)
+                return c ^ (r[:, :1] & jnp.uint64(1)), None
+            c, _ = jax.lax.scan(body, ids, None, length=K)
+            return c[0, 0].astype(jnp.int32)
+        return run
+    t = _timed_chain(mk_dense2, (ids, valid))
+    report("dense split-u32 2-pass rows", t)
+
 
 if __name__ == "__main__":
     main()

@@ -268,6 +268,34 @@ def test_oph_sort_engine_matches_dense():
                 hj, v, m=m, seed=H.OPH_DEFAULT_SEED, want_counts=wc)
             assert np.array_equal(np.asarray(r1), np.asarray(r2))
             assert np.array_equal(np.asarray(c1), np.asarray(c2))
+            r3, c3 = SK.oph_sketch_rows_dense2(
+                hj, v, m=m, seed=H.OPH_DEFAULT_SEED, want_counts=wc)
+            assert np.array_equal(np.asarray(r1), np.asarray(r3))
+            assert np.array_equal(np.asarray(c1), np.asarray(c3))
+
+
+def test_oph_dense2_hi_word_ties():
+    """dense2's pass B must break ties among k-mers whose POST-HASH ids
+    share the high u32 word. The id hash is invertible, so hi-word
+    collisions are forced by inverting crafted ids back to pre-hash
+    values and feeding those as the stream."""
+    from dashing2_tpu import hashing as H
+    from dashing2_tpu.ops import sketch_kernels as SK
+
+    rng = np.random.default_rng(31)
+    R, nk, m = 3, 512, 32
+    # target post-hash ids: few distinct hi words, random lo words
+    his = rng.integers(0, 8, size=(R, nk)).astype(np.uint64) << np.uint64(32)
+    ids = his | rng.integers(0, 1 << 32, size=(R, nk)).astype(np.uint64)
+    pre = H.oph_hash_inverse(ids, H.OPH_DEFAULT_SEED)
+    hj = jnp.asarray(pre)
+    v = jnp.asarray(rng.random((R, nk)) < 0.95)
+    r1, c1 = SK.oph_sketch_rows_dense(hj, v, m=m,
+                                      seed=H.OPH_DEFAULT_SEED)
+    r2, c2 = SK.oph_sketch_rows_dense2(hj, v, m=m,
+                                       seed=H.OPH_DEFAULT_SEED)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
 
 
 def test_oph_sort_engine_non_pow2_delegates():
