@@ -103,7 +103,36 @@ def _chip_health_probe():
     return 8 * 2 * 4096 ** 3 / dt / 1e12
 
 
+def _tunnel_alive(timeout_s: float = 240.0) -> bool:
+    """Device enumeration in a SUBPROCESS with a hard timeout. The axon
+    chip has had full outages where jax.devices() hangs >9 minutes with
+    no exception — probing in-process would hang this driver-invoked
+    benchmark forever. Only used when the backend would be the TPU."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and r.stdout.strip().isdigit()
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def main():
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", "").lower() \
+            and not _tunnel_alive():
+        print("# TPU tunnel outage: device enumeration hung/failed in a "
+              "240 s subprocess probe — emitting outage record instead "
+              "of hanging", file=sys.stderr)
+        print(json.dumps({
+            "metric": "fastcmp0.5_bbit_similarity_unique_pairs_per_sec",
+            "value": 0, "unit": "pairs/s", "vs_baseline": 0.0,
+            "error": "tpu_outage_probe_timeout",
+        }))
+        return
     import dashing2_tpu  # noqa: F401  (x64)
     import jax
     import jax.numpy as jnp

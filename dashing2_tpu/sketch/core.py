@@ -121,6 +121,9 @@ def _fused_oph_fn(hkw_items: tuple, m: int, seed: int, want_counts: bool,
         elif oph_engine == "sort":
             r, c = SK.oph_sketch_rows_sort(hashed, valid, m=m, seed=seed,
                                            want_counts=want_counts)
+        elif oph_engine == "dense2":
+            r, c = SK.oph_sketch_rows_dense2(hashed, valid, m=m, seed=seed,
+                                             want_counts=want_counts)
         else:
             r, c = SK.oph_sketch_rows_dense(hashed, valid, m=m, seed=seed,
                                             want_counts=want_counts)
