@@ -196,9 +196,14 @@ def _isect_pairs_fn(weighted: bool):
         c = jnp.concatenate([ca, cb], axis=1)
         v = jnp.concatenate([va, vb], axis=1)
         # merge by sorting each pair row; keys are unique within a set,
-        # so adjacent equal valid keys are one key shared by both sides
-        ks, cs, vs = jax.lax.sort((k, c, v), dimension=1, num_keys=1,
-                                  is_stable=False)
+        # so adjacent equal valid keys are one key shared by both sides.
+        # The pad sentinel is u64::max, which a VALID key can equal (a
+        # poly-T k-mer under seed-zero/raw codes) — invalidity rides as
+        # a second sort key so pads sort AFTER equal valid keys and can
+        # never interleave a shared max key
+        ks, _, cs, vs = jax.lax.sort((k, jnp.int32(1) - v, c, v),
+                                     dimension=1, num_keys=2,
+                                     is_stable=False)
         match = ((ks[:, 1:] == ks[:, :-1])
                  & (vs[:, 1:] > 0) & (vs[:, :-1] > 0))
         w = (jnp.minimum(cs[:, 1:], cs[:, :-1]) if weighted

@@ -22,6 +22,18 @@ def _build_dir() -> str:
     return d
 
 
+def _cpu_fingerprint() -> str:
+    """Short hash of the host CPU feature flags (empty if unreadable)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith("flags"):
+                    return hashlib.sha1(ln.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "noflags"
+
+
 def _load_lib(name: str, src_file: str, link: list,
               cflags: tuple = ()) -> Optional[ctypes.CDLL]:
     """Compile (once, content-hashed) and load a native component; None
@@ -38,6 +50,14 @@ def _load_lib(name: str, src_file: str, link: list,
                 tag = hashlib.sha256(f.read()).hexdigest()[:16]
             if cflags:
                 tag = f"{tag}-{hashlib.sha256(' '.join(cflags).encode()).hexdigest()[:6]}"
+                if any("-march=native" in c for c in cflags):
+                    # scope host-tuned builds by a microarch fingerprint:
+                    # a VM migration can keep the cache dir while changing
+                    # CPU features, and a stale -march=native .so for
+                    # another microarch loads fine then dies SIGILL at
+                    # call time (same hazard the XLA compile-cache scope
+                    # in dashing2_tpu/__init__.py guards against)
+                    tag += "-" + _cpu_fingerprint()
             # DASHING2_TPU_SANITIZE=address|undefined builds the native
             # components under ASan/UBSan (the reference's dashing2-add
             # target, Makefile:102-103); tests then exercise them

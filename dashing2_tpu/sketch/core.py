@@ -570,7 +570,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         # sharded dispatch this way; unset means backend default)
         dense_rows = (jax.default_backend() != "cpu"
                       or os.environ.get("DASHING2_TPU_OPH_ENGINE", "")
-                      in ("dense", "sort", "scatter"))
+                      in ("dense", "dense2", "sort", "scatter"))
         if native_lib is not None:
             # heterogeneous placement: the scatter-shaped bucket-min
             # update runs on host cores (threads across batch rows)

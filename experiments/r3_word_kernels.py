@@ -24,7 +24,9 @@ import jax.numpy as jnp
 
 from dashing2_tpu.ops.cmp_kernels import (_circ_seg_index,
                                           _circ_self_counts, dense_ranks)
-from dashing2_tpu.ops.pallas_cmp import _tri_word_call
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tri_word_engine import _tri_word_call
 
 
 def _timed_chain(make_fn, args, reps=3, K=4):

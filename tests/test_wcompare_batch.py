@@ -101,3 +101,30 @@ def test_device_exact_pairs_engine_matches_host_join():
                             jnp.asarray(ib.astype(np.int32)))
                          ).astype(float)
         assert np.array_equal(host, dev)
+
+
+def test_device_exact_pairs_max_key_vs_pad_sentinel():
+    """A VALID key equal to u64::max (poly-T k-mer under seed-zero/raw
+    codes) collides with the pad sentinel; the two-key sort (invalidity
+    as tiebreaker) must still count it as shared when both sets hold it,
+    regardless of padding between the sets."""
+    import jax.numpy as jnp
+
+    from dashing2_tpu.cmp import wcompare as W
+    from dashing2_tpu.result import SketchingResult
+
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+    sets = [
+        np.array([5, 9, M], np.uint64),          # short set (pads exist)
+        np.array([1, 2, 3, 4, 5, 6, 7, M], np.uint64),  # longest: L=8
+        np.array([9], np.uint64),                # max absent
+    ]
+    res = SketchingResult(names=["a", "b", "c"])
+    res.kmer_sets = sets
+    keys, cnt, valid, weighted = W._device_sets_cache(res)
+    fn = W._isect_pairs_fn(weighted)
+    ia = jnp.asarray(np.array([0, 0, 1, 2], np.int32))
+    ib = jnp.asarray(np.array([1, 2, 2, 0], np.int32))
+    got = np.asarray(fn(keys, cnt, valid, ia, ib))
+    # (0,1): {5, M}; (0,2): {9}; (1,2): {}; (2,0): {9}
+    assert got.tolist() == [2, 1, 0, 1]
