@@ -135,7 +135,7 @@ def test_native_unsupported_configs_rejected():
     assert not _native_oph_supported(h, False)
 
 
-@pytest.mark.parametrize("engine", ["dense", "sort", "scatter"])
+@pytest.mark.parametrize("engine", ["dense", "dense2", "sort", "scatter"])
 def test_device_engines_e2e_match_default(engine, tmp_path, monkeypatch):
     """Explicit device OPH engines through the CLI (which on the test
     mesh also exercises the multichip row-sharded dispatch — batch rows
