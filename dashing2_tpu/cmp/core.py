@@ -134,9 +134,18 @@ def _prep(opts: Dashing2DistOptions, result: SketchingResult
         # before densifying (README "Documented deviations").
         nempty = (sigs == 0.0).sum(axis=1)
         scale = np.where(nempty > 0, (m - nempty) / m, 1.0)
+        if not sigs.flags.writeable:
+            # e.g. np.load(..., mmap_mode='r'): the rescale + densify
+            # below finalize the result's signatures in place by design
+            # (repeat calls are no-ops: after densification nempty == 0)
+            sigs = np.array(sigs)
+            result.signatures = sigs
         sigs *= scale[:, None]
         kmers = (result.kmers if result.kmers is not None
                  and result.kmers.shape == sigs.shape else None)
+        if kmers is not None and not kmers.flags.writeable:
+            kmers = np.array(kmers)
+            result.kmers = kmers
         SK.oph_densify_rows(sigs, kmers)
     creps = (make_compressed(opts, result.signatures, result.kmers)
              if result.signatures is not None else CompressedReps(data=None))
@@ -174,6 +183,19 @@ def _ordered_bits(opts: Dashing2DistOptions, sigs: np.ndarray) -> np.ndarray:
                              "order-mapped to u32")
         return sigs.astype(np.float32).view(np.uint32)
     return CK.f64_to_ordered_u64(sigs)
+
+
+def _ordered_cached(opts: Dashing2DistOptions,
+                    result: SketchingResult) -> np.ndarray:
+    """_ordered_bits over the FULL signature matrix, computed once per
+    (result, regt32) and cached on the result — the generic row-block
+    loop would otherwise redo the O(N*m) conversion for every block."""
+    key = bool(opts.regt32)
+    cache = getattr(result, "_ordered_cache", None)
+    if cache is None or cache[0] != key:
+        cache = (key, _ordered_bits(opts, result.signatures))
+        result._ordered_cache = cache
+    return cache[1]
 
 
 def _unpack_nibbles(x: np.ndarray) -> np.ndarray:
@@ -263,8 +285,25 @@ def _device_block_counts(opts, result, creps, rows, cols):
     eq, gt, lt = fn(pk, jnp.asarray(rows.astype(np.int32)),
                     jnp.asarray(cols.astype(np.int32)))
     if want == "eq":
+        if _consumes_gtlt(opts, creps):
+            # sum-first estimators ('full', 'ab' fd >= 8): eq-only
+            # engines feed them exactly via gt' + lt' = m - eq
+            eq = np.asarray(eq)
+            return None, mtrue - eq, np.zeros_like(eq)
         return np.asarray(eq), None, None
     return None, np.asarray(gt), np.asarray(lt)
+
+
+def _consumes_gtlt(opts: Dashing2DistOptions,
+                   creps: CompressedReps) -> bool:
+    """True when the representation's estimator takes (gt, lt) count
+    inputs ('full' ordered registers; a/b-quantized kinds) rather than
+    eq. Note the SUM-FIRST subset ('full', and 'ab' at fd >= 8) accepts
+    any (gt', lt') with gt' + lt' = gt + lt — see _swar_pack."""
+    if creps.data is not None:
+        return creps.truncation <= 0
+    return (opts.sspace == SketchSpace.SPACE_SET
+            and opts.truncation_method <= 0)
 
 
 def _count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
@@ -272,7 +311,6 @@ def _count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
                     cols: np.ndarray):
     """Compute (eq, gt, lt) int32 count matrices for row-index arrays
     rows x cols. Only the matrices the estimator needs are non-None."""
-    m = opts.sketchsize
     dev = _device_block_counts(opts, result, creps, rows, cols)
     if dev is not None:
         return dev
@@ -295,14 +333,12 @@ def _count_matrices(opts: Dashing2DistOptions, result: SketchingResult,
         return eq, None, None
     # full-register path
     sigs = result.signatures
-    use_kmers = (result.kmers is not None
-                 and result.kmers.size == sigs.size
-                 and not (opts.sspace == SketchSpace.SPACE_SET
-                          and opts.truncation_method <= 0))
     if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
-        u = _ordered_bits(opts, sigs)
+        u = _ordered_cached(opts, result)
         gt, lt = _gtlt_u64(u[rows], u[cols])
         return None, np.asarray(gt), np.asarray(lt)
+    use_kmers = (result.kmers is not None
+                 and result.kmers.size == sigs.size)
     src = result.kmers if use_kmers else sigs.view(np.uint64).reshape(sigs.shape)
     eq = CK.count_eq(src[rows], src[cols])
     return np.asarray(eq), None, None
@@ -437,7 +473,7 @@ def _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh_cards, rh_cards, b,
     return ys.reshape(nb * TB, nc)[:nr]
 
 
-def _swar_route(kind: str, n: int, fd: float, mode: str) -> bool:
+def _swar_route(n: int, mode: str) -> bool:
     """Static routing decision for the SWAR packed engines (the round-3
     default-path acceleration): dense per-column ranks (< n <= 32767 <
     2^15) pack two per u32 word and compare wordwise with popcount
@@ -446,7 +482,9 @@ def _swar_route(kind: str, n: int, fd: float, mode: str) -> bool:
     TPU-only by default; DASHING2_TPU_KERNEL=swar forces it (tests),
     =xla disables. Past the 2^15 single-half rank bound the two-level
     pack30 engines carry the route to n < 2^30 at ~2x the per-register
-    cost (still well ahead of the u64 limb compares)."""
+    cost (still well ahead of the u64 limb compares). The decision
+    depends only on the row count and engine mode — representation
+    kind/fd pick the pack density INSIDE _swar_pack, not the route."""
     if mode == "swar":
         return n < (1 << 30)
     if mode not in ("mxu", "pallas"):
@@ -645,7 +683,7 @@ def _self_matrix_fn_m(kind: str, m: int, msr: Measure, k: int, fd: float,
             eq, gt, lt = _nibble_mxu(regs, regs,
                                      want_gtlt=(kind == "nibble-ab"))
             c1, c2 = (gt, lt) if kind == "nibble-ab" else (eq, None)
-        elif _swar_route(kind, data.shape[0], fd, mode):
+        elif _swar_route(data.shape[0], mode):
             return _swar_fused_matrix(kind, data, m, fd, msr, k, b, gb,
                                       cards)
         elif kind in ("ab", "full"):
@@ -781,7 +819,7 @@ def _panel_available(kind: str, data, n: int, nf: int) -> bool:
     the total row count)."""
     if kind.startswith("nibble"):
         return True
-    return _swar_route(kind, n, 0.0, _kernel_mode())
+    return _swar_route(n, _kernel_mode())
 
 
 # the wrapper keeps the lru_cache surface of the pre-round-3 function
@@ -900,7 +938,7 @@ def _representation(opts: Dashing2DistOptions, result: SketchingResult,
                     else "nibble-ab"), A
         return ("bbit" if creps.truncation > 0 else "ab"), A
     if opts.sspace == SketchSpace.SPACE_SET and opts.truncation_method <= 0:
-        return "full", _ordered_bits(opts, result.signatures)
+        return "full", _ordered_cached(opts, result)
     sigs = result.signatures
     use_kmers = (result.kmers is not None
                  and result.kmers.size == sigs.size)
@@ -940,30 +978,14 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     (parallel.allpairs.sharded_selfpairs) — each chip owns 1/D of the
     unique-pair work — and the measure epilogue runs jitted on the
     replicated count matrix."""
-    if creps.data is not None:
+    if creps.data is not None and not creps.nibble_packed:
         A = creps.data
-        if creps.nibble_packed:
-            # fused MXU one-hot engine (counts + epilogue in one jit)
-            kind = ("nibble-bbit" if creps.truncation > 0 else "nibble-ab")
-            data = A
-        elif A.dtype != np.uint64 and A.max(initial=0) < 16 \
+        if A.dtype != np.uint64 and A.max(initial=0) < 16 \
                 and _kernel_mode() in ("mxu", "pallas") \
                 and _multichip_mesh() is None:
+            # small-int values ride the full-square MXU one-hot path
             return None
-        else:
-            kind = "bbit" if creps.truncation > 0 else "ab"
-            data = A
-    elif opts.sspace == SketchSpace.SPACE_SET \
-            and opts.truncation_method <= 0:
-        kind = "full"
-        data = _ordered_bits(opts, result.signatures)
-    else:
-        sigs = result.signatures
-        use_kmers = (result.kmers is not None
-                     and result.kmers.size == sigs.size)
-        kind = "eqfull"
-        data = result.kmers if use_kmers else sigs.view(np.uint64).reshape(
-            sigs.shape)
+    kind, data = _representation(opts, result, creps)
     cards = np.asarray(result.cardinalities, np.float64)
     bf = max(creps.b, 1.0 + 1e-9)
     b = np.float64(bf)
@@ -976,7 +998,7 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
             d = _unpack_nibbles(np.asarray(d))
         n = d.shape[0]
         m = opts.sketchsize
-        if n < (1 << 30):
+        if n < (1 << 30) and _kernel_mode() != "xla":
             # SWAR packed words: 2-6x the u64 limb compare rate and a
             # fraction of the replicated bytes per chip (counts
             # bit-identical — equality survives any injective relabel,
@@ -1074,9 +1096,10 @@ def _swar_pair_block(mode: str, m: int):
     compute both direction tiles, with eq from the trichotomy (pad
     fields are equal on both sides so they never contribute to gt/lt;
     eq = m - gt - lt is exact for the true register count m). Eq modes
-    (eq-consuming representations) run ONE denser eq tile — pack8 is 4
-    fields/word vs the gt packs' 2-3 — returning zeros for gt/lt, which
-    the representation's consumer discards by construction."""
+    (eq- or sum-consuming representations) run ONE denser eq tile —
+    pack8 is 4 fields/word vs the gt packs' 2-3 — returning zeros for
+    gt/lt; consumers discard those or derive (m - eq, 0) for the
+    sum-first estimators."""
     import jax.numpy as jnp
 
     from ..ops.cmp_kernels import _EQ_TILES, _GT_TILES, FIELDS_PER_WORD
@@ -1279,11 +1302,12 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
     bytes and the compares run as popcount tiles; counts are
     bit-identical (rank reduction is order-isomorphic per column).
 
-    want='eq' (the representation consumes only equality counts —
-    b-bit truncations, eqfull k-mer sets) selects the DENSER eq-only
-    packings (pack8 4-per-word for u8, rank halves with the cheap eq15
-    detect otherwise) and one tile per block instead of two; gt/lt
-    return as zeros, which such consumers discard by construction."""
+    want='eq' (the representation consumes equality counts — b-bit
+    truncations, eqfull k-mer sets — or only the sum gt + lt = m - eq:
+    'full' and fd>=8 'ab', the sum-first f32 epilogues) selects the
+    DENSER eq-only packings (pack8 4-per-word for u8, rank halves with
+    the cheap eq15 detect otherwise) and one tile per block instead of
+    two; consumers either discard gt/lt or derive (m - eq, 0)."""
     import jax
     import jax.numpy as jnp
     if not _pair_device_wanted(len(ia)):
@@ -1359,7 +1383,7 @@ def _rep_device_cache(opts, result, creps):
             and opts.truncation_method <= 0:
         key = f"ordered-{bool(opts.regt32)}"
         if key not in cache:
-            cache[key] = (None, _ordered_bits(opts, result.signatures))
+            cache[key] = (None, _ordered_cached(opts, result))
     else:
         key = "eqfull"
         if key not in cache:
@@ -1368,15 +1392,15 @@ def _rep_device_cache(opts, result, creps):
                          and result.kmers.size == sigs.size)
             cache[key] = (None, result.kmers if use_kmers
                           else sigs.view(np.uint64).reshape(sigs.shape))
-    # b-bit truncations and eqfull k-mer sets read eq only -> denser
-    # eq-only engines
-    if creps.data is not None:
-        want = "eq" if creps.truncation > 0 else "gtlt"
-    elif opts.sspace == SketchSpace.SPACE_SET \
-            and opts.truncation_method <= 0:
-        want = "gtlt"
-    else:
-        want = "eq"
+    # eq-only engines are denser (4 vs 3 fields/word for u8, one tile
+    # scan instead of two) and serve every representation whose
+    # estimator consumes equality (b-bit truncations, eqfull) OR only
+    # the sum gt + lt = m - eq (the sum-first f32 epilogues: 'full' and
+    # 'ab' at fd >= 8 — same policy as the self-pairs _swar_pack).
+    # Only 'ab' with fd < 8 applies g_b to gt and lt individually.
+    want = ("gtlt" if (creps.data is not None and creps.truncation <= 0
+                       and opts.fd_level < 8.0)
+            else "eq")
     return cache, key, cache[key][1], want
 
 
@@ -1420,13 +1444,13 @@ def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
     dev = _pair_counts_cached(opts, result, creps, ia, ib)
     if dev is not None:
         eq, gt, lt = dev
-        if creps.data is not None:
-            if creps.truncation > 0:
-                gt = lt = None
-            else:
-                eq = None
-        elif opts.sspace == SketchSpace.SPACE_SET \
-                and opts.truncation_method <= 0:
+        if _consumes_gtlt(opts, creps):
+            if not (creps.data is not None and opts.fd_level < 8.0):
+                # sum-first kinds ('full'; 'ab' fd >= 8) rode the
+                # eq-only engines: derive gt' + lt' = m - eq exactly
+                eq = np.asarray(eq)
+                gt = opts.sketchsize - eq
+                lt = np.zeros_like(gt)
             eq = None
         else:
             gt = lt = None

@@ -279,7 +279,7 @@ def distributed_sketch_cmp(opts, groups: Sequence[str],
         gbt, gbinv = _gb_args(bf, opts.sketchsize)
         lhc = np.asarray(cards[lo:hi], np.float64)
         rhc = np.asarray(cards, np.float64)
-        if _swar_route(kind, n, opts.fd_level, _kernel_mode()):
+        if _swar_route(n, _kernel_mode()):
             # packed engine (shared _swar_pack policy): values/ranks
             # packed over ALL rows once, owned rows compare against the
             # packed matrix (2-6x the u64 limb rate, counts

@@ -276,3 +276,35 @@ def test_device_pair_counts_sharded_matches_host():
                 assert np.array_equal(out[2], (A < B).sum(1))
     finally:
         del os.environ["DASHING2_TPU_PAIR_DEVICE"]
+
+
+def test_prep_handles_readonly_signatures():
+    """_prep finalizes OPH signatures in place (rescale + densify); a
+    read-only input (np.load mmap_mode='r', writeable=False views) must
+    be copied, not crash — and the result must match the writeable run."""
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.enums import KmerSketchResultType
+    from dashing2_tpu.result import SketchingResult
+
+    rng = np.random.default_rng(41)
+    m = 64
+    sigs = rng.random((6, m))
+    sigs[0, :50] = 0.0                      # sparse row -> rescale+densify
+    opts = Dashing2DistOptions(k=31, sketchsize=m,
+                               kmer_result=KmerSketchResultType.ONE_PERM)
+
+    def mk(arr):
+        r = SketchingResult(names=[str(i) for i in range(6)])
+        r.signatures = arr
+        r.cardinalities = np.full(6, 100.0)
+        return r
+
+    ro = sigs.copy()
+    ro.setflags(write=False)
+    res_ro = mk(ro)
+    _, res_ro = C._prep(opts, res_ro)
+    res_rw = mk(sigs.copy())
+    _, res_rw = C._prep(opts, res_rw)
+    assert res_ro.signatures.flags.writeable
+    assert np.array_equal(res_ro.signatures, res_rw.signatures)
