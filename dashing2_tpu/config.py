@@ -207,6 +207,12 @@ class Dashing2DistOptions(Dashing2Options):
             Measure.SIMILARITY, Measure.M_EDIT_DISTANCE
         ):
             self.measure = Measure.M_EDIT_DISTANCE
+        if self.entmin and self.use128:
+            # the 128-bit exact-code path has no entropy scoring; failing
+            # loudly beats silently handing back lexicographic minimizers
+            raise ValueError(
+                "--entmin is not supported with --long-kmers (the 128-bit "
+                "k-mer path selects lexicographic minimizers only)")
         if self.sketch_compressed_set:
             if self.kmer_result != KmerSketchResultType.FULL_SETSKETCH:
                 raise ValueError("--setsketch-ab requires FullSetSketch")

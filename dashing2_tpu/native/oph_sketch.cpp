@@ -85,20 +85,23 @@ struct RowScratch {
     std::vector<uint64_t> score;        // minimizer scores (w > k)
     std::vector<uint64_t> wmin;         // per-window minima (w > k)
     std::vector<uint8_t> sel;           // minimizer-selected mask (w > k)
+    std::vector<int32_t> winv;          // invalid-position prefix counts
     std::vector<int32_t> deque;         // monotonic-deque index ring
     uint64_t ids[kBlock + 8];
     uint8_t live[kBlock / 8 + 2];       // one lane-mask byte per 8 ids
 };
 
 // Window-w lexicographic minimizer selection, bit-identical to
-// ops/kmers.minimizer_mask (kmers.py:360-394): scores are the canonical
-// k-mer CODES (invalid positions -> u64::max), a position is selected
-// iff its score equals the min of some window containing it AND no
-// equal score occurs in the previous nwin-1 positions (leftmost tie
-// break). The device's _shift_right pads out-of-range slots with
-// u64::max, so a maxv score near the array edges "hits" / "prev-eqs"
-// against the padding — mirrored here exactly (reachable only for the
-// k=32 all-T k-mer, whose code is u64::max like the invalid sentinel).
+// ops/kmers.minimizer_mask: scores are the canonical k-mer CODES
+// (invalid positions -> u64::max); a window is LIVE only if all its
+// nwin k-mers are valid (the standard streaming reset at sequence
+// edges and N-runs — and what makes chunked selection identical to
+// unchunked); a position is selected iff its score equals the min of
+// some LIVE window containing it AND no equal score occurs in the
+// previous nwin-1 positions (leftmost tie break; the device pads
+// prev-eq comparisons out of range with u64::max, so a maxv score in
+// the first nwin-1 slots "prev-eqs" the padding — mirrored here,
+// reachable only for the k=32 all-T k-mer).
 static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
     const int32_t k = p.k;
     const uint64_t mask = (k == 32) ? kU64Max : ((1ULL << (2 * k)) - 1);
@@ -117,6 +120,18 @@ static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
         }
         s.score[i] = v;
     }
+    // window liveness: invalid-position prefix counts (clean rows: all
+    // windows live, skip the scratch)
+    s.winv.clear();
+    if (!clean && nw > 0) {
+        s.winv.resize(npos + 1);
+        s.winv[0] = 0;
+        for (int64_t i = 0; i < npos; ++i)
+            s.winv[i + 1] = s.winv[i] + (s.run[i + k - 1] < k);
+    }
+    auto win_live = [&](int64_t j) -> bool {
+        return clean || s.winv[j + nwin] == s.winv[j];
+    };
     if (nw > 0) {
         // sliding min over scores, window nwin (monotonic deque)
         s.wmin.resize(nw);
@@ -131,12 +146,13 @@ static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
             if (i >= nwin - 1) s.wmin[i - nwin + 1] = s.score[s.deque[head]];
         }
     }
-    // hit = (sliding max of wmin over windows containing i) == score[i],
-    // with the out-of-range-maxv padding term; then leftmost tie break.
+    // hit = (sliding max of wmin over LIVE windows containing i)
+    // == score[i]; dead/out-of-range windows contribute nothing; then
+    // leftmost tie break.
     s.deque.clear();
     size_t head = 0;
     for (int64_t i = 0; i < npos; ++i) {
-        if (i < nw) {
+        if (i < nw && win_live(i)) {
             while (s.deque.size() > head &&
                    s.wmin[s.deque.back()] <= s.wmin[i])
                 s.deque.pop_back();
@@ -145,10 +161,7 @@ static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
         while (s.deque.size() > head && s.deque[head] < i - nwin + 1)
             ++head;
         const uint64_t sc = s.score[i];
-        bool hit = (i - nwin + 1 < 0 || i > nw - 1) && sc == kU64Max;
-        if (!hit && s.deque.size() > head)
-            hit = s.wmin[s.deque[head]] == sc;
-        if (!hit) continue;
+        if (s.deque.size() <= head || s.wmin[s.deque[head]] != sc) continue;
         if (!clean && s.run[i + k - 1] < k) continue;   // invalid position
         bool prev_eq = (i < nwin - 1) && sc == kU64Max;
         const int64_t dmax = std::min<int64_t>(i, nwin - 1);

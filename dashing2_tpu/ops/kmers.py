@@ -104,15 +104,20 @@ def encode_ascii(seq: bytes | np.ndarray, alphabet: Alphabet) -> np.ndarray:
 def chunk_halos(k: int, w: int = 0) -> Tuple[int, int]:
     """(left, right) halo widths in bases for chunking.
 
-    Left halo makes every k-mer owned by exactly one chunk; with window
-    minimizers (w > k) both halos grow so every owned k-mer position sees
-    ALL windows that contain it (a window covering position p spans bases
-    [p - (w-k), p + w - 1]), making the selection decision identical to the
-    unchunked computation.
+    Halos are symmetric so that a chunk owning base positions
+    [start, start + chunk_len) holds every base its owned k-mers touch:
+    the k-mer starting at the last owned position needs k - 1 bases past
+    the owned range (without the right halo, the k - 1 k-mer starts
+    before each chunk boundary appeared in NO chunk's owned window —
+    they were silently dropped for any sequence longer than chunk_len).
+    With window minimizers (w > k) both halos grow to w - 1 so every
+    owned k-mer position sees ALL windows that contain it (a window
+    covering position p spans bases [p - (w-k), p + w - 1]), making the
+    selection decision identical to the unchunked computation.
     """
     if w > k:
         return w - 1, w - 1
-    return k - 1, 0
+    return k - 1, k - 1
 
 
 def chunk_codes(code_arrays: Sequence[np.ndarray], k: int,
@@ -363,8 +368,13 @@ def minimizer_mask(scores: jnp.ndarray, valid: jnp.ndarray, k: int, w: int
 
     scores: (..., n) per-kmer selection scores (lower wins; lexicographic
     minimizers use the k-mer code itself as score). Invalid positions get
-    +inf scores. A window is live only if all its k-mers are valid.
-    Ties broken toward the leftmost position (stable, standard choice).
+    +inf scores. A window is live only if ALL its k-mers are valid — the
+    standard streaming-minimizer reset at sequence edges and N-runs.
+    (Enforcing liveness is also what makes chunked selection identical
+    to the unchunked computation: windows reaching into a chunk's
+    out-of-sequence padding are dead, exactly like the nonexistent
+    windows past the ends of an unchunked array.) Ties broken toward
+    the leftmost position (stable, standard choice).
     """
     nwin = w - k + 1
     if nwin <= 1:
@@ -372,20 +382,22 @@ def minimizer_mask(scores: jnp.ndarray, valid: jnp.ndarray, k: int, w: int
     maxv = jnp.array(np.iinfo(np.uint64).max, jnp.uint64)
     s = jnp.where(valid, scores, maxv)
     wmin = window_min(s, nwin)  # (..., n - nwin + 1)
-    # position i is selected iff s[i] equals the min of some window that
-    # contains i and s[i] is the leftmost occurrence of that min in the
-    # window. Leftmost-tie handling: compare against a "strictly less to
-    # the left within nwin-1" sliding min of prior positions.
+    # window liveness: sliding AND of validity over nwin positions
+    wlive = window_min(valid.astype(jnp.uint8), nwin) > 0
+    # position i is selected iff s[i] equals the min of some LIVE window
+    # that contains i and s[i] is the leftmost occurrence of that min in
+    # the window. Leftmost-tie handling: compare against a "strictly
+    # less to the left within nwin-1" sliding min of prior positions.
     n = s.shape[-1]
-    nw = wmin.shape[-1]
     # windows j = max(0, i-nwin+1) .. min(i, nw-1) contain position i
-    sel = jnp.zeros_like(valid)
-    # expand wmin back: position i selected if any j with wmin[j]==s[i]
+    # expand wmin back: position i selected if any LIVE j with
+    # wmin[j]==s[i] (out-of-range / dead windows contribute nothing)
     hit = jnp.zeros_like(valid)
     for d in range(nwin):
         # window starting at i-d contains i (needs 0 <= i-d < nw)
         shifted = _shift_right(wmin, d, n)
-        hit = hit | (shifted == s)
+        live = _shift_right(wlive, d, n)
+        hit = hit | (live & (shifted == s))
     # leftmost tie-break: no equal value within the previous nwin-1 slots
     prev_eq = jnp.zeros_like(valid)
     for d in range(1, nwin):

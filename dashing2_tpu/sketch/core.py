@@ -127,6 +127,10 @@ def _fused_oph_fn(hkw_items: tuple, m: int, seed: int, want_counts: bool,
         else:
             r, c = SK.oph_sketch_rows_dense(hashed, valid, m=m, seed=seed,
                                             want_counts=want_counts)
+        if not want_counts:
+            # don't ship the all-zero counts half: device->host pulls are
+            # the drain bottleneck on a tunnel-backed chip
+            return r
         return jnp.concatenate([r, c.astype(jnp.uint64)], axis=1)
     return f
 
@@ -378,7 +382,10 @@ def sketch_fastx(opts: Dashing2Options, groups: Sequence[str],
 
     `groups`: one item per entry; an entry may contain several
     space-separated paths sketched jointly (d2.h:52-71)."""
-    if opts.cache_sketches and not opts.parse_by_seq:
+    if opts.cache_sketches and not opts.parse_by_seq \
+            and opts.sspace != SketchSpace.SPACE_EDIT_DISTANCE:
+        # edit-distance space bypasses the cache: exact comparisons need
+        # the sequences themselves, which no cache artifact stores
         return _sketch_fastx_cached(opts, groups, chunk_len, rows_per_batch)
     return _sketch_fastx_core(opts, groups, chunk_len, rows_per_batch)
 
@@ -391,6 +398,19 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
     from ..enums import KmerSketchResultType as KR
     m = opts.sketchsize
     kres = opts.kmer_result
+    # register dtype of signature caches: f64 OPH/CSetSketch registers,
+    # or the quantized width for compressed direct sketching (the cache
+    # key carries a/b/fd so widths never cross files — io/cache.makedest)
+    sig_dt = np.float64
+    if opts.sketch_compressed_set:
+        sig_dt = {0.5: np.uint8, 1.0: np.uint8, 2.0: np.uint16,
+                  4.0: np.uint32, 8.0: np.uint64}[opts.fd_level]
+    # --save-kmers/--save-kmercounts: per-item k-mer artifacts ride the
+    # cache too (fastxsketch.cpp:461-524 writes .kmer/.kmercounts files);
+    # a signature cache without its k-mer artifact is a MISS, or cached
+    # items would carry all-zero k-mer rows into the eq-count engines
+    want_kmers = (kres == KR.ONE_PERM
+                  and (opts.save_kmers or opts.save_kmercounts))
     dests = [makedest(opts, g) for g in groups]
     loaded: dict = {}
     for i, dest in enumerate(dests):
@@ -398,10 +418,22 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
             continue
         try:
             if kres in (KR.ONE_PERM, KR.FULL_SETSKETCH):
-                card, regs = formats.read_sketch_cache(dest)
+                card, regs = formats.read_sketch_cache(dest, dtype=sig_dt)
                 if len(regs) != m:
                     continue  # corrupted/size-mismatched: resketch
-                loaded[i] = ("sig", card, regs)
+                kk = cc = None
+                if want_kmers:
+                    if opts.save_kmers:
+                        kk = np.fromfile(dest + ".kmers.u64",
+                                         dtype=np.uint64)
+                        if len(kk) != m:
+                            continue
+                    if opts.save_kmercounts:
+                        cc = np.fromfile(dest + ".kmercounts.f32",
+                                         dtype=np.float32)
+                        if len(cc) != m:
+                            continue
+                loaded[i] = ("sig", card, (regs, kk, cc))
             elif kres == KR.FULL_MMER_SET:
                 kmers = np.fromfile(dest, dtype=np.uint64)
                 loaded[i] = ("set", float(len(kmers)), kmers)
@@ -425,10 +457,10 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
     n = len(groups)
     res.cardinalities = np.zeros(n, np.float64)
     if kres in (KR.ONE_PERM, KR.FULL_SETSKETCH):
-        res.signatures = np.zeros((n, m), np.float64)
-        if sub.kmers is not None:
+        res.signatures = np.zeros((n, m), sig_dt)
+        if want_kmers and opts.save_kmers:
             res.kmers = np.zeros((n, m), np.uint64)
-        if sub.kmercounts is not None:
+        if want_kmers and opts.save_kmercounts:
             res.kmercounts = np.zeros((n, m), np.float32)
     elif kres in (KR.FULL_MMER_SET, KR.FULL_MMER_COUNTDICT):
         res.kmer_sets = [None] * n
@@ -441,8 +473,14 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
         if i in loaded:
             kind, card, payload = loaded[i]
             res.cardinalities[i] = card
+            res.destination_files.append(dests[i])
             if kind == "sig":
-                res.signatures[i] = payload
+                regs, kk, cc = payload
+                res.signatures[i] = regs
+                if kk is not None:
+                    res.kmers[i] = kk
+                if cc is not None:
+                    res.kmercounts[i] = cc
             elif kind == "set":
                 res.kmer_sets[i] = payload
             elif kind == "dict":
@@ -470,6 +508,10 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                 if kres in (KR.ONE_PERM, KR.FULL_SETSKETCH):
                     formats.write_sketch_cache(dest, res.cardinalities[i],
                                                res.signatures[i])
+                    if want_kmers and opts.save_kmers:
+                        res.kmers[i].tofile(dest + ".kmers.u64")
+                    if want_kmers and opts.save_kmercounts:
+                        res.kmercounts[i].tofile(dest + ".kmercounts.f32")
                 elif kres == KR.FULL_MMER_SET:
                     res.kmer_sets[i].tofile(dest)
                 elif kres == KR.FULL_MMER_COUNTDICT:
@@ -621,17 +663,19 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                 by_shape: dict = {}
                 for p, bids in inflight:
                     by_shape.setdefault(p.shape, []).append((p, bids))
+                zrow = np.zeros(m, np.uint32)
                 for group in by_shape.values():
                     packed = np.asarray(jnp.stack([p for p, _ in group]))
                     for b, (_, bids) in enumerate(group):
                         r = packed[b, :, :m]
-                        c = packed[b, :, m:].astype(np.uint32)
+                        c = (packed[b, :, m:].astype(np.uint32)
+                             if want_counts else None)
                         for row, item_id in enumerate(bids):
                             if item_id < 0:
                                 continue
                             regs[item_id], counts[item_id] = _merge_oph(
                                 regs[item_id], counts[item_id],
-                                r[row], c[row])
+                                r[row], c[row] if c is not None else zrow)
                 inflight.clear()
 
             # dispatch-ahead window: more overlap but each in-flight
@@ -658,8 +702,13 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                 r, c = SK.oph_sketch_segments(
                     hashed.reshape(-1), flat_valid, flat_ids,
                     nseqs=n, m=m, seed=H.OPH_DEFAULT_SEED)
-                regs, counts = _merge_oph(regs, counts, np.asarray(r),
-                                          np.asarray(c))
+                # write back IN PLACE: rebinding would silently replace
+                # the sig_ram_limit memmap backing with in-RAM np.where
+                # outputs after the first batch
+                mr, mc = _merge_oph(regs, counts, np.asarray(r),
+                                    np.asarray(c))
+                regs[:] = mr
+                counts[:] = mc
         res.cardinalities = SK.oph_cardinality(regs)
         # log-transform in row blocks into a RAM-or-memmap matrix so peak
         # temp memory stays bounded for huge N (mm::vector semantics)
@@ -860,10 +909,16 @@ def _filterset_array(opts: Dashing2Options) -> Optional[np.ndarray]:
     sub = dataclasses.replace(opts, filterset_path="",
                               kmer_downsample_frac=1.0)
     hashes: List[np.ndarray] = []
+    # chunk geometry must match _iter_chunk_batches: spaced seeds widen
+    # the k-mer SPAN, and halos/ownership are span-based — using k here
+    # would shift the column<->base alignment under --spacing
+    fs_spacing = (K.parse_spacing(sub.spacing, sub.k)
+                  if sub.spacing else None)
+    fs_span = (fs_spacing[-1] + 1) if fs_spacing else sub.k
     for _, seq in fastx.read_fastx(opts.filterset_path):
         codes = K.encode_ascii(seq, opts.alphabet)
-        chunks, _ = K.chunk_codes([codes], sub.k, chunk_len=1 << 15,
-                                  w=sub.w if sub.w > sub.k else 0)
+        chunks, _ = K.chunk_codes([codes], fs_span, chunk_len=1 << 15,
+                                  w=sub.w if sub.w > fs_span else 0)
         h, v = _hash_chunk_batch(jnp.asarray(chunks),
                                  jnp.zeros(1, jnp.uint64),
                                  use_filterset=False,

@@ -39,6 +39,61 @@ def test_cache_roundtrip_identical_results(fixtures, tmp_path):
     assert np.array_equal(a, np.fromfile(out3, np.float32))
 
 
+def test_cache_compressed_registers_roundtrip(fixtures, tmp_path):
+    """--cache with compressed direct sketching (--fastcmp N --setsketch
+    path) must store/reload the QUANTIZED register dtype, not f64
+    (regression: the wrapper allocated f64 and fed float 'compressed'
+    registers to the width-dispatched engines)."""
+    from dashing2_tpu.config import Dashing2Options
+    from dashing2_tpu.enums import KmerSketchResultType
+    from dashing2_tpu.sketch.core import sketch_fastx
+    for fd, dt in ((1.0, np.uint8), (8.0, np.uint64)):
+        opts = dict(k=21, sketchsize=128, cache_sketches=True,
+                    kmer_result=KmerSketchResultType.FULL_SETSKETCH,
+                    fd_level=fd, compressed_a=0.02,
+                    compressed_b=1.0006 if fd == 8.0 else 1.06,
+                    outprefix=str(tmp_path))
+        r1 = sketch_fastx(Dashing2Options(**opts), fixtures[:3])
+        assert r1.signatures.dtype == dt
+        r2 = sketch_fastx(Dashing2Options(**opts), fixtures[:3])  # hits
+        assert r2.signatures.dtype == dt
+        assert np.array_equal(np.asarray(r1.signatures),
+                              np.asarray(r2.signatures))
+        assert np.allclose(r1.cardinalities, r2.cardinalities)
+    # CLI byte-compare through --setsketch-ab
+    args = ["sketch", "--full-setsketch", "--setsketch-ab", "0.02,1.06",
+            "--fastcmp", "1", "-k", "21", "-S", "128", "--cache",
+            "--outprefix", str(tmp_path), "--binary-output"]
+    out1, out2 = tmp_path / "ab1.bin", tmp_path / "ab2.bin"
+    assert run_cli(args + ["--cmpout", str(out1)] + fixtures[:3]) == 0
+    assert run_cli(args + ["--cmpout", str(out2)] + fixtures[:3]) == 0
+    assert np.array_equal(np.fromfile(out1, np.float32),
+                          np.fromfile(out2, np.float32))
+
+
+def test_cache_save_kmers_roundtrip(fixtures, tmp_path):
+    """--cache + --save-kmers/--save-kmercounts: cached items must carry
+    their k-mer ids (regression: cache hits produced all-zero kmer rows,
+    and all-hit runs dropped res.kmers entirely)."""
+    from dashing2_tpu.config import Dashing2Options
+    from dashing2_tpu.sketch.core import sketch_fastx
+
+    def mk():
+        return Dashing2Options(k=21, sketchsize=128, cache_sketches=True,
+                               save_kmers=True, save_kmercounts=True,
+                               outprefix=str(tmp_path))
+    r1 = sketch_fastx(mk(), fixtures[:3])
+    assert r1.kmers is not None and r1.kmercounts is not None
+    assert len(r1.destination_files) == 3
+    r2 = sketch_fastx(mk(), fixtures[:3])       # all cache hits
+    assert r2.kmers is not None and r2.kmercounts is not None
+    assert np.array_equal(r1.kmers, r2.kmers)
+    assert np.array_equal(r1.kmercounts, r2.kmercounts)
+    assert np.array_equal(r1.signatures, r2.signatures)
+    assert len(r2.destination_files) == 3       # hits report dests too
+    assert (r2.kmers != 0).any()
+
+
 def test_cache_exact_sets(fixtures, tmp_path):
     args = ["sketch", "--set", "-k", "21", "--cache",
             "--outprefix", str(tmp_path), "--binary-output"]

@@ -79,18 +79,87 @@ def test_protein_alphabets_pack():
 
 
 def test_chunking_covers_all_kmers_exactly_once():
+    """Chunked extraction + the PRODUCTION ownership mask must emit each
+    k-mer exactly once (multiset equality with per-sequence extraction).
+    The mask is applied here exactly as _hash_chunk_batch does — an
+    earlier version of this test skipped it and missed an ownership bug
+    that dropped k-1 k-mers at every chunk boundary."""
     rng = np.random.default_rng(3)
     k = 11
+    cl = 256
     seqs = ["".join(rng.choice(list("ACGT"), size=n)) for n in (50, 300, 997)]
     code_arrays = [K.encode_ascii(s.encode(), Alphabet.DNA) for s in seqs]
-    chunks, _ = K.chunk_codes(code_arrays, k=k, chunk_len=256)
+    chunks, _ = K.chunk_codes(code_arrays, k=k, chunk_len=cl)
     km, valid = K.dna_kmer_codes(jnp.asarray(chunks), k, False)
-    got = np.asarray(km)[np.asarray(valid)]
+    lo, hi = K.owned_kmer_range(k, 0, cl)
+    pos = np.arange(km.shape[-1])
+    owned = np.asarray(valid) & (pos >= lo) & (pos < hi)
+    got = np.asarray(km)[owned]
     want = []
     for s in seqs:
         want.extend(v for v in ref_kmers(s, k, False) if v is not None)
     # multiset equality
     assert sorted(got.tolist()) == sorted(want)
+
+
+def test_sketch_chunk_size_invariance(tmp_path):
+    """End-to-end: sketches and exact k-mer sets must not depend on the
+    chunk length (regression: k-1 k-mers per interior chunk boundary
+    were dropped by the ownership mask for sequences > chunk_len)."""
+    from dashing2_tpu.config import Dashing2Options
+    from dashing2_tpu.enums import KmerSketchResultType
+    from dashing2_tpu.sketch.core import sketch_fastx
+
+    rng = np.random.default_rng(17)
+    p = str(tmp_path / "long.fa")
+    with open(p, "w") as f:
+        for i in range(2):
+            seq = "".join(rng.choice(list("ACGT"), size=3001 + 700 * i))
+            f.write(f">s{i}\n{seq}\n")
+    ref = None
+    for cl in (4096, 512, 300):
+        opts = Dashing2Options(k=13, sketchsize=64,
+                               kmer_result=KmerSketchResultType.FULL_MMER_SET)
+        res = sketch_fastx(opts, [p], chunk_len=cl)
+        kset = np.asarray(res.kmer_sets[0])
+        opts2 = Dashing2Options(k=13, sketchsize=64)
+        res2 = sketch_fastx(opts2, [p], chunk_len=cl)
+        sigs = np.asarray(res2.signatures)
+        if ref is None:
+            ref = (kset, sigs)
+        else:
+            assert np.array_equal(ref[0], kset), cl
+            assert np.array_equal(ref[1], sigs), cl
+
+
+def test_minimizer_selection_chunk_invariant():
+    """w>k selection through the production chunk geometry + ownership
+    mask must equal the unchunked computation, including sequences with
+    interior N-runs (regression: pad windows at sequence edges selected
+    extra minimizers; windows are live only when ALL their k-mers are
+    valid — the streaming reset semantics)."""
+    rng = np.random.default_rng(45)
+    for k, w, cl, L, withN in ((7, 12, 64, 500, False),
+                               (7, 12, 64, 500, True),
+                               (11, 31, 128, 1000, True)):
+        seq = list(rng.choice(list("ACGT"), size=L))
+        if withN:
+            for p in rng.integers(0, L, size=L // 40):
+                seq[p] = "N"
+        codes = K.encode_ascii("".join(seq).encode(), Alphabet.DNA)
+        km, valid = K.dna_kmer_codes(jnp.asarray(codes)[None, :], k, False)
+        un = set(np.nonzero(
+            np.asarray(K.minimizer_mask(km, valid, k, w))[0])[0].tolist())
+        chunks, _ = K.chunk_codes([codes], k, chunk_len=cl, w=w)
+        kmc, vc = K.dna_kmer_codes(jnp.asarray(chunks), k, False)
+        selc = np.asarray(K.minimizer_mask(kmc, vc, k, w))
+        lo, hi = K.owned_kmer_range(k, w, cl)
+        pos = np.arange(kmc.shape[-1])
+        owned = selc & (pos >= lo) & (pos < hi)
+        ch = set(r * cl + (int(j) - lo)
+                 for r in range(chunks.shape[0])
+                 for j in np.nonzero(owned[r])[0])
+        assert ch == un, (k, w, sorted(ch ^ un))
 
 
 def test_window_minimizers_match_naive():

@@ -235,8 +235,13 @@ def test_fused_oph_step_matches_unfused():
         r, c = SK.oph_sketch_rows(hashed, valid, m=m,
                                   seed=H.OPH_DEFAULT_SEED,
                                   want_counts=want_counts)
-        ref = np.concatenate([np.asarray(r),
-                              np.asarray(c).astype(np.uint64)], axis=1)
+        if want_counts:
+            ref = np.concatenate([np.asarray(r),
+                                  np.asarray(c).astype(np.uint64)], axis=1)
+        else:
+            # the counts half (all zeros) is not shipped: pulls are the
+            # drain bottleneck over a remote chip
+            ref = np.asarray(r)
         assert np.array_equal(out, ref)
 
 
