@@ -10,11 +10,12 @@ self-join) -> batched true-measure refinement on device (measure_pairs)
 (refine.cpp:27-72 semantics) -> CSR or human emit. Setting EXACT_KNN=1 in
 the environment swaps in the brute-force oracle (cmp_core.cpp:777).
 
-Dedup: items ordered by decreasing cardinality; each queries the
-incremental LSH index over cluster representatives, compares against hit
-reps (batched), joins the best rep above the similarity threshold or
-founds a new cluster (dedup_core.cpp:238-322). --exhaustive-dedup ("E"
-suffix) compares against all reps.
+Dedup: LSH mode orders items by decreasing cardinality and resolves
+each against precomputed shared-bucket candidates in batched rounds,
+joining the best rep above the similarity threshold or founding a new
+cluster (dedup_core.cpp:238-322). --exhaustive-dedup ("E" suffix)
+compares every item against all reps in ORIGINAL input order, like the
+reference's exhaustive branch.
 """
 
 from __future__ import annotations
@@ -171,11 +172,8 @@ def emit_neighbors(lists, opts: Dashing2DistOptions,
     data = np.array([x[0] for lst in lists for x in lst], dtype=np.float32)
     out = path if path and path not in ("-", "/dev/stdout") else None
     if out is None:
-        buf = sys.stdout.buffer
-        buf.write(np.array([len(lists), len(indices)], np.uint64).tobytes())
-        buf.write(indptr.tobytes())
-        buf.write(indices.tobytes())
-        buf.write(data.tobytes())
+        formats.write_knn_csr_fileobj(sys.stdout.buffer, indptr, indices,
+                                      data)
     else:
         formats.write_knn_csr(out, indptr, indices, data)
 
@@ -212,11 +210,18 @@ def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
     with a fixed chunk (default 256) are deterministic."""
     n = result.n
     cards = result.cardinalities
-    order = np.argsort(-cards, kind="stable")
+    # LSH mode processes in descending-cardinality order (the reference's
+    # `order` array); the EXHAUSTIVE branch iterates ORIGINAL input order
+    # with no rep swap, exactly like dedup_core.cpp:262-283 (its sorted
+    # order array is unused there)
+    order = (np.arange(n, dtype=np.int64) if opts.exhaustive_dedup
+             else np.argsort(-cards, kind="stable"))
     simt = opts.min_similarity if opts.min_similarity > 0 else 0.9
     isdist = measure_is_distance(opts.measure)
     maxcands = default_candidates(n, opts.maxcand)
-    chunk = int(os.environ.get("DASHING2_TPU_DEDUP_CHUNK", 256))
+    # user-facing env knob: clamp so 0/negative can't crash range() or
+    # silently produce an empty clustering
+    chunk = max(1, int(os.environ.get("DASHING2_TPU_DEDUP_CHUNK", 256)))
     ids: List[int] = []
     constituents: List[List[int]] = []
     nbr_ids: List[np.ndarray] = []
@@ -251,6 +256,12 @@ def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
                 nbr_ids[int(items[s])] = nbrs[s:e]
 
     def _passes(v: float) -> bool:
+        # DOCUMENTED DEVIATION (README "dedup under distance measures"):
+        # join when the best distance is BELOW the threshold. The
+        # reference's `mult * best < simt` founds a new cluster when the
+        # distance is small and joins when it is large
+        # (dedup_core.cpp:136,276 — the mult sign makes distance joins
+        # inverted), which clusters maximally-dissimilar items together.
         return (v < simt) if isdist else (v >= simt)
 
     for cs in range(0, n, chunk):
@@ -322,7 +333,12 @@ def dedup_core(opts: Dashing2DistOptions, result: SketchingResult,
                     best_v, best_cid = v, newrep[q]
             if best_v is not None and _passes(best_v):
                 constituents[best_cid].append(oid)
-                if cards[oid] > cards[ids[best_cid]]:
+                # highest-cardinality rep defense (dedup_core.cpp:166-169;
+                # unreachable under the sorted LSH order, kept to mirror
+                # the reference's unsorted-parallel-arrival guard). The
+                # reference's exhaustive branch never swaps.
+                if not opts.exhaustive_dedup \
+                        and cards[oid] > cards[ids[best_cid]]:
                     constituents[best_cid][-1] = ids[best_cid]
                     ids[best_cid] = oid
             else:

@@ -40,6 +40,28 @@ def lsh_table_shapes(nLSH: int, m: int) -> Tuple[List[int], List[int]]:
     return nperhashes, nperrows
 
 
+def _expand_runs(payload: np.ndarray, starts: np.ndarray,
+                 lens: np.ndarray, cap: int) -> np.ndarray:
+    """All within-run (min, max) payload pairs over run-length segments
+    of a sorted stream, runs truncated at `cap`, expansion grouped by
+    run length (no per-bucket Python loop — SURVEY P9). Returns an
+    (npairs, 2) int64 array, possibly empty. candidate_pairs keeps an
+    inline variant of this loop because its per-item saturation counts
+    must accumulate in the historical per-length-group order."""
+    big = lens >= 2
+    starts, lens = starts[big], np.minimum(lens[big], cap)
+    chunks = []
+    for L in np.unique(lens):
+        s_l = starts[lens == L]
+        x, y = np.triu_indices(int(L), k=1)
+        a = payload[s_l[:, None] + x[None, :]].reshape(-1)
+        b = payload[s_l[:, None] + y[None, :]].reshape(-1)
+        chunks.append(np.stack([np.minimum(a, b), np.maximum(a, b)], 1))
+    if not chunks:
+        return np.zeros((0, 2), np.int64)
+    return np.concatenate(chunks)
+
+
 def _group_indices(m: int, g: int, nsub: int, table_idx: int) -> np.ndarray:
     """(nsub, g) register indices per subtable: contiguous groups while
     they fit, then wyhash-sampled groups (ssi.h:379-392 fallback)."""
@@ -100,7 +122,9 @@ def cap_per_item(ia: np.ndarray, ib: np.ndarray, counts: np.ndarray,
 @dataclasses.dataclass
 class LSHIndex:
     """Precomputed keys (dense form, for all-pairs candidate generation)
-    plus incremental dict buckets (for greedy dedup insertion)."""
+    plus an incremental insert/query interface mirroring ssi.h's
+    update/query API (kept for API parity and tested; the production
+    dedup/KNN paths use the batched candidate_pairs joins instead)."""
 
     m: int
     nperhashes: List[int]
@@ -240,23 +264,13 @@ class LSHIndex:
             own = (np.arange(len(starts)) % column_shard[1]
                    == column_shard[0])
             starts, lens = starts[own], lens[own]
-        big = lens >= 2
-        starts, lens = starts[big], np.minimum(lens[big], bucket_cap)
-        chunks = []
-        for L in np.unique(lens):
-            s_l = starts[lens == L]
-            x, y = np.triu_indices(int(L), k=1)
-            a = so[s_l[:, None] + x[None, :]].reshape(-1)
-            b = so[s_l[:, None] + y[None, :]].reshape(-1)
-            # owners sorted within a run -> a < b already, but keep the
-            # normalization for safety with duplicate hashes per item
-            chunks.append(np.stack([np.minimum(a, b),
-                                    np.maximum(a, b)], 1))
-        if not chunks:
+        # owners sorted within a run -> a < b already, but _expand_runs
+        # normalizes anyway (safe with duplicate hashes per item)
+        allp = _expand_runs(so, starts, lens, bucket_cap)
+        allp = allp[allp[:, 0] != allp[:, 1]]
+        if not len(allp):
             return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                     np.zeros(0, np.int64))
-        allp = np.concatenate(chunks)
-        allp = allp[allp[:, 0] != allp[:, 1]]
         if not len(allp):
             return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                     np.zeros(0, np.int64))
@@ -268,7 +282,8 @@ class LSHIndex:
         return cap_per_item(ia, ib, counts, max_per_item)
 
     # ------------------------------------------------------------------
-    # incremental interface (greedy dedup)
+    # incremental interface (ssi.h update/query API parity; production
+    # dedup uses the batched candidate joins in cmp/graph.dedup_core)
     # ------------------------------------------------------------------
     def _ensure_buckets(self):
         if self.buckets is None:
@@ -354,16 +369,16 @@ class LSHIndex:
         else:
             cols = []  # flattened (cell_id, key) streams per table
             pos = []
+            keyparts = []
             base = 0
-            for t, keys in enumerate(self.keys):
-                sub = keys[items]                 # (C, nsub)
-                nsub = sub.shape[1]
+            for keys in self.keys:
+                nsub = keys.shape[1]
+                keyparts.append(keys[items].reshape(-1))  # ONE gather
                 cols.append((np.tile(np.arange(nsub, dtype=np.int64), C)
                              + base))
                 base += nsub
                 pos.append(np.repeat(np.arange(C, dtype=np.int64), nsub))
-            keyflat = np.concatenate([k[items].reshape(-1)
-                                      for k in self.keys])
+            keyflat = np.concatenate(keyparts)
             cellflat = np.concatenate(cols)
             posflat = np.concatenate(pos)
             order = np.lexsort((posflat, keyflat, cellflat))
@@ -374,19 +389,9 @@ class LSHIndex:
                                   | (sc[1:] != sc[:-1])])
             starts = np.nonzero(brk)[0]
             lens = np.diff(np.concatenate([starts, [len(sk)]]))
-            big = lens >= 2
-            starts, lens = starts[big], np.minimum(lens[big], bucket_cap)
-            chunks = []
-            for L in np.unique(lens):
-                s_l = starts[lens == L]
-                x, y = np.triu_indices(int(L), k=1)
-                a = sp[s_l[:, None] + x[None, :]].reshape(-1)
-                b = sp[s_l[:, None] + y[None, :]].reshape(-1)
-                chunks.append(np.stack([np.minimum(a, b),
-                                        np.maximum(a, b)], 1))
-            if not chunks:
+            allp = _expand_runs(sp, starts, lens, bucket_cap)
+            if not len(allp):
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
-            allp = np.concatenate(chunks)
         codes = np.unique(allp[:, 0] * C + allp[:, 1])
         return codes // C, codes % C
 
@@ -399,15 +404,24 @@ class LSHIndex:
     def save(self, path: str) -> None:
         """Write the index to a gzip file: shape params, per-table group
         indices, and the dense key matrices (the buckets rebuild from
-        keys on load, so incremental state round-trips too)."""
+        keys on load, so incremental state round-trips too). Bottom-k
+        mode serializes the ragged per-item hash lists instead."""
         import gzip
         import struct
         with gzip.open(path, "wb") as f:
             f.write(self._MAGIC)
             nt = len(self.keys)
             N = self.keys[0].shape[0] if nt else 0
+            if self.bottomk_mode:
+                N = len(self._bottomk)
             f.write(struct.pack("<qqqq", self.m, nt, N,
                                 int(self.bottomk_mode)))
+            if self.bottomk_mode:
+                sizes = np.array([len(h) for h in self._bottomk], np.int64)
+                f.write(sizes.tobytes())
+                for h in self._bottomk:
+                    f.write(np.ascontiguousarray(h, np.uint64).tobytes())
+                return
             for t in range(nt):
                 g, ns = self.nperhashes[t], self.nperrows[t]
                 f.write(struct.pack("<qq", g, ns))
@@ -423,7 +437,15 @@ class LSHIndex:
         with gzip.open(path, "rb") as f:
             if f.read(8) != cls._MAGIC:
                 raise ValueError(f"{path}: not a dashing2-tpu LSH index")
-            m, nt, N, _bk = struct.unpack("<qqqq", f.read(32))
+            m, nt, N, bk = struct.unpack("<qqqq", f.read(32))
+            if bk:
+                sizes = np.frombuffer(f.read(8 * N), np.int64)
+                bottomk = [np.frombuffer(f.read(8 * int(s)), np.uint64
+                                         ).copy() for s in sizes]
+                idx = cls(m=m, nperhashes=[], nperrows=[],
+                          group_indices=[], keys=[], bottomk_mode=True)
+                idx._bottomk = bottomk
+                return idx
             nperhashes, nperrows, gidx, keys = [], [], [], []
             for _ in range(nt):
                 g, ns = struct.unpack("<qq", f.read(16))

@@ -192,15 +192,22 @@ def read_mmer_sequences(path: str):
 # Sparse neighbor graphs (KNN / threshold) in CSR
 # ----------------------------------------------------------------------
 
-def write_knn_csr(path: str, indptr: np.ndarray, indices: np.ndarray,
-                  data: np.ndarray) -> None:
+def write_knn_csr_fileobj(f, indptr: np.ndarray, indices: np.ndarray,
+                          data: np.ndarray) -> None:
+    """CSR layout to an open binary file object (shared by the file and
+    stdout emit paths so the two can never diverge)."""
     nids = len(indptr) - 1
     nnz = len(indices)
+    f.write(np.array([nids, nnz], dtype=np.uint64).tobytes())
+    f.write(np.ascontiguousarray(indptr, dtype=np.uint64).tobytes())
+    f.write(np.ascontiguousarray(indices, dtype=np.uint32).tobytes())
+    f.write(np.ascontiguousarray(data, dtype=np.float32).tobytes())
+
+
+def write_knn_csr(path: str, indptr: np.ndarray, indices: np.ndarray,
+                  data: np.ndarray) -> None:
     with open(path, "wb") as f:
-        np.array([nids, nnz], dtype=np.uint64).tofile(f)
-        np.ascontiguousarray(indptr, dtype=np.uint64).tofile(f)
-        np.ascontiguousarray(indices, dtype=np.uint32).tofile(f)
-        np.ascontiguousarray(data, dtype=np.float32).tofile(f)
+        write_knn_csr_fileobj(f, indptr, indices, data)
 
 
 def read_knn_csr(path: str):

@@ -84,6 +84,61 @@ def test_lsh_index_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(idx.query(1, 8), idx2.query(1, 8))
 
 
+def test_lsh_index_save_load_bottomk(tmp_path):
+    """Bottom-k (exact-mode) indexes must round-trip their ragged
+    per-item hash lists (regression: save wrote only the flag and load
+    returned an empty non-bottomk index — every query silently yielded
+    zero candidates)."""
+    rng = np.random.default_rng(6)
+    bk = [np.unique(rng.integers(0, 500, size=rng.integers(3, 30))
+                    .astype(np.uint64)) for _ in range(25)]
+    idx = LSHIndex.build(np.zeros((0, 0)), nLSH=3, bottomk=bk)
+    p = str(tmp_path / "bk.lsh.gz")
+    idx.save(p)
+    idx2 = LSHIndex.load(p)
+    assert idx2.bottomk_mode
+    assert len(idx2._bottomk) == len(bk)
+    for a, b in zip(idx._bottomk, idx2._bottomk):
+        np.testing.assert_array_equal(a, b)
+    ia, ib, c = idx.candidate_pairs(max_per_item=5)
+    ia2, ib2, c2 = idx2.candidate_pairs(max_per_item=5)
+    assert len(ia) > 0
+    np.testing.assert_array_equal(ia, ia2)
+    np.testing.assert_array_equal(ib, ib2)
+    np.testing.assert_array_equal(c, c2)
+    idx.insert(0, 0)
+    idx2.insert(0, 0)
+    np.testing.assert_array_equal(idx.query(1, 8), idx2.query(1, 8))
+
+
+def test_dedup_exhaustive_matches_reference_order():
+    """--exhaustive-dedup iterates ORIGINAL input order with no rep
+    swap (dedup_core.cpp:262-283 ignores its sorted order array): with
+    A (small card) before B (large card) mutually similar, A founds
+    Cluster-0 and stays its representative."""
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.cmp.graph import dedup_core
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.result import SketchingResult
+
+    rng = np.random.default_rng(3)
+    m = 64
+    base = rng.random(m) + 0.01
+    b_regs = base.copy()
+    b_regs[:4] = rng.random(4) + 0.01      # B: 60/64 registers equal A's
+    sigs = np.stack([base, b_regs,
+                     rng.random(m) + 0.01])            # C (dissimilar)
+    res = SketchingResult(names=["A", "B", "C"])
+    res.signatures = sigs
+    res.cardinalities = np.array([5.0, 50.0, 7.0])
+    opts = Dashing2DistOptions(k=31, sketchsize=m, exhaustive_dedup=True,
+                               min_similarity=0.5)
+    creps, res = C._prep(opts, res)
+    ids, cons = dedup_core(opts, res, creps)
+    assert ids[0] == 0, (ids, cons)          # A founded first, stays rep
+    assert 1 in cons[0]                      # B joined A's cluster
+
+
 def test_native_row_formatter_roundtrip():
     import numpy as np
     from dashing2_tpu.io.emitters import _fmt_row
