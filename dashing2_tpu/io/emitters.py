@@ -85,7 +85,6 @@ def emit_rectangular(opts: Dashing2DistOptions, result: SketchingResult,
     names = result.names
     n = result.n if names else len(result.cardinalities)
     nq = result.nqueries()
-    nf = n - nq
     kind = opts.output_kind
     f = _open_out(opts.outfile_path)
     close = f is not sys.stdout.buffer
@@ -106,7 +105,9 @@ def emit_rectangular(opts: Dashing2DistOptions, result: SketchingResult,
                 f.write(f"#Dashing2 {label} Output\n".encode())
                 f.write(f"#Dashing2Options: {_opts_str(opts)}\n".encode())
                 f.write(b"#Sources")
-                end = n if kind != OutputKind.PANEL else n
+                # emitrect.cpp:143 — names when present, else nqueries()
+                # E{i} placeholders (empty-names loads list only queries)
+                end = len(names) if names else nq
                 for i in range(end):
                     nm = names[i] if i < len(names) and names[i] else f"E{i}"
                     f.write(("\t" + nm).encode())
@@ -119,9 +120,8 @@ def emit_rectangular(opts: Dashing2DistOptions, result: SketchingResult,
                     if len(nm) < 9:
                         nm = nm + " " * (9 - len(nm))
                     row = [nm]
-                    if kind == OutputKind.PANEL:
-                        vals = mat[bi]
-                    elif kind == OutputKind.ASYMMETRIC_ALL_PAIRS:
+                    if kind in (OutputKind.PANEL,
+                                OutputKind.ASYMMETRIC_ALL_PAIRS):
                         vals = mat[bi]
                     else:
                         if kind == OutputKind.SYMMETRIC_ALL_PAIRS:

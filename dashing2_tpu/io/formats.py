@@ -17,8 +17,9 @@ Each writer/reader pair mirrors one reference format:
   (src/sketch_core.cpp:109-128).
 * KNN / threshold CSR: u64 nids, u64 nnz, u64 indptr[nids+1],
   u32 indices[nnz], f32 data[nnz] (src/emitnn.cpp:5-47).
-* Dedup clustering CSR: u64 nclusters, u64 nsets, u64 indptr[nclusters],
-  u32 indices (python/parse.py::parse_binary_clustering).
+* Dedup clustering CSR: u64 nclusters, u64 nnz, u64
+  indptr[nclusters+1], u32 indices[nnz] (src/dedup_core.cpp:435-448;
+  reader python/parse.py::parse_binary_clustering).
 * Binary distance matrices: raw row-major f32 (condensed upper triangle
   for symmetric all-pairs) (src/emitrect.cpp:370-399).
 * Contain output: u64 nref, u64 nq, f32 coverage[nq*nref],
@@ -27,18 +28,13 @@ Each writer/reader pair mirrors one reference format:
 
 from __future__ import annotations
 
-import io as _io
 import os
 from dataclasses import dataclass
-from typing import BinaryIO, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
 from ..enums import Alphabet
-
-
-def _open_w(path) -> BinaryIO:
-    return open(path, "wb") if not hasattr(path, "write") else path
 
 
 # ----------------------------------------------------------------------
@@ -65,16 +61,18 @@ def write_stacked_signatures(path: str, cardinalities: np.ndarray,
         write_names_file(path + ".names.txt", names, cards, kmercountfiles)
 
 
-def read_stacked_signatures(path: str, dtype=np.float64
-                            ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (cardinalities (n,), signatures (n, m))."""
+def read_stacked_signatures(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (cardinalities (n,), signatures (n, m)). The register
+    dtype is inferred from the stored-width/sketchsize ratio like the
+    reference's parse.py:71-73 — full-width (ratio 1) registers are
+    returned as f64 (RegT), narrower widths as the matching uint."""
     dat = np.memmap(path, np.uint8, mode="r")
     nseqs, sketchsize = (int(x) for x in dat[:16].view(np.uint64))
     cards = np.array(dat[16:16 + 8 * nseqs].view(np.float64))
     sigs = np.array(dat[16 + 8 * nseqs:].view(np.float64)).reshape(nseqs, -1)
     sigmul = sketchsize // sigs.shape[1]
     if sigmul != 1:
-        sigs = sigs.view({2: np.uint32, 1: np.uint64, 4: np.uint16,
+        sigs = sigs.view({2: np.uint32, 4: np.uint16,
                           8: np.uint8}[sigmul])
     return cards, sigs
 
@@ -226,15 +224,18 @@ def read_knn_csr(path: str):
 
 def write_clustering(path: str, clusters: Sequence[np.ndarray],
                      nsets: int) -> None:
-    """nclusters, nsets, indptr (nclusters entries: reference writes
-    nclusters indptr values then indices; see parse_binary_clustering)."""
+    """u64 [nclusters, nnz] header, u64 indptr (nclusters + 1 entries),
+    u32 indices — dedup_core.cpp:435-448 layout (the second header word
+    is nnz == indptr.back(), which equals nsets only when the clusters
+    partition every input item)."""
+    del nsets   # kept in the signature for call-site clarity
     indptr = np.zeros(len(clusters) + 1, dtype=np.uint64)
     for i, c in enumerate(clusters):
         indptr[i + 1] = indptr[i] + len(c)
     indices = (np.concatenate([np.asarray(c) for c in clusters])
                if clusters else np.empty(0))
     with open(path, "wb") as f:
-        np.array([len(clusters), nsets], dtype=np.uint64).tofile(f)
+        np.array([len(clusters), indptr[-1]], dtype=np.uint64).tofile(f)
         indptr.tofile(f)
         np.ascontiguousarray(indices, dtype=np.uint32).tofile(f)
 

@@ -14,9 +14,12 @@ a new first-class component designed TPU-first:
 * the N×N comparison runs as device-owned row blocks against the
   replicated register matrix (jax shard_map over the global mesh — XLA
   inserts the collectives), each host emitting its own row range;
-* outputs are written per-host as row-major blocks: the binary formats
-  (§1.1) are flat row-major f32, so per-host files concatenate into the
-  single-node artifact byte-for-byte.
+* outputs are written per-host as FULL row-major f32 blocks
+  (<out>.rows.<host>): concatenating them yields the complete row-major
+  N x N (or N x nq) matrix. Note this is NOT the single-node `-o`
+  binary artifact for symmetric jobs — that one stores the condensed
+  upper triangle (io/formats.py) — it is the distributed layout, each
+  pair appearing in both its rows.
 
 Single-process use (tests, one machine) works unchanged: the mesh is
 whatever `jax.devices()` offers, and `init_distributed` is a no-op
@@ -66,10 +69,11 @@ def shard_paths(paths: Sequence[str], process_index: int,
     def size_of(group: str) -> int:
         tot = 0
         for p in group.split():
-            try:
-                tot += os.path.getsize(p)
-            except OSError:
-                pass
+            # fail LOUDLY: silently treating an unreadable input as size
+            # 0 would let hosts with inconsistent filesystem views (NFS
+            # lag, permissions) compute DIFFERENT shard assignments —
+            # two hosts sketch the same row, another row stays all-zero
+            tot += os.path.getsize(p)
         return tot
 
     order = sorted(range(len(paths)), key=lambda i: (-size_of(paths[i]), i))
@@ -232,10 +236,11 @@ def distributed_sketch_cmp(opts, groups: Sequence[str],
     matrix -> (optionally) write it as `<outfile>.rows.<lo>-<hi>`.
 
     Returns this host's (rows, N) f32 block. Concatenating the per-host
-    files in row order yields the single-node binary matrix."""
+    files in row order yields the complete ROW-MAJOR matrix (see the
+    module docstring: not the condensed single-node symmetric
+    artifact)."""
     import jax
 
-    from ..cmp.core import measure_pairs, pairwise_matrix  # noqa: F401
     from ..result import SketchingResult
     from ..sketch.core import sketch_fastx
 
