@@ -425,11 +425,21 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
     pw.add_argument("wargs", nargs="*")
     pw.add_argument("-S", "--sketchsize", type=int, default=1024)
     pw.add_argument("-o", "--outfile", default="")
-    pw.add_argument("-P", "--prob", action="store_true")
+    pw.add_argument("-P", "--prob", action="store_true",
+                    help="ProbMinHash (the default; kept for "
+                         "compatibility with earlier versions)")
+    pw.add_argument("-B", "--bagminhash", action="store_true",
+                    help="BagMinHash instead of the default ProbMinHash "
+                         "(reference -B)")
+    pw.add_argument("-q", "--set", dest="setsketch", action="store_true",
+                    help="set semantics: FullSetSketch over the ids, "
+                         "weights ignored (reference -q)")
     pw.add_argument("--u32", action="store_true",
-                    help="ids are 32-bit")
+                    help="ids are 32-bit (reference -u)")
     pw.add_argument("--f32", action="store_true",
-                    help="weights are 32-bit floats")
+                    help="weights are 32-bit floats (reference -f)")
+    pw.add_argument("--indptr32", action="store_true",
+                    help="indptr is u32 (the reference's -P)")
     pcon = sub.add_parser("contain", help="screen queries against a k-mer db")
     _add_shared(pcon)
     ppm = sub.add_parser("printmin", help="print minimizer sequences")

@@ -440,7 +440,10 @@ def brent_find_minima(func, a: float, b: float, bits: int = 24,
     dd = e = 0.0
     for _ in range(maxiter):
         mid = 0.5 * (a + b)
-        tol1 = tol * abs(x) + 1e-300
+        # boost's absolute floor is tolerance/4, NOT a denormal guard:
+        # with a tiny floor the test below can never fire for minima
+        # near x == 0 and every call burns all maxiter evaluations
+        tol1 = tol * abs(x) + tol * 0.25
         tol2 = 2.0 * tol1
         if abs(x - mid) <= tol2 - 0.5 * (b - a):
             break

@@ -65,12 +65,65 @@ def _expand_intervals(intervals: List[Tuple[int, int, int, float]],
         yield items, weights[iid]
 
 
+def _aggregate_key(items: np.ndarray, ws: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sort-aggregate (items, weights) -> (unique sorted items, sums)."""
+    order = np.argsort(items, kind="stable")
+    si, sw = items[order], np.asarray(ws, np.float64)[order]
+    heads = np.concatenate([[True], si[1:] != si[:-1]])
+    gid = np.cumsum(heads) - 1
+    uniq = si[heads]
+    wsum = np.zeros(len(uniq))
+    np.add.at(wsum, gid, sw)
+    return uniq, wsum
+
+
+def _aggregate_stream(slabs: Iterator[Tuple[np.ndarray, np.ndarray]],
+                      compact_at: int = 1 << 24
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact per-item weight sums over an (items, weights) slab stream
+    (Counter semantics) at O(distinct items) memory: each slab is
+    aggregated on arrival and the running parts compact whenever their
+    total length exceeds `compact_at` — overlapping intervals no longer
+    inflate peak memory by the coverage depth."""
+    parts: List[Tuple[np.ndarray, np.ndarray]] = []
+    held = 0
+    for items, w in slabs:
+        if not len(items):
+            continue
+        u, s = _aggregate_key(np.asarray(items, np.uint64), w)
+        parts.append((u, s))
+        held += len(u)
+        if held > compact_at and len(parts) > 1:
+            u, s = _aggregate_key(
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+            parts = [(u, s)]
+            held = len(u)
+    if not parts:
+        return np.zeros(0, np.uint64), np.zeros(0)
+    if len(parts) == 1:
+        return parts[0]
+    return _aggregate_key(np.concatenate([p[0] for p in parts]),
+                          np.concatenate([p[1] for p in parts]))
+
+
 def _sketch_item_stream(opts: Dashing2Options,
                         slabs: Iterator[Tuple[np.ndarray, np.ndarray]]
                         ) -> Tuple[np.ndarray, float]:
     """One (m,) signature row + cardinality from an (item, weight) stream."""
     m = opts.sketchsize
+    ct = opts.count_threshold
     if opts.sspace == SketchSpace.SPACE_SET:
+        if ct > 1:
+            # per-item multiplicity threshold (FullSetSketch(ct, m),
+            # bedsketch.cpp:11 / OPSetSketch::set_mincount,
+            # bwsketch.cpp:81): an item needs >= ct base-updates before
+            # it is admitted to the set — count OCCURRENCES, not weights
+            uniq, cnt = _aggregate_stream(
+                (items, np.ones(len(items))) for items, _w in slabs)
+            uniq = uniq[cnt >= ct]
+            slabs = iter([(uniq, np.ones(len(uniq)))])
         if opts.one_perm:
             regs = np.full((1, m), SK.U64MAX, np.uint64)
             counts = np.zeros((1, m), np.uint32)
@@ -92,26 +145,9 @@ def _sketch_item_stream(opts: Dashing2Options,
         card = float(SK.css_cardinality(regs)) if len(items) else 0.0
         return np.where(np.isfinite(regs), regs, 0.0), card
     # weighted spaces: aggregate exact counts first (Counter semantics)
-    agg: Dict[int, float] = {}
-    totals: List[Tuple[np.ndarray, np.ndarray]] = []
-    for items, w in slabs:
-        totals.append((items, w))
-    if totals:
-        items = np.concatenate([t[0] for t in totals])
-        ws = np.concatenate([t[1] for t in totals])
-        order = np.argsort(items, kind="stable")
-        si = items[order]
-        sw = ws[order]
-        heads = np.concatenate([[True], si[1:] != si[:-1]])
-        gid = np.cumsum(heads) - 1
-        uniq = si[heads]
-        wsum = np.zeros(len(uniq))
-        np.add.at(wsum, gid, sw)
-    else:
-        uniq = np.zeros(0, np.uint64)
-        wsum = np.zeros(0)
-    if opts.count_threshold > 1:
-        keep = wsum >= opts.count_threshold
+    uniq, wsum = _aggregate_stream(slabs)
+    if ct > 1:
+        keep = wsum >= ct
         uniq, wsum = uniq[keep], wsum[keep]
     from .weighted import bagminhash, probminhash
     fn = bagminhash if opts.sspace == SketchSpace.SPACE_MULTISET \
@@ -173,7 +209,7 @@ def sketch_bigwig(opts: Dashing2Options, groups: Sequence[str]
     rows: List[np.ndarray] = []
     cards: List[float] = []
     for group in groups:
-        per_chrom: Dict[str, List[Tuple[int, int, int, float]]] = {}
+        per_chrom: Dict[str, Tuple[str, List[Tuple[int, int, int, float]]]] = {}
         for path in group.split():
             bw = read_bigwig(path)
             for chrom, ivs in bw.intervals.items():
@@ -181,19 +217,26 @@ def sketch_bigwig(opts: Dashing2Options, groups: Sequence[str]
                                       and chrom.lower().startswith("chr")) \
                     else chrom
                 ch = string_hash64(cname)
-                dst = per_chrom.setdefault(chrom, [])
+                # key on the TRIMMED name so --trim-chr merges 'chr1'
+                # and '1' spellings into one per-chromosome sketch; the
+                # first-seen spelling stays the display name
+                disp, dst = per_chrom.setdefault(cname, (chrom, []))
                 for (s, e, v) in ivs:
-                    if v != 0:
+                    # the reference's set-space path updates every base
+                    # unconditionally (DO_FOR_UNWEIGHTED_SKETCH ignores
+                    # the value, bwsketch.cpp:116-123); zero-valued
+                    # intervals only drop out of the WEIGHTED spaces
+                    if v != 0 or opts.sspace == SketchSpace.SPACE_SET:
                         dst.append((ch, s, e, float(v)))
         if opts.by_chrom:
-            for chrom, ivs in sorted(per_chrom.items()):
+            for _key, (disp, ivs) in sorted(per_chrom.items()):
                 sigs, card = _sketch_item_stream(
                     opts, _expand_intervals(ivs))
-                names.append(f"{group}:{chrom}")
+                names.append(f"{group}:{disp}")
                 rows.append(sigs)
                 cards.append(card)
         else:
-            allivs = [iv for ivs in per_chrom.values() for iv in ivs]
+            allivs = [iv for _d, ivs in per_chrom.values() for iv in ivs]
             sigs, card = _sketch_item_stream(opts, _expand_intervals(allivs))
             names.append(group)
             rows.append(sigs)
@@ -228,7 +271,19 @@ def sketch_leafcutter(opts: Dashing2Options, groups: Sequence[str]
                     parts = line.split()
                     if not parts:
                         continue
+                    # splice site = everything before the THIRD colon
+                    # (lfsketch.cpp:86-90): the 4th field is the
+                    # per-run leafcutter cluster id, which must NOT
+                    # participate or identical junctions from different
+                    # runs hash apart
                     site = parts[0]
+                    ncol = 0
+                    for ci, chch in enumerate(site):
+                        if chch == ":":
+                            ncol += 1
+                            if ncol == 3:
+                                site = site[:ci]
+                                break
                     if opts.trim_chr and site.lower().startswith("chr"):
                         site = site[3:]
                     sh = string_hash64(site)

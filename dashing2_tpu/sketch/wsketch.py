@@ -40,6 +40,13 @@ def _sketch_row(ids: np.ndarray, weights: Optional[np.ndarray], m: int,
     total_weight). sketchtype: 1=BagMinHash, 0=ProbMinHash,
     -1=FullSetSketch (set semantics)."""
     n = len(ids)
+    if n == 0:
+        # empty CSR row: empty-sketch conventions (all-zero registers,
+        # cardinality/total weight 0) — the reference's rowwise sketcher
+        # emits a row for empty ranges rather than aborting
+        sigs = np.zeros(m, np.float64)
+        _, hashes = H.wyhash64_step(sigs.view(np.uint64))
+        return sigs, hashes, np.zeros(m, np.uint64), 0.0
     w = weights if weights is not None else np.ones(n)
     ordinals = np.arange(n, dtype=np.uint64)
     if sketchtype == -1:
@@ -47,17 +54,19 @@ def _sketch_row(ids: np.ndarray, weights: Optional[np.ndarray], m: int,
                                   return_ids=True)
         sigs = np.where(np.isfinite(regs), regs, 0.0)
         tw = float(n)
-        sampled = ids[np.clip(win, 0, max(n - 1, 0))].astype(np.uint64)
+        sampled = ids[np.clip(win, 0, n - 1)].astype(np.uint64)
     else:
         fn = bagminhash if sketchtype == 1 else probminhash
         sigs, win = fn(ordinals, np.asarray(w, np.float64), m,
                        with_ids=True)
         tw = float(np.asarray(w, np.float64).sum())
-        sampled = ids[np.clip(win, 0, max(n - 1, 0))].astype(np.uint64)
-    # u64 "hash" signatures: wyhash of the register bit patterns
-    # (CSetSketch::to_sigs<integral>, setsketch.h:573-589)
+        sampled = ids[np.clip(win, 0, n - 1)].astype(np.uint64)
+    # u64 "hash" signatures: wyhash64_stateless of the register bit
+    # patterns (CSetSketch::to_sigs<integral>, setsketch.h:573-589 —
+    # stateless(x) = mix(x + WY_INC), which is exactly one
+    # wyhash64_step ON the bits)
     bits = sigs.view(np.uint64)
-    _, hashes = H.wyhash64_step(bits - np.uint64(H.WY_INC))
+    _, hashes = H.wyhash64_step(bits)
     return sigs, hashes, sampled, tw
 
 
@@ -68,14 +77,19 @@ def wsketch_main(a) -> int:
               "(ids [weights [indptr]])", file=sys.stderr)
         return 1
     m = a.sketchsize
-    sketchtype = 0 if a.prob else 1
+    # default ProbMinHash (the reference's usage contract and its CSR
+    # path; its flat path's 1->BagMinHash mapping is an internal
+    # inconsistency there); -B picks BagMinHash, -q set semantics
+    sketchtype = (-1 if getattr(a, "setsketch", False)
+                  else 1 if getattr(a, "bagminhash", False) else 0)
     id_dtype = np.uint32 if a.u32 else np.uint64
     w_dtype = np.float32 if a.f32 else np.float64
+    ip_dtype = np.uint32 if getattr(a, "indptr32", False) else np.uint64
     outpref = a.outfile or args[0]
     if len(args) == 3:
         ids = _read_vec(args[0], id_dtype)
         weights = _read_vec(args[1], w_dtype) if len(args) >= 2 else None
-        indptr = _read_vec(args[2], np.uint64)
+        indptr = _read_vec(args[2], ip_dtype)
         nr = len(indptr) - 1
         sig_rows = np.empty((nr, m), np.float64)
         hash_rows = np.empty((nr, m), np.uint64)

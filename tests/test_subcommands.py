@@ -50,6 +50,34 @@ def test_wsketch_csr(tmp_path):
     assert set(sampled[2].tolist()) <= set(ids[400:].tolist())
 
 
+def test_wsketch_empty_row_and_modes(tmp_path):
+    """Empty CSR rows sketch to all-zero rows instead of crashing, and
+    the -q (set semantics) / -B (BagMinHash) / --indptr32 reference
+    flags are reachable."""
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 500, size=90).astype(np.uint64)
+    weights = rng.uniform(0.5, 2.0, size=90)
+    indptr32 = np.array([0, 0, 60, 90], dtype=np.uint32)  # row 0 EMPTY
+    (tmp_path / "ids.u64").write_bytes(ids.tobytes())
+    (tmp_path / "w.f64").write_bytes(weights.tobytes())
+    (tmp_path / "ip.u32").write_bytes(indptr32.tobytes())
+    for extra in ([], ["-q"], ["-B"]):
+        pref = str(tmp_path / ("o" + "".join(extra)))
+        rc = run_cli(["wsketch", "-S", "64", "-o", pref, "--indptr32"]
+                     + extra + [str(tmp_path / "ids.u64"),
+                                str(tmp_path / "w.f64"),
+                                str(tmp_path / "ip.u32")])
+        assert rc == 0
+        regs = np.fromfile(f"{pref}.sampled.regs.stacked.3.64.f64",
+                           np.uint8)
+        n, m = regs[:16].view(np.uint64)
+        assert (n, m) == (3, 64)
+        cards = regs[16:40].view(np.float64)
+        sigs = regs[40:].view(np.float64).reshape(3, 64)
+        assert cards[0] == 0.0 and (sigs[0] == 0.0).all()
+        assert (sigs[1] != 0).any() and (sigs[2] != 0).any()
+
+
 def test_wsketch_flat_identical_rows_match(tmp_path):
     ids = np.arange(1000, dtype=np.uint64)
     (tmp_path / "a.u64").write_bytes(ids.tobytes())
