@@ -76,6 +76,12 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("-G", "--seq", dest="mmer_seq", action="store_true")
     p.add_argument("-2", "--128bit", "--long-kmers", dest="use128",
                    action="store_true")
+    # registering "-2" flips argparse's negative-number heuristic so
+    # EVERY "-<digit>" token parses as an option and flags reject
+    # negative values ("-w -1", "--maxcand -1"). Reset the internal
+    # marker: "-2" still resolves (exact option-string match precedes
+    # the heuristic), while other negative numbers parse as values.
+    p._has_negative_number_optionals[:] = []
     p.add_argument("--phylip", action="store_true")
     p.add_argument("--asymmetric-all-pairs", "--asymmetric", "--square",
                    dest="asym", action="store_true")
@@ -126,7 +132,8 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
 
 def _build_opts(a: argparse.Namespace, presketched: bool = False
                 ) -> Dashing2DistOptions:
-    sketchsize = (1 << a.ssl2) if a.ssl2 else a.sketchsize
+    sketchsize = ((1 << a.ssl2) if a.ssl2 is not None
+                  else a.sketchsize)
     sspace = SketchSpace.SPACE_SET
     kres = KmerSketchResultType.ONE_PERM
     if a.multiset:
@@ -255,7 +262,7 @@ def _build_opts(a: argparse.Namespace, presketched: bool = False
     return opts
 
 
-def _collect_inputs(a: argparse.Namespace) -> List[str]:
+def _collect_inputs(a: argparse.Namespace) -> tuple[List[str], int]:
     groups: List[str] = list(a.paths)
     if getattr(a, "pairlist", None):
         # The reference collects the unique paths named in the pairlist and
@@ -275,11 +282,13 @@ def _collect_inputs(a: argparse.Namespace) -> List[str]:
         groups.extend(seen.keys())
     if a.ffile:
         with open(a.ffile) as f:
-            groups.extend(line.rstrip("\n") for line in f if line.strip())
+            # .strip(), not rstrip("\n"): CRLF list files would leave a
+            # trailing "\r" in every path
+            groups.extend(line.strip() for line in f if line.strip())
     nq = 0
     if a.qfile:
         with open(a.qfile) as f:
-            qgroups = [line.rstrip("\n") for line in f if line.strip()]
+            qgroups = [line.strip() for line in f if line.strip()]
         groups.extend(qgroups)
         nq = len(qgroups)
     return groups, nq

@@ -23,22 +23,24 @@ import numpy as np
 
 from .. import hashing as H
 from ..config import Dashing2Options
-from ..enums import Alphabet
 from ..io import fastx, formats
 from ..ops import kmers as K
 from ..sketch.core import _hash_chunk_batch, _hash_kwargs
-import dataclasses
 
 
 def contain_main(a) -> int:
-    if not a.paths or len(a.paths) < 2:
+    if not a.paths:
         print("contain requires a .kmer64 database and >= 1 query file",
               file=sys.stderr)
         return 1
-    dbpath, queries = a.paths[0], a.paths[1:]
+    dbpath, queries = a.paths[0], list(a.paths[1:])
     if a.ffile:
         with open(a.ffile) as f:
             queries += [x.strip() for x in f if x.strip()]
+    if not queries:
+        print("contain requires >= 1 query file (positional or -F)",
+              file=sys.stderr)
+        return 1
     db = formats.read_kmer_db(dbpath)
     xormask, _ = H.seed_mask(db.seed) if db.seed else (H.XORMASK,
                                                        H.XORMASK2_HI)

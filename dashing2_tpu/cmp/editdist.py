@@ -67,8 +67,8 @@ def span_edit_distance(a: np.ndarray, b: np.ndarray) -> int:
         return m
     if m == 0:
         return n
-    if m > n:  # fewer outer iterations over the shorter sequence
-        a, b = b, a
+    if n > m:  # outer loop over the SHORTER sequence: fewer
+        a, b = b, a        # interpreted rows, each a wide vectorized op
         n, m = m, n
     prev = np.arange(m + 1, dtype=np.int64)
     ar = np.arange(m + 1, dtype=np.int64)

@@ -117,6 +117,88 @@ def test_save_kmers_contain_roundtrip(fixtures, tmp_path):
     assert 0.9 < res["depth_matrix"][0, 0] < 2.0
 
 
+def test_contain_queries_via_ffile(fixtures, tmp_path):
+    """contain accepts db + -F query list (regression: the arity guard
+    rejected it before the ffile queries were ever appended)."""
+    sk = tmp_path / "dbf"
+    assert run_cli(["sketch", "-k", "21", "-S", "128", "--save-kmers",
+                    "-o", str(sk)] + fixtures) == 0
+    qf = tmp_path / "queries.txt"
+    qf.write_text(fixtures[0] + "\r\n" + fixtures[1] + "\n")
+    out = tmp_path / "cf.bin"
+    rc = run_cli(["contain", "--binary-output", "--cmpout", str(out),
+                  "-F", str(qf), str(sk) + ".kmer64"])
+    assert rc == 0
+    res = formats.read_contain(str(out))
+    assert res["coverage_matrix"].shape == (2, len(fixtures))
+
+
+def test_cli_negative_option_values(fixtures, tmp_path):
+    """Flags must accept negative values (regression: registering the
+    '-2' option made argparse treat every negative number as a flag)."""
+    out = tmp_path / "neg.bin"
+    rc = run_cli(["sketch", "-w", "-1", "--maxcand", "-1", "-S", "64",
+                  "-k", "21", "--cmpout", str(out), fixtures[0],
+                  fixtures[1]])
+    assert rc == 0
+    # and '-2' itself still parses as the long-kmers flag
+    out2 = tmp_path / "neg2.bin"
+    rc = run_cli(["sketch", "-2", "-k", "45", "-S", "64",
+                  "--cmpout", str(out2), fixtures[0], fixtures[1]])
+    assert rc == 0
+
+
+def test_omh_chunked_matches_bruteforce():
+    """The streamed top-ell OMH selection must match a direct (m, n)
+    brute-force oracle, and trailing-N garbage must not leak into
+    signatures (sequences with < ell valid k-mers fold the sentinel)."""
+    import jax.numpy as jnp
+
+    from dashing2_tpu import hashing as H
+    from dashing2_tpu.ops import kmers as K
+    from dashing2_tpu.sketch import omh as O
+    from dashing2_tpu.enums import Alphabet
+
+    rng = np.random.default_rng(11)
+    k, m, ell = 7, 32, 2
+    seq = "".join(rng.choice(list("ACGT"), size=700))
+    codes = K.encode_ascii(seq.encode(), Alphabet.DNA)
+    got = O.omh_sketch(codes, k, m, ell=ell)
+
+    km, valid = K.dna_kmer_codes(jnp.asarray(codes)[None, :], k, False)
+    km, valid = np.asarray(km)[0], np.asarray(valid)[0]
+    occ = O._occurrence_ranks(np.where(valid, km, 0))
+    keyed = np.where(valid, km ^ (occ.astype(np.uint64)
+                                  * np.uint64(O._G1)), np.uint64(0))
+    r = np.arange(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        keys = H.wanghash(keyed[None, :]
+                          ^ (r[:, None] * np.uint64(O._G2)
+                             + np.uint64(O._SALT)))
+    keys = np.where(valid[None, :], keys, np.uint64(0xFFFFFFFFFFFFFFFF))
+    want = np.full(m, O._SALT, np.uint64)
+    for reg in range(m):
+        # ell smallest under the f64 view, earliest position on ties
+        kf = keys[reg].astype(np.float64)
+        idx = np.argsort(kf, kind="stable")[:ell]
+        sel = km[np.sort(idx)]
+        s = np.uint64(O._SALT)
+        with np.errstate(over="ignore"):
+            for e in range(ell):
+                s = H.wanghash(s ^ sel[e]
+                               ^ (np.uint64(e + 1) * np.uint64(O._G1)))
+        want[reg] = s
+    assert np.array_equal(got, want)
+
+    # N-heavy: one valid k-mer; different trailing Ns must not matter
+    s1 = "ACGTACG" + "N" * 20
+    s2 = "ACGTACG" + "N" * 35
+    c1 = K.encode_ascii(s1.encode(), Alphabet.DNA)
+    c2 = K.encode_ascii(s2.encode(), Alphabet.DNA)
+    assert np.array_equal(O.omh_sketch(c1, k, m, ell=ell),
+                          O.omh_sketch(c2, k, m, ell=ell))
+
+
 def test_mmer_seq_printmin(fixtures, tmp_path):
     out = tmp_path / "mm.bin"
     rc = run_cli(["sketch", "--seq", "-k", "15", "-w", "31",
