@@ -272,6 +272,40 @@ def main():
         print(f"# ab u8 path failed: {e}", file=sys.stderr)
 
     # ------------------------------------------------------------------
+    # panel (Q x F) job: default full-register kind at 10k refs x 1k
+    # queries through the fused rectangular engine (VERDICT r2 item 9:
+    # within 2x of the symmetric per-pair rate)
+    # ------------------------------------------------------------------
+    try:
+        from dashing2_tpu.cmp.core import _panel_matrix_fn_m
+        nq = max(n // 10, 8)
+        pdata = jnp.asarray(rng.integers(
+            0, 1 << 62, size=(n + nq, m)).astype(np.uint64))
+        pcards = jnp.asarray(rng.uniform(1e5, 1e7, size=n + nq))
+        pfn = _panel_matrix_fn_m("full", m, Measure.SIMILARITY, 31, 8.0,
+                                 n, swar_mode)
+
+        def mk_panel(K):
+            @jax.jit
+            def run(x, cards, b):
+                def body(c, _):
+                    mat = pfn(c, cards, b, gbt, gbinv)
+                    return c ^ (mat[0, 0].astype(jnp.int32) & 1
+                                ).astype(c.dtype), mat.sum()
+                c, s = jax.lax.scan(body, x, None, length=K)
+                return c[0, 0].astype(jnp.float32) + s.sum()
+            return run
+        t_pn, t_pn_med = _timed_chain(
+            mk_panel, (pdata, pcards, jnp.float64(1.001)), reps=3, K=3)
+        ppairs = n * nq
+        extra["panel_full_pairs_per_sec"] = round(ppairs / t_pn)
+        print(f"# panel full-register {n}x{nq} fused similarity: "
+              f"{t_pn*1e3:.2f} ms (med {t_pn_med*1e3:.2f}) = "
+              f"{ppairs/t_pn/1e9:.2f} G pairs/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# panel bench failed: {e}", file=sys.stderr)
+
+    # ------------------------------------------------------------------
     # pair-list counts (the dedup/refine/KNN hot path): SWAR packed
     # engines over an explicit pair vector, 1M pairs over 10240 items
     # ------------------------------------------------------------------

@@ -508,13 +508,18 @@ def _swar_pack(kind: str, data, m: int, fd: float):
     * only 'ab' with fd < 8 needs separate gt/lt (g_b applies to alpha
       and beta individually).
 
-    Word density scales with the value bound: u8 values (< 2^9) and
-    dense ranks with n <= 512 pack THREE 10-bit fields per word
-    (gtlt10/eq10, 1.5x the halves density); ranks with n <= 256 pack
-    FOUR bytes per word for eq (eq8, 2x)."""
+    Word density scales with the value bound: ranks/values < 256 pack
+    FOUR bytes per word for eq (eq8, 2x the halves density). The
+    3-fields-per-word pack10 engines were measured SLOWER than the
+    16-bit halves for the tile kernels despite 1.5x density (gt+lt
+    111.7 ms vs 61.2 ms, eq 56.1 ms vs 39.4 ms at N=10240 —
+    experiments/r3_pack10.py: the 10-bit field extract/recombine op
+    chain outweighs the word savings on the VPU), so tile jobs route
+    u8 ab and mid-size ranks through pack16; pack10 remains in use on
+    the gather-traffic-bound pair-list path only."""
     import jax.numpy as jnp
 
-    from ..ops.cmp_kernels import dense_ranks, pack8, pack10, pack16
+    from ..ops.cmp_kernels import dense_ranks, pack8, pack16
     need_gtlt = kind in ("ab", "nibble-ab") and fd < 8.0
     dt = data.dtype
     n = data.shape[0]
@@ -535,9 +540,6 @@ def _swar_pack(kind: str, data, m: int, fd: float):
         if n <= 256:
             packed = pack8(ranks)
             return packed, "eq8", 4 * packed.shape[1] - m
-        if n <= 512:
-            packed = pack10(ranks)
-            return packed, "eq10", 3 * packed.shape[1] - m
         if n <= 32767:
             packed = pack16(ranks)
             return packed, "eq15", 2 * packed.shape[1] - m
@@ -545,12 +547,10 @@ def _swar_pack(kind: str, data, m: int, fd: float):
         packed = pack30(ranks)
         return packed, "eq30", packed.shape[1] - m
     if dt == jnp.uint8:
-        # u8 values < 2^9: three-per-word guard fields, no rank pass
-        return pack10(data), "gtlt10", 0
+        # u8 values < 2^15: 16-bit halves, no rank pass
+        return pack16(data), "gtlt16", 0
     # u16/u32 ab gtlt: dense ranks (order-isomorphic, < n)
     ranks = dense_ranks(data).astype(jnp.uint32)
-    if n <= 512:
-        return pack10(ranks), "gtlt10", 0
     if n <= 32767:
         return pack16(ranks), "gtlt16", 0
     from ..ops.cmp_kernels import pack30
@@ -1024,15 +1024,13 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                     vals = np.asarray(jax.jit(CK.dense_ranks)(
                         jnp.asarray(dnp))).astype(np.uint32)
                     pmode = ("eq8" if n <= 256 else
-                             "eq10" if n <= 512 else
                              "eq15" if n <= 32767 else "eq30")
             elif dnp.dtype == np.uint8:
-                vals, pmode = dnp, "gtlt10"
+                vals, pmode = dnp, "gtlt16"
             else:
                 vals = np.asarray(jax.jit(CK.dense_ranks)(
                     jnp.asarray(dnp))).astype(np.uint32)
-                pmode = ("gtlt10" if n <= 512 else
-                         "gtlt16" if n <= 32767 else "gtlt30")
+                pmode = ("gtlt16" if n <= 32767 else "gtlt30")
             packed = pack_words_np(vals, pmode)
             cnt = sharded_selfpairs(mesh, packed, mode=pmode)
             fn = _counts_epilogue_fn(
