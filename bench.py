@@ -421,6 +421,16 @@ def main():
         "t_median_ms": round(t_head_med * 1e3, 3),
         "chip_int8_tops_probe": health,
         "chip_int8_tops_healthy": 317,
+        # the shared chip intermittently degrades its MXU for long
+        # stretches (R3_RESULTS.md) — but the standalone TOPS probe can
+        # read low (~36) while the production kernels still sustain
+        # ~35% MFU (2026-08-18 session), so the flag trusts the
+        # measured counts-engine MFU when available and falls back to
+        # the probe otherwise
+        "chip_degraded": bool(
+            extra["mfu_int8_peak_counts"] < 0.15
+            if "mfu_int8_peak_counts" in extra
+            else health is not None and health < 250),
         "nibble_ab_pairs_per_sec": round(up / t_ab_min),
         **extra,
     }))

@@ -269,3 +269,28 @@ def test_containment_mirror_tiles(kind, dtype, fd):
     cards = rng.uniform(1e4, 1e6, size=n)
     a, b = _route_pair(kind, data, cards, m, Measure.CONTAINMENT, fd)
     _close(a, b, tol=2e-6 if kind == "ab" and fd < 8 else 3e-7)
+
+
+def test_swar_pack_mode_policy():
+    """Tile-engine pack policy is measurement-pinned (r3_pack10: the
+    3-per-word pack10 engines lose to the 16-bit halves on tile jobs —
+    gt+lt 111.7 ms vs 61.2 ms at N=10240 — so only the pair-list path
+    keeps pack10). Guard the routing so a refactor doesn't silently
+    reintroduce the slower modes."""
+    rng = np.random.default_rng(21)
+    m = 64
+
+    def pick(kind, data, fd):
+        import jax as _j
+        with _j.ensure_compile_time_eval():
+            return C._swar_pack(kind, jnp.asarray(data), m, fd)[1]
+
+    u8 = rng.integers(0, 256, size=(300, m)).astype(np.uint8)
+    u64 = rng.integers(0, 1 << 62, size=(300, m)).astype(np.uint64)
+    assert pick("ab", u8, 1.0) == "gtlt16"      # not gtlt10
+    assert pick("bbit", u8, 1.0) == "eq8"
+    assert pick("full", u64, 8.0) == "eq15"     # 256 < n: not eq10
+    assert pick("full", u64[:200], 8.0) == "eq8"
+    big = rng.integers(0, 1 << 62, size=(40000, 4)).astype(np.uint64)
+    assert pick("full", big, 8.0) == "eq30"
+    assert pick("ab", big.astype(np.uint16), 2.0) == "gtlt30"
