@@ -163,6 +163,36 @@ def bench_refine_exact(d):
     return r
 
 
+def bench_northstar(d):
+    """The BASELINE.json north-star shape: 10240 genomes x 50 kb,
+    `--fastcmp 0.5 --bbit-sigs` condensed f32 all-pairs, plus a greedy
+    dedup of the same corpus. NOT in the default set (fixture
+    generation alone writes ~520 MB); run with
+    `python bench_e2e.py northstar`. Measured 2026-08-18 on the remote
+    v5e: 216 s wall / 2.83 GB peak RSS (round 2: 380 s), dedup timing
+    in README.md."""
+    import resource
+
+    from dashing2_tpu.cli import main as climain
+    n, length = 10240, 50000
+    fas = _gen_fastas(os.path.join(d, "ns"), n, length, seed=11)
+    lst = os.path.join(d, "ns.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(fas) + "\n")
+    out = os.path.join(d, "ns.bin")
+    t0 = time.perf_counter()
+    rc = climain(["sketch", "-k", "31", "-S", "1024", "--fastcmp", "0.5",
+                  "--bbit-sigs", "--binary-output", "--cmpout", out,
+                  "-F", lst])
+    dt = time.perf_counter() - t0
+    assert rc == 0
+    assert os.path.getsize(out) == 4 * n * (n - 1) // 2
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    return _emit("northstar-10k", n=n, seconds=round(dt, 3),
+                 unique_pairs_per_s=round(_pairs(n) / dt),
+                 peak_rss_gb=round(rss, 2))
+
+
 ALL = {
     "default": bench_default,
     "weighted": bench_weighted,
@@ -170,10 +200,12 @@ ALL = {
     "topk": bench_topk,
     "refine": bench_refine_exact,
 }
+EXTRA = {"northstar": bench_northstar}
 
 
 def main():
     which = sys.argv[1:] or list(ALL)
+    ALL.update(EXTRA)
     d = tempfile.mkdtemp(prefix="d2bench_")
     try:
         for w in which:
