@@ -193,6 +193,60 @@ def bench_northstar(d):
                  peak_rss_gb=round(rss, 2))
 
 
+def bench_dist2(d):
+    """N>=2 hosts line (BASELINE.md north-star: "pairs/sec measured at
+    1 chip, 1 host, and N>=2 hosts"): TWO real jax.distributed
+    processes (gloo collectives) sketch their input shards, all-gather
+    sketches, compute owned row blocks, and write them; the
+    concatenation is verified equal to the single-node production
+    matrix. Only CPU backends are multi-process reachable here (the
+    container tunnels ONE TPU chip), and both processes share this
+    host's cores — so the line validates the scaling MECHANICS and
+    result identity; the per-host device rate is the single-chip
+    number."""
+    import socket
+    import subprocess
+
+    n = max(min(N, 64), 16)
+    fas = _gen_fastas(os.path.join(d, "d2p"), n, min(LEN, 50000))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = os.path.join(d, "dist.bin")
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(here, "dist_worker.py"),
+         str(pid), "2", str(port), out] + fas,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+    dt = time.perf_counter() - t0
+
+    from dashing2_tpu.parallel.distributed import my_row_range
+    blocks = []
+    for pid in range(2):
+        lo, hi = my_row_range(n, pid, 2)
+        blk = np.fromfile(f"{out}.rows.{lo}-{hi}", np.float32)
+        blocks.append(blk.reshape(hi - lo, n))
+    got = np.concatenate(blocks)
+    from dashing2_tpu.cmp.core import pairwise_matrix
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.sketch.core import sketch_fastx
+    opts = Dashing2DistOptions(k=21, sketchsize=128)
+    result = sketch_fastx(opts, fas)
+    ref = np.concatenate([blk for _, blk in pairwise_matrix(opts, result)])
+    assert np.array_equal(got, np.asarray(ref, np.float32))
+    return _emit("distributed-2proc", n=n, seconds=round(dt, 3),
+                 pairs_per_s=round(_pairs(n) / dt),
+                 identical_to_single_host=True)
+
+
 ALL = {
     "default": bench_default,
     "weighted": bench_weighted,
@@ -200,7 +254,7 @@ ALL = {
     "topk": bench_topk,
     "refine": bench_refine_exact,
 }
-EXTRA = {"northstar": bench_northstar}
+EXTRA = {"northstar": bench_northstar, "dist2": bench_dist2}
 
 
 def main():
