@@ -488,6 +488,42 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
         return _run(a, top, opts, groups, nq, presketched, phase)
 
 
+def _warm_compare_async(opts, n: int, nq: int):
+    """Fire-and-forget compare-program compile overlapped with the
+    sketch phase (cmp.core.warm_pairwise_cache). Only worth the dummy
+    work where compiles are expensive (a real accelerator backend);
+    DASHING2_TPU_WARM=1 forces it on CPU for tests, =0 disables."""
+    import os as _os
+    import threading
+    mode = _os.environ.get("DASHING2_TPU_WARM", "")
+    if mode == "0" or (mode != "1" and _backend_is_cpu()):
+        return None
+    if opts.output_kind not in (OutputKind.SYMMETRIC_ALL_PAIRS,
+                                OutputKind.PHYLIP,
+                                OutputKind.ASYMMETRIC_ALL_PAIRS,
+                                OutputKind.PANEL):
+        return None
+
+    def work():
+        try:
+            from .cmp.core import warm_pairwise_cache
+            warm_pairwise_cache(opts, n, nq)
+        except Exception:
+            pass  # warm-up is best-effort; production compiles lazily
+
+    t = threading.Thread(target=work, daemon=True, name="d2-warm-cmp")
+    t.start()
+    return t
+
+
+def _backend_is_cpu() -> bool:
+    try:
+        import jax
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True
+
+
 def _run(a, top, opts, groups, nq, presketched, phase) -> int:
     if presketched:
         with phase("load-presketched", opts.verbosity):
@@ -495,6 +531,13 @@ def _run(a, top, opts, groups, nq, presketched, phase) -> int:
     else:
         if not groups:
             top.error("no input files")
+        # groups already includes query files; item count == len(groups)
+        # only for whole-file FASTX items (by-seq / by-chrom counts are
+        # unknown before parsing, so those jobs compile lazily)
+        if (a.command in ("cmp", "dist") or opts.outfile_path) \
+                and opts.dtype == DataType.FASTX \
+                and not opts.parse_by_seq:
+            _warm_compare_async(opts, len(groups), nq)
         with phase("sketch", opts.verbosity):
             result = _do_sketch(opts, groups, nq)
         with phase("write-sketches", opts.verbosity):
