@@ -168,9 +168,10 @@ def bench_northstar(d):
     `--fastcmp 0.5 --bbit-sigs` condensed f32 all-pairs, plus a greedy
     dedup of the same corpus. NOT in the default set (fixture
     generation alone writes ~520 MB); run with
-    `python bench_e2e.py northstar`. Measured 2026-08-18 on the remote
-    v5e: 216 s wall / 2.83 GB peak RSS (round 2: 380 s), dedup timing
-    in README.md."""
+    `python bench_e2e.py northstar`. Measured 2026-08-19 on the remote
+    v5e: 108 s wall / 3.45 GB peak RSS with the compare-program warm-up
+    overlapping the sketch phase (pre-warm: 216 s; round 2: 380 s),
+    dedup timing in README.md."""
     import resource
 
     from dashing2_tpu.cli import main as climain
