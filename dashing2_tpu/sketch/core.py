@@ -683,8 +683,15 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             # those live in HOST RAM) — peak RSS is O(window), not
             # O(corpus)
             window = int(os.environ.get("DASHING2_TPU_INFLIGHT", 64))
+            # deep prefetch: the FIRST fused() call blocks ~50 s in the
+            # XLA compile (experiments/r3_ns_phase.py) and the default
+            # 2-deep queue stalls the ingest thread behind it; 16
+            # batches (~8 MB each) keep parse+encode+chunk running
+            # through the compile so ingest is off the critical path
+            pf_depth = int(os.environ.get("DASHING2_TPU_PREFETCH", 16))
             for chunks, ids in prefetch(_iter_chunk_batches(
-                    opts, items_iter(), chunk_len, rows_per_batch)):
+                    opts, items_iter(), chunk_len, rows_per_batch),
+                    depth=pf_depth):
                 inflight.append((fused(put(chunks), fs_dev), ids))
                 if len(inflight) >= window:
                     drain()
