@@ -211,11 +211,17 @@ def oph_sketch_rows_sort(hashed: jnp.ndarray, valid: jnp.ndarray, *,
 
 
 def oph_rows_engine() -> str:
-    """'dense' (bucket-one-hot, default), 'dense2' (split hi/lo u32
-    passes), 'sort' (per-row rotation sort), or 'scatter'
-    (segment_min)."""
+    """OPH engine request: 'auto' (default; sketch/core resolves it to
+    the native host engine on a single-device accelerator backend, the
+    rotation-'sort' device engine for device dispatch, or the CPU
+    segment path), 'native', 'dense' (bucket-one-hot), 'dense2' (split
+    hi/lo u32 passes), 'sort' (per-row rotation sort), or 'scatter'
+    (segment_min). All bit-identical; they differ in where they run and
+    what they cost to compile (the dense engine's one-time XLA compile
+    measured 77-150 s on the remote v5e vs 15 s for sort —
+    experiments/R3_RESULTS.md §7)."""
     import os
-    return os.environ.get("DASHING2_TPU_OPH_ENGINE", "dense")
+    return os.environ.get("DASHING2_TPU_OPH_ENGINE", "auto")
 
 
 @functools.partial(jax.jit, static_argnames=("m", "seed", "want_counts",

@@ -598,21 +598,39 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                            fill=U64MAX)
         counts = mmvec.alloc((n, m), np.uint32, opts.sig_ram_limit, fill=0)
         want_counts = bool(opts.save_kmercounts)
-        # engine choice: the dense bucket-one-hot rows kernel trades
-        # O(nk*m) FLOPs for scatter-free TPU execution (8.8ms/2.1Mbase on
-        # a v5e); on CPU that arithmetic is catastrophic, so the
-        # work-efficient sort-based segment kernel runs there instead
+        # engine policy (measured, experiments/R3_RESULTS.md §7): the
+        # OPH bucket-min is scatter-shaped, and on a fresh process the
+        # device engines pay a one-time XLA compile (dense 77-150 s,
+        # sort 15 s on the remote v5e) that never amortizes in-process,
+        # while the native host engine sketches the same batch stream
+        # bit-identically with ZERO compile (2048 x 50 kb: 3.8 s vs
+        # 25.9 s end-to-end) and leaves the device free for the
+        # comparison phase. 'auto' therefore resolves: native host
+        # engine on a single-device accelerator backend when the config
+        # is covered; rotation-'sort' for device dispatch (multi-chip
+        # meshes shard batch rows, and sort ties dense at runtime with
+        # 5x less compile); the work-efficient CPU segment path on the
+        # CPU backend. Explicit DASHING2_TPU_OPH_ENGINE requests always
+        # win (tests drive every engine this way).
+        engine = SK.oph_rows_engine()
         native_lib = None
-        if (SK.oph_rows_engine() == "native"
-                and _native_oph_supported(hkw, use_fs)):
+        if engine == "auto" and jax.default_backend() != "cpu" \
+                and jax.device_count() == 1 \
+                and _native_oph_supported(hkw, use_fs):
+            engine = "native"
+        if engine == "native" and _native_oph_supported(hkw, use_fs):
             from .. import native as _nat
-            native_lib = _nat.load_oph_lib()
+            try:
+                native_lib = _nat.load_oph_lib()
+            except Exception:
+                native_lib = None  # no toolchain: device dispatch below
+        if engine == "auto" or (engine == "native" and native_lib is None):
+            engine = "sort" if jax.default_backend() != "cpu" else ""
         # an EXPLICIT engine request routes through the device-dispatch
         # path even on the CPU backend (tests drive the multichip
         # sharded dispatch this way; unset means backend default)
         dense_rows = (jax.default_backend() != "cpu"
-                      or os.environ.get("DASHING2_TPU_OPH_ENGINE", "")
-                      in ("dense", "dense2", "sort", "scatter"))
+                      or engine in ("dense", "dense2", "sort", "scatter"))
         if native_lib is not None:
             # heterogeneous placement: the scatter-shaped bucket-min
             # update runs on host cores (threads across batch rows)
@@ -633,7 +651,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             # remote chip; dispatch itself is fast and queues on device)
             fused = _fused_oph_fn(_hkw_key(hkw), m, H.OPH_DEFAULT_SEED,
                                   want_counts, use_fs,
-                                  SK.oph_rows_engine())
+                                  engine or "dense")
             # multichip: batch rows are independent, so they shard
             # across the mesh with zero collectives — device_put with a
             # row sharding and GSPMD partitions the whole fused step
