@@ -25,37 +25,47 @@ if _os.environ.get("JAX_PLATFORMS"):
 
 # Persistent compilation cache: CLI invocations recompile the same kernel
 # shapes every run otherwise (XLA compiles dominate short jobs). Disable
-# with DASHING2_TPU_NO_COMPILE_CACHE=1. NOT enabled for the CPU backend:
-# CPU AOT artifacts embed the exact machine-feature set and a cache
-# written under a different microarchitecture (VM migrations keep the
-# hostname) loads with warnings, never hits, and risks SIGILL.
-if not _os.environ.get("DASHING2_TPU_NO_COMPILE_CACHE") and \
-        "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower().split(","):
+# with DASHING2_TPU_NO_COMPILE_CACHE=1.
+#
+# CPU-AOT safety: CPU artifacts embed the exact machine-feature set, and
+# a cache written under a different microarchitecture (VM migrations keep
+# the hostname) loads with warnings, never hits, and risks SIGILL. The
+# cache directory is therefore SCOPED by a microarch fingerprint (the
+# /proc/cpuinfo flags line) in addition to platform env + hostname — a
+# migrated VM resolves to a fresh directory, so the cache is safe to
+# enable regardless of which backend JAX ultimately resolves (the
+# resolved backend is unknowable here without forcing device init, which
+# would stall library imports on tunnel-backed TPUs). When no fingerprint
+# is readable the hazard is real again, so the gate falls back to
+# requiring an explicitly non-CPU JAX_PLATFORMS.
+def _cpu_fingerprint():
     try:
-        # scope by platform+host: CPU AOT artifacts are machine-feature
-        # specific and must not be shared across nodes/backends
-        _scope = (_os.environ.get("JAX_PLATFORMS", "dev") + "-"
-                  + _os.uname().nodename)
-        # plus a microarch fingerprint: a VM migration can keep the
-        # hostname while changing CPU features, and a stale CPU AOT
-        # artifact for another microarch risks SIGILL on load
-        try:
-            with open("/proc/cpuinfo") as _f:
-                for _ln in _f:
-                    if _ln.startswith("flags"):
-                        import hashlib as _hl
-                        _scope += "-" + _hl.sha1(
-                            _ln.encode()).hexdigest()[:8]
-                        break
-        except OSError:
-            pass
-        _cc = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache",
-                          "dashing2_tpu", "xla-" + _scope))
-        _os.makedirs(_cc, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cc)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        with open("/proc/cpuinfo") as _f:
+            for _ln in _f:
+                if _ln.startswith("flags"):
+                    import hashlib as _hl
+                    return _hl.sha1(_ln.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return None
+
+
+if not _os.environ.get("DASHING2_TPU_NO_COMPILE_CACHE"):
+    try:
+        _fp = _cpu_fingerprint()
+        _plat = _os.environ.get("JAX_PLATFORMS", "").lower()
+        if _fp is not None or ("cpu" not in _plat.split(",") and _plat):
+            _scope = (_os.environ.get("JAX_PLATFORMS", "dev") + "-"
+                      + _os.uname().nodename
+                      + (("-" + _fp) if _fp else ""))
+            _cc = _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache",
+                              "dashing2_tpu", "xla-" + _scope))
+            _os.makedirs(_cc, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cc)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
 

@@ -88,6 +88,44 @@ def alphabetcvt(x):
     return Alphabet(x)
 
 
+def pairwise_equality_compare(input_matrix: np.ndarray,
+                              nthreads: int = 1) -> np.ndarray:
+    """Pairwise register-equality counts over a signature matrix
+    (reference python/parse.py:128-157, which loops rows in numpy or
+    calls sketch.pcmp). Returns the condensed nrec-choose-2 vector of
+    per-pair equal-register counts, row-major upper triangle — the
+    layout scipy.spatial.distance.squareform expands.
+
+    TPU-native: rows flow through the tiled device count_eq_self engine
+    (ops/cmp_kernels) instead of a per-row python loop; `nthreads` is
+    accepted for signature compatibility (device kernels ignore it)."""
+    assert isinstance(input_matrix, np.ndarray), "expected a numpy array"
+    assert input_matrix.ndim == 2, "expected a 2d array"
+    nr, nc = input_matrix.shape
+    dt = (np.uint8 if nc <= 0xFF else
+          np.uint16 if nc <= 0xFFFF else np.uint32)
+    if nr < 2:
+        return np.zeros(0, dtype=dt)
+    x = np.ascontiguousarray(input_matrix)
+    if x.dtype.kind in "fi":
+        # bit-pattern equality == value equality for the signatures this
+        # framework emits (non-negative, NaN-free); signed ints view
+        # losslessly to the same-width unsigned
+        x = x.view(np.dtype(f"u{x.dtype.itemsize}"))
+    if x.dtype.kind != "u":
+        # exotic dtypes: the reference's plain numpy row loop
+        counts = np.empty(nr * (nr - 1) // 2, np.int64)
+        idx = 0
+        for i in range(nr - 1):
+            lc = nr - i - 1
+            counts[idx:idx + lc] = (x[i] == x[i + 1:]).sum(axis=1)
+            idx += lc
+        return counts.astype(dt)
+    from .ops.cmp_kernels import count_eq_self
+    eq = np.asarray(count_eq_self(x))
+    return eq[np.triu_indices(nr, 1)].astype(dt)
+
+
 def parse_binary_clustering(path: str, d64: bool = False) -> List[np.ndarray]:
     """Greedy-dedup clustering CSR (parse.py:159-170)."""
     return formats.read_clustering(path)

@@ -151,3 +151,26 @@ def test_native_row_formatter_roundtrip():
     mask = ~np.isnan(v)
     np.testing.assert_array_equal(back[mask], v[mask])
     assert np.isnan(back[~mask]).all()
+
+
+def test_pairwise_equality_compare_matches_numpy_loop():
+    """parse.pairwise_equality_compare (reference python/parse.py:128)
+    == the reference's numpy fallback loop, for float and int inputs."""
+    rng = np.random.default_rng(7)
+    for arr in (
+        rng.integers(0, 4, size=(17, 33)).astype(np.uint64).view(
+            np.float64) * 0 + rng.integers(0, 4, size=(17, 33)),
+        rng.integers(0, 3, size=(9, 12), dtype=np.int64),
+        rng.integers(0, 5, size=(300, 8)).astype(np.uint16),
+    ):
+        arr = np.ascontiguousarray(arr)
+        nr = arr.shape[0]
+        want = []
+        for i in range(nr - 1):
+            want.append((arr[i] == arr[i + 1:]).sum(axis=1))
+        want = np.concatenate(want)
+        got = parse.pairwise_equality_compare(arr)
+        assert got.shape == (nr * (nr - 1) // 2,)
+        np.testing.assert_array_equal(got.astype(np.int64), want)
+        # dtype contract: counts fit the per-row register count
+        assert got.dtype in (np.uint8, np.uint16, np.uint32)
