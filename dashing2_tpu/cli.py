@@ -412,6 +412,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     THROW_EXCEPTION prints the message and aborts, enums.h:59-63).
     Set DASHING2_TPU_DEBUG=1 or pass -v for full tracebacks."""
     import os
+    if os.environ.get("DASHING2_TPU_DAEMON"):
+        from .serve import maybe_dispatch_to_daemon
+        rc = maybe_dispatch_to_daemon(
+            list(sys.argv[1:] if argv is None else argv))
+        if rc is not None:
+            return rc
     try:
         return _main(argv)
     except (OSError, ValueError) as e:
@@ -453,7 +459,19 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
     _add_shared(pcon)
     ppm = sub.add_parser("printmin", help="print minimizer sequences")
     ppm.add_argument("minfile")
+    psv = sub.add_parser(
+        "serve", help="resident worker: keeps compiled XLA executables "
+                      "alive across CLI jobs (see dashing2_tpu/serve.py)")
+    psv.add_argument("--socket", required=True,
+                     help="unix socket path to listen on")
+    psv.add_argument("--max-requests", type=int, default=0,
+                     help="exit after N jobs (0 = run until shutdown)")
+    psv.add_argument("-v", "--verbose", action="count", default=0)
     a = top.parse_args(argv)
+
+    if a.command == "serve":
+        from .serve import serve_main
+        return serve_main(a.socket, a.max_requests, bool(a.verbose))
 
     if a.command == "wsketch":
         from .sketch.wsketch import wsketch_main
