@@ -258,7 +258,7 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# bbit u8 path failed: {e}", file=sys.stderr)
 
-    # --fastcmp 1 a/b gtlt (u8, pack10 3-per-word borrow-trick fields)
+    # --fastcmp 1 a/b gtlt (u8, byte-packed derived-guard gt8+neq8)
     try:
         t_a8, t_a8_med = fused_time("ab", u8, 1.0, swar_mode)
         extra["ab_u8_pairs_per_sec"] = round(up / t_a8)

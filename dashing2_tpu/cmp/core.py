@@ -509,14 +509,15 @@ def _swar_pack(kind: str, data, m: int, fd: float):
       and beta individually).
 
     Word density scales with the value bound: ranks/values < 256 pack
-    FOUR bytes per word for eq (eq8, 2x the halves density). The
-    3-fields-per-word pack10 engines were measured SLOWER than the
-    16-bit halves for the tile kernels despite 1.5x density (gt+lt
-    111.7 ms vs 61.2 ms, eq 56.1 ms vs 39.4 ms at N=10240 —
-    experiments/r3_pack10.py: the 10-bit field extract/recombine op
-    chain outweighs the word savings on the VPU), so tile jobs route
-    u8 ab and mid-size ranks through pack16; pack10 remains in use on
-    the gather-traffic-bound pair-list path only."""
+    FOUR bytes per word for eq (eq8, 2x the halves density), and u8
+    gt/lt packs four-per-word too via the derived-guard byte engine
+    (gtlt8; r4_probes: 52.2 ms vs the pack16 two-tile 60.9 ms at
+    N=10240). The 3-fields-per-word pack10 engines were measured
+    SLOWER than the 16-bit halves despite 1.5x density (gt+lt 111.7 ms
+    vs 61.2 ms, eq 56.1 ms vs 39.4 ms — experiments/r3_pack10.py: the
+    10-bit field extract/recombine chain outweighs the word savings),
+    so mid-size ranks ride pack16 and pack10 survives only as a tested
+    legacy engine."""
     import jax.numpy as jnp
 
     from ..ops.cmp_kernels import dense_ranks, pack8, pack16
@@ -547,8 +548,10 @@ def _swar_pack(kind: str, data, m: int, fd: float):
         packed = pack30(ranks)
         return packed, "eq30", packed.shape[1] - m
     if dt == jnp.uint8:
-        # u8 values < 2^15: 16-bit halves, no rank pass
-        return pack16(data), "gtlt16", 0
+        # u8 values: byte pack with the derived-guard gt engine
+        # (r4_probes: gt8+neq8 52.2 ms vs pack16 two-tile 60.9 ms)
+        from ..ops.cmp_kernels import pack8 as _p8
+        return _p8(data), "gtlt8", 0
     # u16/u32 ab gtlt: dense ranks (order-isomorphic, < n)
     ranks = dense_ranks(data).astype(jnp.uint32)
     if n <= 32767:
@@ -1026,7 +1029,7 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                     pmode = ("eq8" if n <= 256 else
                              "eq15" if n <= 32767 else "eq30")
             elif dnp.dtype == np.uint8:
-                vals, pmode = dnp, "gtlt16"
+                vals, pmode = dnp, "gtlt8"
             else:
                 vals = np.asarray(jax.jit(CK.dense_ranks)(
                     jnp.asarray(dnp))).astype(np.uint32)
@@ -1111,11 +1114,10 @@ def _swar_pair_block(mode: str, m: int):
             z = jnp.zeros_like(eq)
             return eq, z, z
     else:
-        tile = _GT_TILES[mode]
+        from ..ops.cmp_kernels import gtlt_pair_tiles
 
         def body(pa, pb):
-            gt = tile(pa, pb)
-            lt = tile(pb, pa)
+            gt, lt = gtlt_pair_tiles(mode, pa, pb)
             return jnp.int32(m) - gt - lt, gt, lt
     return body
 
@@ -1249,12 +1251,9 @@ def _prepare_pack_entry(data, want: str, npairs_hint: int,
         return cache[cache_key]
     data = np.asarray(data)
     if data.dtype == np.uint8:
-        if want == "eq":
-            entry = ("swar", _swar_pack_fn("pack8")(jnp.asarray(data)),
-                     "eq8", data.shape[1])
-        else:
-            entry = ("swar", _swar_pack_fn("pack10")(jnp.asarray(data)),
-                     "gtlt10", data.shape[1])
+        pk = _swar_pack_fn("pack8")(jnp.asarray(data))
+        entry = ("swar", pk, "eq8" if want == "eq" else "gtlt8",
+                 data.shape[1])
     elif data.shape[0] <= 32767:
         pk = _swar_pack_fn("rank16")(jnp.asarray(data))
         entry = ("swar", pk, "eq15" if want == "eq" else "gtlt16",
@@ -1293,8 +1292,9 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
     host path is preferable (CPU backend or a small pair list). With
     `cache`, the prepared device arrays persist across calls.
 
-    When the registers admit a SWAR packing (u8 values pack 3 guard
-    fields per word; anything else rank-reduces when n <= 32767 — the
+    When the registers admit a SWAR packing (u8 values pack 4 bytes per
+    word with the derived-guard gt; anything else rank-reduces when
+    n <= 32767 — the
     refine/dedup loops reuse the packed matrix across many calls, so
     the one-time rank sort amortizes), gathers move 1/4 the limb-split
     bytes and the compares run as popcount tiles; counts are
@@ -1374,7 +1374,7 @@ def _rep_device_cache(opts, result, creps):
             if creps.nibble_packed:
                 d = _unpack_nibbles(d)
             # native dtype preserved: _device_pair_counts picks its
-            # packing by dtype (u8 -> pack10) and casts for the limb
+            # packing by dtype (u8 -> pack8) and casts for the limb
             # fallback itself
             cache[key] = (creps.data, d)
     elif opts.sspace == SketchSpace.SPACE_SET \

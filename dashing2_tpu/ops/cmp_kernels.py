@@ -410,6 +410,44 @@ def swar30_eq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.int32(2 * W) - nz.sum(-1, dtype=jnp.int32)
 
 
+def swar8_gt_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """gt counts for FULL-RANGE u8 registers packed four-per-word with a
+    DERIVED guard (no spare bit): per byte, split x = x7*128 + xl,
+    y = y7*128 + yl (xl, yl < 128); then
+        x > y  <=>  (x7 & ~y7) | (x7 == y7 & xl > yl)
+    where xl > yl uses the biased borrow trick on the masked low 7 bits
+    ((yl | 0x80) - xl stays in [1, 255] per byte, so no cross-byte
+    borrow; bit7 clear iff xl > yl). Measured (r4_probes, N=10240,
+    m=1024): gt8+neq8 52.2 ms vs the pack16 two-tile 60.9 ms — the 2x
+    word density beats the longer per-word op chain."""
+    t = ~(((b & jnp.uint32(_L7)) | jnp.uint32(_H8))
+          - (a & jnp.uint32(_L7))) & jnp.uint32(_H8)
+    flags = ((a & ~b) | (~(a ^ b) & t)) & jnp.uint32(_H8)
+    return jax.lax.population_count(flags).sum(-1, dtype=jnp.int32)
+
+
+def swar8_neq_tile(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """NONEQUAL-byte counts for pack8 rows (pad bytes are equal on both
+    sides, so pads never contribute): the lt complement for the gtlt8
+    engine (lt = neq - gt; eq = m - neq)."""
+    x = a ^ b
+    t7 = ((x & jnp.uint32(_L7)) + jnp.uint32(_L7)) | x
+    return jax.lax.population_count(t7 & jnp.uint32(_H8)).sum(
+        -1, dtype=jnp.int32)
+
+
+def gtlt_pair_tiles(mode: str, a: jnp.ndarray, b: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(gt, lt) for one packed tile pair under any gt engine mode. The
+    guard-bit modes run the gt tile in both directions; 'gtlt8' runs
+    gt once plus the cheaper nonequal detect (lt = neq - gt)."""
+    if mode == "gtlt8":
+        gt = swar8_gt_tile(a, b)
+        return gt, swar8_neq_tile(a, b) - gt
+    f = _GT_TILES[mode]
+    return f(a, b), f(b, a)
+
+
 def pack8(x: jnp.ndarray) -> jnp.ndarray:
     """(N, m) u8 registers -> (N, ceil(m/4)) u32 words (zero-pad; +pad
     eq per self-pair corrected by callers)."""
@@ -427,9 +465,10 @@ _EQ_TILES = {"eq16": swar16_eq_tile, "eq15": swar15_eq_tile,
              "eq8": swar8_eq_tile, "eq10": swar10_eq_tile,
              "eq30": swar30_eq_tile}
 _GT_TILES = {"gtlt16": swar16_gt_tile, "gtlt10": swar10_gt_tile,
-             "gtlt30": swar30_gt_tile}
+             "gtlt30": swar30_gt_tile, "gtlt8": swar8_gt_tile}
 FIELDS_PER_WORD = {"eq16": 2, "eq15": 2, "eq8": 4, "eq10": 3,
-                   "gtlt16": 2, "gtlt10": 3, "eq30": 1, "gtlt30": 1}
+                   "gtlt16": 2, "gtlt10": 3, "eq30": 1, "gtlt30": 1,
+                   "gtlt8": 4}
 
 
 def circ_self_swar_tiles(packed: jnp.ndarray, *, t: int, mode: str):
@@ -454,9 +493,7 @@ def circ_self_swar_tiles(packed: jnp.ndarray, *, t: int, mode: str):
         if mode in _EQ_TILES:
             eq = _EQ_TILES[mode](a, b)
             return None, (eq, eq)
-        gt = _GT_TILES[mode](a, b)
-        lt = _GT_TILES[mode](b, a)
-        return None, (gt, lt)
+        return None, gtlt_pair_tiles(mode, a, b)
 
     _, (xs, ys) = jax.lax.scan(body, None, jnp.arange(nd, dtype=jnp.int32))
     return xs, ys
@@ -544,7 +581,7 @@ def _pairwise_swar(a: jnp.ndarray, b: jnp.ndarray, *, mode: str, tm: int):
         if mode in _EQ_TILES:
             eq = _EQ_TILES[mode](av, bv)
             return None, (eq, eq)
-        return None, (_GT_TILES[mode](av, bv), _GT_TILES[mode](bv, av))
+        return None, gtlt_pair_tiles(mode, av, bv)
 
     _, (xs, ys) = jax.lax.scan(body, None, tiles)
     return (xs.reshape(nt * tm, -1)[:na], ys.reshape(nt * tm, -1)[:na])

@@ -221,9 +221,7 @@ def sharded_selfpairs(mesh: Mesh, regs: jnp.ndarray, t: int = 128,
                 if mode in CK._EQ_TILES:
                     eq = CK._EQ_TILES[mode](aa, b4)
                     return None, (eq, eq)
-                gt = CK._GT_TILES[mode](aa, b4)
-                lt = CK._GT_TILES[mode](b4, aa)
-                return None, (gt, lt)
+                return None, CK.gtlt_pair_tiles(mode, aa, b4)
 
             _, (gts, lts) = jax.lax.scan(body, None, my_bands)
             return gts, lts

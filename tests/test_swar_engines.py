@@ -96,6 +96,40 @@ def test_swar_pack10_kernels_exact(m):
 
 
 @pytest.mark.parametrize("m", [64, 63, 17])
+def test_swar_gtlt8_kernels_exact(m):
+    """Byte-packed derived-guard gt engine (gtlt8, the production
+    ab-u8 route since round 4): exact over the FULL u8 range — the
+    engine splits each byte on bit 7, so values straddling 128 are the
+    adversarial cases — for self tiles, rectangular tiles, and the
+    pair-list body."""
+    rng = np.random.default_rng(13)
+    n = 150
+    v8 = rng.integers(0, 256, size=(n, m)).astype(np.uint8)
+    v8[rng.random((n, m)) < 0.25] = v8[0, 0]            # ties
+    v8[rng.random((n, m)) < 0.15] = 127                 # bit-7 boundary
+    v8[rng.random((n, m)) < 0.15] = 128
+    pk = CK.pack8(jnp.asarray(v8))
+    ref_gt = (v8[:, None, :] > v8[None, :, :]).sum(-1)
+    ref_lt = (v8[:, None, :] < v8[None, :, :]).sum(-1)
+    gt, lt = CK.count_gtlt_self_packed16(pk, t=32, mode="gtlt8")
+    assert (np.asarray(gt) == ref_gt).all()
+    assert (np.asarray(lt) == ref_lt).all()
+    gtr, ltr = CK.count_gtlt_packed16(pk[:40], pk[40:], mode="gtlt8")
+    assert (np.asarray(gtr) == ref_gt[:40, 40:]).all()
+    assert (np.asarray(ltr) == ref_lt[:40, 40:]).all()
+    # pair-list body (eq from trichotomy must include only true regs)
+    from dashing2_tpu.cmp.core import _pair_counts_swar_fn
+    ia = rng.integers(0, n, size=256).astype(np.int32)
+    ib = rng.integers(0, n, size=256).astype(np.int32)
+    eqp, gtp, ltp = _pair_counts_swar_fn("gtlt8", m, 64)(
+        pk, jnp.asarray(ia), jnp.asarray(ib))
+    assert (np.asarray(gtp) == ref_gt[ia, ib]).all()
+    assert (np.asarray(ltp) == ref_lt[ia, ib]).all()
+    ref_eq = (v8[ia] == v8[ib]).sum(-1)
+    assert (np.asarray(eqp) == ref_eq).all()
+
+
+@pytest.mark.parametrize("m", [64, 63, 17])
 def test_swar_pack30_kernels_exact(m):
     """Two-level 15-bit halves for values < 2^30 (dense ranks past the
     2^15 single-half bound): gt combines per-half flags
@@ -274,9 +308,9 @@ def test_containment_mirror_tiles(kind, dtype, fd):
 def test_swar_pack_mode_policy():
     """Tile-engine pack policy is measurement-pinned (r3_pack10: the
     3-per-word pack10 engines lose to the 16-bit halves on tile jobs —
-    gt+lt 111.7 ms vs 61.2 ms at N=10240 — so only the pair-list path
-    keeps pack10). Guard the routing so a refactor doesn't silently
-    reintroduce the slower modes."""
+    gt+lt 111.7 ms vs 61.2 ms at N=10240; r4_probes: the byte-packed
+    derived-guard gt8+neq8 beats both at 52.2 ms for u8 a/b). Guard the
+    routing so a refactor doesn't silently reintroduce slower modes."""
     rng = np.random.default_rng(21)
     m = 64
 
@@ -287,7 +321,7 @@ def test_swar_pack_mode_policy():
 
     u8 = rng.integers(0, 256, size=(300, m)).astype(np.uint8)
     u64 = rng.integers(0, 1 << 62, size=(300, m)).astype(np.uint64)
-    assert pick("ab", u8, 1.0) == "gtlt16"      # not gtlt10
+    assert pick("ab", u8, 1.0) == "gtlt8"       # r4: byte derived-guard
     assert pick("bbit", u8, 1.0) == "eq8"
     assert pick("full", u64, 8.0) == "eq15"     # 256 < n: not eq10
     assert pick("full", u64[:200], 8.0) == "eq8"
