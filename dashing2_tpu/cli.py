@@ -373,6 +373,20 @@ def _load_presketched(opts: Dashing2DistOptions,
             items_per_path.append(1)
         elif path.endswith((".kmerset64", ".kmerset128")):
             opts.kmer_result = KmerSketchResultType.FULL_MMER_SET
+            import os as _os
+            stream = path.endswith(".kmerset64") and (
+                _os.environ.get("DASHING2_TPU_EXACT_STREAM") == "1"
+                or _os.path.getsize(path) > opts.sig_ram_limit)
+            if stream:
+                # >RAM exact corpus: file-backed sorted set, compared by
+                # the chunked streaming merge (cmp_core.cpp:518-572)
+                from .io.diskset import DiskSortedSet
+                ds = DiskSortedSet(path)
+                result.names.append(path)
+                kmer_sets.append(ds)
+                cards_all.append(np.array([float(len(ds))]))
+                items_per_path.append(1)
+                continue
             kmers = np.fromfile(path, dtype=np.uint64)
             if path.endswith(".kmerset128"):
                 # u128 entries (little-endian lo, hi); the 64-bit set

@@ -87,6 +87,41 @@ def mmer_sequence_pairs(opts, result: SketchingResult, ia: np.ndarray,
     return out
 
 
+def _stream_of(result: SketchingResult, i: int):
+    from ..io.diskset import DiskSortedSet, ram_set
+    s = result.kmer_sets[int(i)]
+    if isinstance(s, DiskSortedSet):
+        return s
+    counts = (result.kmer_set_counts[int(i)]
+              if result.kmer_set_counts is not None else None)
+    return ram_set(s, counts)
+
+
+def _any_disk(result: SketchingResult, idx) -> bool:
+    from ..io.diskset import DiskSortedSet
+    return any(isinstance(result.kmer_sets[int(i)], DiskSortedSet)
+               for i in np.asarray(idx).ravel())
+
+
+def _exact_streaming_block(result: SketchingResult, rows: np.ndarray,
+                           cols: np.ndarray) -> np.ndarray:
+    """Per-pair chunked sorted merges over file-backed sets — the >RAM
+    exact comparator (reference: cmp_core.cpp:518-572 +
+    wcompare.cpp:145-187 FILE variant). Memory stays bounded by
+    O(block chunks), independent of corpus size."""
+    from ..io.diskset import streaming_intersection
+    weighted = result.kmer_set_counts is not None or any(
+        getattr(result.kmer_sets[int(i)], "weighted", False)
+        for i in rows)
+    out = np.zeros((len(rows), len(cols)), np.float64)
+    for r, i in enumerate(rows):
+        a = _stream_of(result, i)
+        for c, j in enumerate(cols):
+            out[r, c] = streaming_intersection(
+                a, _stream_of(result, j), weighted=weighted)
+    return out
+
+
 def exact_intersections(result: SketchingResult, rows: np.ndarray,
                         cols: np.ndarray) -> np.ndarray:
     """Intersection-size matrix for exact k-mer representations.
@@ -104,6 +139,8 @@ def exact_intersections(result: SketchingResult, rows: np.ndarray,
     out = np.zeros((nr, nc), dtype=np.float64)
     if nr == 0 or nc == 0:
         return out
+    if _any_disk(result, rows) or _any_disk(result, cols):
+        return _exact_streaming_block(result, rows, cols)
     col_sizes = np.array([len(sets[int(j)]) for j in cols], np.int64)
     if col_sizes.sum() == 0:
         return out
@@ -156,6 +193,11 @@ def _device_sets_cache(result: SketchingResult):
     cache = getattr(result, "_dev_sets_cache", None)
     if cache is not None:
         return cache
+    from ..io.diskset import DiskSortedSet
+    if any(isinstance(s, DiskSortedSet) for s in result.kmer_sets):
+        # >RAM corpora never materialize padded device tables
+        result._dev_sets_cache = False
+        return False
     import jax.numpy as jnp
     sets = result.kmer_sets
     counts = result.kmer_set_counts
@@ -252,6 +294,16 @@ def exact_intersections_pairs(result: SketchingResult, ia: np.ndarray,
     pair)."""
     ia = np.asarray(ia)
     ib = np.asarray(ib)
+    if _any_disk(result, ia) or _any_disk(result, ib):
+        from ..io.diskset import streaming_intersection
+        weighted = result.kmer_set_counts is not None or any(
+            getattr(result.kmer_sets[int(i)], "weighted", False)
+            for i in ia)
+        return np.array([
+            streaming_intersection(_stream_of(result, i),
+                                   _stream_of(result, j),
+                                   weighted=weighted)
+            for i, j in zip(ia, ib)], np.float64)
     dev = _exact_pairs_device(result, ia, ib)
     if dev is not None:
         return dev

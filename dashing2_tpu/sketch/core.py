@@ -411,6 +411,23 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
     # items would carry all-zero k-mer rows into the eq-count engines
     want_kmers = (kres == KR.ONE_PERM
                   and (opts.save_kmers or opts.save_kmercounts))
+    def _exact_stream_wanted(opts, *paths) -> bool:
+        """>RAM exact corpora stay file-backed (DiskSortedSet) and
+        compare via the chunked streaming merge — the reference's
+        FILE-based exact path (cmp_core.cpp:518-572). Triggered by
+        DASHING2_TPU_EXACT_STREAM=1 or cache files above
+        --sig-ram-limit."""
+        env = os.environ.get("DASHING2_TPU_EXACT_STREAM")
+        if env == "0":
+            return False
+        if env == "1":
+            return True
+        try:
+            return sum(os.path.getsize(p) for p in paths) \
+                > opts.sig_ram_limit
+        except OSError:
+            return False
+
     dests = [makedest(opts, g) for g in groups]
     loaded: dict = {}
     for i, dest in enumerate(dests):
@@ -435,15 +452,28 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                             continue
                 loaded[i] = ("sig", card, (regs, kk, cc))
             elif kres == KR.FULL_MMER_SET:
-                kmers = np.fromfile(dest, dtype=np.uint64)
-                loaded[i] = ("set", float(len(kmers)), kmers)
+                if _exact_stream_wanted(opts, dest):
+                    from ..io.diskset import DiskSortedSet
+                    ds = DiskSortedSet(dest)
+                    loaded[i] = ("set", float(len(ds)), ds)
+                else:
+                    kmers = np.fromfile(dest, dtype=np.uint64)
+                    loaded[i] = ("set", float(len(kmers)), kmers)
             elif kres == KR.FULL_MMER_COUNTDICT:
-                kmers = np.fromfile(makedest(opts, groups[i], iskmer=True),
-                                    dtype=np.uint64)
-                counts = np.fromfile(dest, dtype=np.float64)
-                if len(kmers) != len(counts):
-                    continue
-                loaded[i] = ("dict", float(counts.sum()), (kmers, counts))
+                kpath = makedest(opts, groups[i], iskmer=True)
+                if _exact_stream_wanted(opts, dest, kpath):
+                    from ..io.diskset import DiskSortedSet
+                    ds = DiskSortedSet(kpath, counts_path=dest)
+                    if os.path.getsize(dest) != 8 * len(ds):
+                        continue
+                    loaded[i] = ("dict", ds.counts_sum(), (ds, None))
+                else:
+                    kmers = np.fromfile(kpath, dtype=np.uint64)
+                    counts = np.fromfile(dest, dtype=np.float64)
+                    if len(kmers) != len(counts):
+                        continue
+                    loaded[i] = ("dict", float(counts.sum()),
+                                 (kmers, counts))
             elif kres == KR.FULL_MMER_SEQUENCE:
                 seq = np.fromfile(dest, dtype=np.uint64)
                 loaded[i] = ("seq", float(len(seq)), seq)
