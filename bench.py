@@ -313,8 +313,10 @@ def main():
         from dashing2_tpu.cmp.core import (_pair_counts_swar_fn,
                                            _swar_pack_fn)
         P = 1 << 20
-        ia = jnp.asarray(rng.integers(0, n, size=P).astype(np.int32))
-        ib = jnp.asarray(rng.integers(0, n, size=P).astype(np.int32))
+        ia_h = rng.integers(0, n, size=P).astype(np.int32)
+        ib_h = rng.integers(0, n, size=P).astype(np.int32)
+        ia = jnp.asarray(ia_h)
+        ib = jnp.asarray(ib_h)
         pk16 = _swar_pack_fn("rank16")(u64)
         fn16 = _pair_counts_swar_fn("gtlt16", m, 8192)
 
@@ -333,6 +335,45 @@ def main():
         print(f"# pair-list counts (rank16 gtlt, 1M pairs): "
               f"{t_pl*1e3:.2f} ms (med {t_pl_med*1e3:.2f}) = "
               f"{P/t_pl/1e9:.2f} G pairs/s", file=sys.stderr)
+
+        # memoized count-matrix route (cmp.core._pair_matrix_counts):
+        # the refine/dedup/KNN loops build the full self-pairs count
+        # matrix once, then every pair list is a flat extraction
+        from dashing2_tpu.cmp.core import (_pair_matrix_build_fn,
+                                           _pair_take_fn)
+        bfn = _pair_matrix_build_fn("gt", "gtlt16", m)
+
+        def mk_build(K):
+            @jax.jit
+            def run(pk):
+                def body(c, _):
+                    mat = bfn(c)
+                    return c ^ (mat[:1] & 1).astype(c.dtype), mat[0]
+                c, s = jax.lax.scan(body, pk, None, length=K)
+                return c[0, 0] + s.sum()
+            return run
+        t_mb, _ = _timed_chain(mk_build, (pk16,), reps=3, K=2)
+        mat = bfn(pk16)
+        idx = jnp.asarray((ia_h.astype(np.int64) * n
+                           + ib_h.astype(np.int64)).astype(np.int32))
+        tfn = _pair_take_fn()
+
+        def mk_extract(K):
+            @jax.jit
+            def run(mat, idx):
+                def body(c, _):
+                    v = tfn(mat, c)
+                    return c ^ (v[:1] & 1).astype(c.dtype), v.sum()
+                c, s = jax.lax.scan(body, idx, None, length=K)
+                return c[0] + s.sum()
+            return run
+        t_me, t_me_med = _timed_chain(mk_extract, (mat, idx), reps=3, K=3)
+        extra["pairlist_matrix_build_ms"] = round(t_mb * 1e3, 2)
+        extra["pairlist_matrix_pairs_per_sec"] = round(P / t_me)
+        print(f"# pair-list memoized-matrix route: build {t_mb*1e3:.2f} ms"
+              f" once, warm extraction {t_me*1e3:.2f} ms"
+              f" (med {t_me_med*1e3:.2f}) = {P/t_me/1e9:.2f} G pairs/s",
+              file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# pair-list bench failed: {e}", file=sys.stderr)
 

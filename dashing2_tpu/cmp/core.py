@@ -1207,6 +1207,86 @@ def _pair_counts_sharded_fn(kind: str, mode_or_two, m: int, block: int,
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=8)
+def _pair_matrix_build_fn(kind: str, mode: str, m: int):
+    """Jitted full self-pairs count-matrix builder for the memoized
+    pair-list route. kind='eq' -> (N, N) u16 eq counts; kind='gt' ->
+    (N, N) u32 with gt in the low and lt (== gt.T) in the high half —
+    one word per pair so extraction moves half the bytes of two
+    matrices."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cmp_kernels import (count_eq_self_packed,
+                                   count_gtlt_self_packed16)
+
+    if kind == "eq":
+        def f(pk):
+            eq = count_eq_self_packed(pk, m, mode=mode)
+            return eq.astype(jnp.uint16).reshape(-1)
+    else:
+        def f(pk):
+            gt = count_gtlt_self_packed16(pk, mode=mode)[0]
+            gtu = gt.astype(jnp.uint32)
+            return (gtu | (gtu.T << jnp.uint32(16))).reshape(-1)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=2)
+def _pair_take_fn():
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda flat, idx: jnp.take(flat, idx))
+
+
+def _pair_matrix_route(cache: dict | None, cache_key: str, n: int,
+                       npairs: int, m: int) -> bool:
+    """Memoized-matrix policy: the refine/dedup/KNN loops call the
+    pair-list engine MANY times over the same registers, while each
+    gathered pair moves ~2 packed rows (4 KB at m=1024 rank16) — HBM
+    traffic that bounds the gather engine at ~0.2 G pairs/s however the
+    compares run. Once the CUMULATIVE pair count passes ~n^2/32 (the
+    measured build-vs-gather break-even: one circulant self-pairs build
+    ~= 4 gathered 1M-pair calls at n=10240), building the full count
+    matrix once and serving every later call by flat extraction is
+    strictly cheaper. Matrix memory: u32 n^2 (1 GB at the 16384 cap)."""
+    import os
+    if cache is None or n < 2 or m >= 32768:
+        return False
+    env = os.environ.get("DASHING2_TPU_PAIR_MATRIX", "")
+    if env == "0":
+        return False
+    if n > int(os.environ.get("DASHING2_TPU_PAIR_MATRIX_MAX", 16384)):
+        return False
+    if (cache_key + "_mat") in cache or env == "force":
+        return True
+    cum = cache.get(cache_key + "_cum", 0) + npairs
+    cache[cache_key + "_cum"] = cum
+    return cum >= n * n // 32
+
+
+def _pair_matrix_counts(entry, ia: np.ndarray, ib: np.ndarray,
+                        cache: dict, cache_key: str):
+    """Serve a pair list from the memoized full count matrix."""
+    import jax.numpy as jnp
+    _, pk, pmode, mtrue = entry
+    n = int(pk.shape[0])
+    kind = "eq" if pmode.startswith("eq") else "gt"
+    mat = cache.get(cache_key + "_mat")
+    if mat is None:
+        mat = _pair_matrix_build_fn(kind, pmode, mtrue)(pk)
+        cache[cache_key + "_mat"] = mat
+    idx = jnp.asarray((ia.astype(np.int64) * n
+                       + ib.astype(np.int64)).astype(np.int32))
+    v = np.asarray(_pair_take_fn()(mat, idx)).astype(np.int64)
+    if kind == "eq":
+        z = np.zeros_like(v)
+        return v, z, z
+    gt = v & 0xFFFF
+    lt = v >> 16
+    return np.int64(mtrue) - gt - lt, gt, lt
+
+
 def _pair_device_wanted(npairs: int) -> bool:
     """Device pair-list counts pay off on an accelerator with enough
     pairs to amortize dispatch; DASHING2_TPU_PAIR_DEVICE=force routes
@@ -1311,10 +1391,20 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
     if not _pair_device_wanted(len(ia)):
         return None
     entry = _prepare_pack_entry(data, want, len(ia), cache, cache_key)
+    import os
+    # memoized count-matrix route (single device — the mesh path keeps
+    # the sharded gather engine — or DASHING2_TPU_PAIR_MATRIX in
+    # {"1", "force"}: eligible on any mesh, "force" also skips the
+    # cumulative-pairs policy): amortizes the refine/dedup/KNN loops
+    if entry[0] == "swar" and (
+            len(jax.devices()) == 1
+            or os.environ.get("DASHING2_TPU_PAIR_MATRIX") in ("1", "force")) \
+            and _pair_matrix_route(cache, cache_key, int(entry[1].shape[0]),
+                                   len(ia), int(entry[3])):
+        return _pair_matrix_counts(entry, ia, ib, cache, cache_key)
     # mesh sharding: with >1 device and enough pairs to fill every
     # chip's first block, the pair vector shards across the mesh (the
     # register matrix is tiny and replicates)
-    import os
     ndev = len(jax.devices())
     if ndev > 1 and (len(ia) < block * ndev
                      or os.environ.get("DASHING2_TPU_MULTICHIP",

@@ -278,6 +278,64 @@ def test_device_pair_counts_sharded_matches_host():
         del os.environ["DASHING2_TPU_PAIR_DEVICE"]
 
 
+def test_pair_matrix_route_matches_host():
+    """The memoized count-matrix route (full self-pairs matrix built
+    once, pair lists served by flat extraction) must be bit-identical
+    to host comparisons for every SWAR packing and both want modes,
+    and must actually serve from the cached matrix on repeat calls."""
+    import os
+    from dashing2_tpu.cmp.core import _device_pair_counts
+    rng = np.random.default_rng(31)
+    n, m, P = 97, 101, 4096   # odd sizes exercise pad corrections
+    ia = rng.integers(0, n, size=P).astype(np.int64)
+    ib = rng.integers(0, n, size=P).astype(np.int64)
+    os.environ["DASHING2_TPU_PAIR_DEVICE"] = "force"
+    os.environ["DASHING2_TPU_PAIR_MATRIX"] = "force"
+    try:
+        for data in (
+            rng.integers(0, 256, size=(n, m), dtype=np.uint8),
+            rng.integers(0, 1 << 63, size=(n, m), dtype=np.uint64),
+        ):
+            data[3] = data[7]
+            A, B = data[ia], data[ib]
+            for want in ("gtlt", "eq"):
+                cache = {}
+                out = _device_pair_counts(data, ia, ib, cache=cache,
+                                          cache_key=f"t-{want}",
+                                          want=want)
+                assert f"t-{want}_mat" in cache, "matrix not memoized"
+                assert np.array_equal(out[0], (A == B).sum(1))
+                if want == "gtlt":
+                    assert np.array_equal(out[1], (A > B).sum(1))
+                    assert np.array_equal(out[2], (A < B).sum(1))
+                else:
+                    assert not out[1].any() and not out[2].any()
+                # repeat over the cache with a different pair list
+                out2 = _device_pair_counts(data, ib[:64], ia[:64],
+                                           cache=cache,
+                                           cache_key=f"t-{want}",
+                                           want=want)
+                assert np.array_equal(
+                    out2[0], (data[ib[:64]] == data[ia[:64]]).sum(1))
+        # rank30 packing (n past the 2^15 single-half rank bound is too
+        # slow for CPU tests; force the pack via a large pair hint
+        # instead is covered by the sharded test) — here check the
+        # cumulative-pairs policy trips without force
+        os.environ["DASHING2_TPU_PAIR_MATRIX"] = "1"
+        data = rng.integers(0, 1 << 63, size=(64, 33), dtype=np.uint64)
+        cache = {}
+        A, B = data[ia % 64], data[ib % 64]
+        for rep in range(3):   # 3 * 4096 pairs > 64*64/32 = 128
+            out = _device_pair_counts(data, ia % 64, ib % 64,
+                                      cache=cache, cache_key="cum",
+                                      want="gtlt")
+            assert np.array_equal(out[1], (A > B).sum(1))
+        assert "cum_mat" in cache, "cumulative policy never built"
+    finally:
+        del os.environ["DASHING2_TPU_PAIR_DEVICE"]
+        os.environ.pop("DASHING2_TPU_PAIR_MATRIX", None)
+
+
 def test_prep_handles_readonly_signatures():
     """_prep finalizes OPH signatures in place (rescale + densify); a
     read-only input (np.load mmap_mode='r', writeable=False views) must

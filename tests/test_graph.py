@@ -119,6 +119,13 @@ def test_device_pair_path_matches_host(fixtures, tmp_path, monkeypatch):
         monkeypatch.setenv("DASHING2_TPU_PAIR_DEVICE", "force")
         assert run_cli(args + ["--cmpout", str(dev_out)] + fixtures) == 0
         assert host_out.read_bytes() == dev_out.read_bytes(), args
+        # memoized count-matrix route (full self-pairs matrix + flat
+        # extraction) must also be byte-identical
+        mat_out = tmp_path / "mat.bin"
+        monkeypatch.setenv("DASHING2_TPU_PAIR_MATRIX", "force")
+        assert run_cli(args + ["--cmpout", str(mat_out)] + fixtures) == 0
+        monkeypatch.delenv("DASHING2_TPU_PAIR_MATRIX")
+        assert host_out.read_bytes() == mat_out.read_bytes(), args
 
 
 def test_dedup_human_output(fixtures, tmp_path):
