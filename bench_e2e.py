@@ -188,10 +188,104 @@ def bench_northstar(d):
     dt = time.perf_counter() - t0
     assert rc == 0
     assert os.path.getsize(out) == 4 * n * (n - 1) // 2
+    # WARM repeat: the same invocation inside one resident process —
+    # what a `dashing2-tpu serve` worker sees for repeat jobs. All jit
+    # executables (sketch + compare programs) are process-cached, so
+    # this is the job's compile-free wall.
+    out2 = os.path.join(d, "ns2.bin")
+    t0 = time.perf_counter()
+    rc = climain(["sketch", "-k", "31", "-S", "1024", "--fastcmp", "0.5",
+                  "--bbit-sigs", "--binary-output", "--cmpout", out2,
+                  "-F", lst])
+    dt_warm = time.perf_counter() - t0
+    assert rc == 0
+    with open(out, "rb") as f1, open(out2, "rb") as f2:
+        assert f1.read() == f2.read(), "warm repeat diverged"
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     return _emit("northstar-10k", n=n, seconds=round(dt, 3),
+                 seconds_warm=round(dt_warm, 3),
                  unique_pairs_per_s=round(_pairs(n) / dt),
+                 unique_pairs_per_s_warm=round(_pairs(n) / dt_warm),
                  peak_rss_gb=round(rss, 2))
+
+
+def bench_blockpath(d):
+    """N >= 32768 regime: self-pairs past DASHING2_TPU_SELF_MAX fall to
+    the generic row-block path (cmp/core._device_block_counts +
+    _block_counts_swar_fn on device). Synthetic full-mode signatures
+    (sketching 32k genomes is a different phase; this measures the
+    compare + emit path the VERDICT flagged as unbenched) streamed
+    through the production pairwise_matrix block iterator."""
+    import resource
+
+    from dashing2_tpu.cmp.core import pairwise_matrix
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.result import SketchingResult
+
+    n = int(os.environ.get("DASHING2_TPU_BENCH_BLOCK_N", 32768))
+    m = 1024
+    rng = np.random.default_rng(0xb10c)
+    res = SketchingResult(names=[f"g{i}" for i in range(n)])
+    res.signatures = rng.random((n, m)) + 0.5
+    res.cardinalities = rng.random(n) * 1e6 + 10.0
+    opts = Dashing2DistOptions(k=31, sketchsize=m)
+    t0 = time.perf_counter()
+    total = 0
+    checksum = 0.0
+    for lo, blk in pairwise_matrix(opts, res):
+        total += blk.size
+        checksum += float(np.asarray(blk[:, :1]).sum())
+    dt = time.perf_counter() - t0
+    assert total == n * (n - 1) // 2 or total == n * n, total
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    return _emit("blockpath-32k", n=n, seconds=round(dt, 3),
+                 pairs_per_s=round(_pairs(n) / dt),
+                 peak_rss_gb=round(rss, 2), checksum=round(checksum, 3))
+
+
+def bench_knn10k(d):
+    """KNN graph (--topk 10) at the north-star width over synthetic
+    full-mode signatures, run twice: once with the pair-list gather
+    engine (DASHING2_TPU_PAIR_MATRIX=0) and once with the memoized
+    count-matrix route (default on one chip) — identical neighbor
+    lists, refine phase on/off the critical path."""
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.cmp.graph import neighbor_graph_main
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.enums import OutputFormat, OutputKind
+    from dashing2_tpu.result import SketchingResult
+
+    n = int(os.environ.get("DASHING2_TPU_BENCH_KNN_N", 10240))
+    m = 1024
+    rng = np.random.default_rng(0x4a4a)
+    walls = {}
+    outs = {}
+    for tag, envval in [("gather", "0"), ("matrix", None)]:
+        if envval is None:
+            os.environ.pop("DASHING2_TPU_PAIR_MATRIX", None)
+        else:
+            os.environ["DASHING2_TPU_PAIR_MATRIX"] = envval
+        res = SketchingResult(names=[f"g{i}" for i in range(n)])
+        res.signatures = rng.random((n, m)) + 0.5
+        res.cardinalities = rng.random(n) * 1e6 + 10.0
+        rng = np.random.default_rng(0x4a4a)   # same data both runs
+        out = os.path.join(d, f"knn_{tag}.bin")
+        opts = Dashing2DistOptions(
+            k=31, sketchsize=m, num_neighbors=10,
+            output_kind=OutputKind.KNN_GRAPH,
+            output_format=OutputFormat.MACHINE_READABLE,
+            outfile_path=out)
+        t0 = time.perf_counter()
+        neighbor_graph_main(opts, res)
+        walls[tag] = time.perf_counter() - t0
+        outs[tag] = open(out, "rb").read()
+    os.environ.pop("DASHING2_TPU_PAIR_MATRIX", None)
+    assert outs["gather"] == outs["matrix"], "route outputs diverged"
+    return _emit("knn-topk10-10k", n=n,
+                 seconds_gather=round(walls["gather"], 3),
+                 seconds_matrix=round(walls["matrix"], 3),
+                 items_per_s=round(n / walls["matrix"]),
+                 identical_outputs=True)
 
 
 def bench_dist2(d):
@@ -255,7 +349,8 @@ ALL = {
     "topk": bench_topk,
     "refine": bench_refine_exact,
 }
-EXTRA = {"northstar": bench_northstar, "dist2": bench_dist2}
+EXTRA = {"northstar": bench_northstar, "dist2": bench_dist2,
+         "blockpath": bench_blockpath, "knn10k": bench_knn10k}
 
 
 def main():
