@@ -350,14 +350,110 @@ def oph_sketch_rows_dense(hashed: jnp.ndarray, valid: jnp.ndarray, *,
     return regs, counts
 
 
+@functools.partial(jax.jit, static_argnames=("m", "seed", "want_counts",
+                                              "chunk"))
+def oph_sketch_rows_rot(hashed: jnp.ndarray, valid: jnp.ndarray, *,
+                        m: int, seed: int = H.OPH_DEFAULT_SEED,
+                        want_counts: bool = True, chunk: int = 4096
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotation-dense OPH engine: the subtract-trick variant of the
+    dense bucket-one-hot min (bit-identical registers; counts share the
+    sort engine's 2^-64 U64MAX-id caveat).
+
+    With power-of-two m the bucket is the LOW lg(m) bits of the id
+    (oph.h:166), so ``rot = rotr(id, lg m)`` puts the bucket in the TOP
+    bits and is order-preserving within each bucket. On the rotated
+    HIGH u32 word, ``d = hi - (col << s)`` (s = 32 - lg m) is < 2^s iff
+    the position belongs to bucket col — out-of-bucket positions land
+    in [2^s, 2^32) for every col, including the wraparound side — so
+    pass 1's per-(position, bucket) work is ONE u32 subtract + ONE u32
+    min: no bucket-index compare, no select, no u64 emulation. The
+    dense engine pays ~8 lane-ops per position-bucket, dense2 ~7,
+    this 2 (+3 in the lo pass) — the sketch phase is pure VPU-op-bound
+    (ops/position-bucket x nk x m / lane rate; experiments/r4_sketch.py),
+    so the op count IS the wall time.
+
+    Pass 2 recovers the LOW u32 among positions whose high word equals
+    pass 1's winner (hi equality implies bucket membership since the
+    bucket is hi's top bits). Invalid positions carry rot = U64MAX: for
+    cols < m-1 they fail the d < 2^s test; for col m-1 they alias to
+    the maximal in-bucket value, so an all-invalid bucket m-1 resolves
+    to the U64MAX empty sentinel exactly like the dense engine."""
+    if m & (m - 1) or m < 2:
+        return oph_sketch_rows_dense(hashed, valid, m=m, seed=seed,
+                                     want_counts=want_counts, chunk=chunk)
+    ids = DH.oph_hash(hashed, seed)
+    R, nk = ids.shape
+    lgm = m.bit_length() - 1
+    s = 32 - lgm
+    rot = (ids >> jnp.uint64(lgm)) | (ids << jnp.uint64(64 - lgm))
+    rot = jnp.where(valid, rot, jnp.uint64(U64MAX))
+    hi = (rot >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = rot.astype(jnp.uint32)
+    U32MAX = jnp.uint32(0xFFFFFFFF)
+    pad = (-nk) % chunk
+    if pad:
+        ones = jnp.full((R, pad), U32MAX, jnp.uint32)
+        hi = jnp.concatenate([hi, ones], 1)
+        lo = jnp.concatenate([lo, ones], 1)
+    nc = hi.shape[1] // chunk
+    hi_t = jnp.moveaxis(hi.reshape(R, nc, chunk), 1, 0)
+    lo_t = jnp.moveaxis(lo.reshape(R, nc, chunk), 1, 0)
+    colbase = (jnp.arange(m, dtype=jnp.uint32) << jnp.uint32(s))
+
+    def body_hi(dmin, chi):
+        d = chi[:, :, None] - colbase[None, None, :]
+        return jnp.minimum(dmin, d.min(axis=1)), None
+
+    dmin, _ = jax.lax.scan(body_hi, jnp.full((R, m), U32MAX, jnp.uint32),
+                           hi_t)
+    # d >= 2^s: no position in this bucket (out-of-bucket values can
+    # never win below 2^s). The U32MAX sentinel for empty cols can
+    # spuriously match real bucket-(m-1) positions whose hi word is
+    # all-ones in pass 2, so empty cols are forced back to the U64MAX
+    # sentinel after pass 2 (`empty` below) rather than trusted there.
+    empty = dmin >> jnp.uint32(s) != 0
+    min_hi = jnp.where(empty, U32MAX, colbase[None, :] + dmin)
+
+    def body_lo(lmin, xs):
+        chi, clo = xs
+        on = chi[:, :, None] == min_hi[:, None, :]
+        cmin = jnp.min(jnp.where(on, clo[:, :, None], U32MAX), axis=1)
+        return jnp.minimum(lmin, cmin), None
+
+    min_lo, _ = jax.lax.scan(body_lo, jnp.full((R, m), U32MAX, jnp.uint32),
+                             (hi_t, lo_t))
+    rr = (min_hi.astype(jnp.uint64) << jnp.uint64(32)) \
+        | min_lo.astype(jnp.uint64)
+    regs = (rr << jnp.uint64(lgm)) | (rr >> jnp.uint64(64 - lgm))
+    regs = jnp.where(empty, jnp.uint64(U64MAX), regs)
+    if not want_counts:
+        return regs, jnp.zeros((R, m), jnp.uint32)
+
+    def cbody(counts, xs):
+        chi, clo = xs
+        ismin = ((chi[:, :, None] == min_hi[:, None, :])
+                 & (clo[:, :, None] == min_lo[:, None, :]))
+        return counts + ismin.sum(1).astype(jnp.uint32), None
+
+    counts, _ = jax.lax.scan(cbody, jnp.zeros((R, m), jnp.uint32),
+                             (hi_t, lo_t))
+    counts = jnp.where(regs == U64MAX, jnp.uint32(0), counts)
+    return regs, counts
+
+
 def oph_sketch_rows(hashed, valid, *, m: int,
                     seed: int = H.OPH_DEFAULT_SEED,
                     want_counts: bool = True, chunk: int = 4096):
     """Row-wise OPH dispatcher: dense bucket-one-hot engine by default,
     split-u32 dense engine with DASHING2_TPU_OPH_ENGINE=dense2,
-    rotation-sort engine with =sort, segment_min scatter engine with
-    =scatter (bit-identical outputs)."""
+    subtract-trick rotation-dense engine with =rot, rotation-sort
+    engine with =sort, segment_min scatter engine with =scatter
+    (bit-identical outputs)."""
     eng = oph_rows_engine()
+    if eng == "rot":
+        return oph_sketch_rows_rot(hashed, valid, m=m, seed=seed,
+                                   want_counts=want_counts, chunk=chunk)
     if eng == "scatter":
         return oph_sketch_rows_scatter(hashed, valid, m=m, seed=seed,
                                        want_counts=want_counts)

@@ -114,7 +114,10 @@ def _fused_oph_fn(hkw_items: tuple, m: int, seed: int, want_counts: bool,
     def f(chunks, filterset):
         hashed, valid = _hash_chunk_batch(chunks, filterset,
                                           use_filterset=use_fs, **hkw)
-        if oph_engine == "scatter":
+        if oph_engine == "rot":
+            r, c = SK.oph_sketch_rows_rot(hashed, valid, m=m, seed=seed,
+                                          want_counts=want_counts)
+        elif oph_engine == "scatter":
             r, c = SK.oph_sketch_rows_scatter(hashed, valid, m=m,
                                               seed=seed,
                                               want_counts=want_counts)

@@ -277,6 +277,57 @@ def test_oph_sort_engine_matches_dense():
                 hj, v, m=m, seed=H.OPH_DEFAULT_SEED, want_counts=wc)
             assert np.array_equal(np.asarray(r1), np.asarray(r3))
             assert np.array_equal(np.asarray(c1), np.asarray(c3))
+            r4, c4 = SK.oph_sketch_rows_rot(
+                hj, v, m=m, seed=H.OPH_DEFAULT_SEED, want_counts=wc)
+            assert np.array_equal(np.asarray(r1), np.asarray(r4))
+            assert np.array_equal(np.asarray(c1), np.asarray(c4))
+
+
+def test_oph_rot_engine_u32max_aliasing():
+    """Adversarial cases for the subtract-trick rot engine: post-hash
+    ids crafted so the ROTATED high u32 word is all-ones (bucket m-1
+    with a maximal top segment) while other buckets are empty — the
+    empty-bucket U32MAX sentinel must not capture those positions —
+    plus hi-word ties within a bucket (pass 2 tie-breaks) and
+    all-invalid rows."""
+    from dashing2_tpu import hashing as H
+    from dashing2_tpu.ops import sketch_kernels as SK
+
+    rng = np.random.default_rng(41)
+    R, nk, m = 3, 256, 64
+    lgm = 6
+    # rotated value rot = bucket << 58 | rest; choose rot hi32 = all-ones
+    # => bucket = m-1, top segment maximal. id = rotl(rot, lgm).
+    rot = (np.uint64(0xFFFFFFFF) << np.uint64(32)) \
+        | rng.integers(0, 1 << 32, size=(R, nk)).astype(np.uint64)
+    ids = (rot << np.uint64(lgm)) | (rot >> np.uint64(64 - lgm))
+    # half the stream: normal random ids landing in a few buckets only
+    ids[:, ::2] = rng.integers(1, 1 << 63, size=(R, nk // 2)
+                               ).astype(np.uint64)
+    pre = H.oph_hash_inverse(ids, H.OPH_DEFAULT_SEED)
+    hj = jnp.asarray(pre)
+    for v in (jnp.asarray(rng.random((R, nk)) < 0.9),
+              jnp.zeros((R, nk), bool)):
+        r1, c1 = SK.oph_sketch_rows_dense(hj, v, m=m,
+                                          seed=H.OPH_DEFAULT_SEED)
+        r2, c2 = SK.oph_sketch_rows_rot(hj, v, m=m,
+                                        seed=H.OPH_DEFAULT_SEED)
+        assert np.array_equal(np.asarray(r1), np.asarray(r2))
+        assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    # hi-word ties: same crafted-collision stream as the dense2 test
+    his = rng.integers(0, 4, size=(R, nk)).astype(np.uint64) << np.uint64(32)
+    ids2 = his | rng.integers(0, 1 << 32, size=(R, nk)).astype(np.uint64)
+    hj2 = jnp.asarray(H.oph_hash_inverse(ids2, H.OPH_DEFAULT_SEED))
+    v = jnp.asarray(rng.random((R, nk)) < 0.95)
+    r1, c1 = SK.oph_sketch_rows_dense(hj2, v, m=m, seed=H.OPH_DEFAULT_SEED)
+    r2, c2 = SK.oph_sketch_rows_rot(hj2, v, m=m, seed=H.OPH_DEFAULT_SEED)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    # non-pow2 m delegates
+    r1, c1 = SK.oph_sketch_rows_dense(hj2, v, m=96, seed=H.OPH_DEFAULT_SEED)
+    r2, c2 = SK.oph_sketch_rows_rot(hj2, v, m=96, seed=H.OPH_DEFAULT_SEED)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
 
 
 def test_oph_dense2_hi_word_ties():
