@@ -79,28 +79,48 @@ def _timed_chain(make_fn, args, reps=5, K=4):
 
 
 def _chip_health_probe():
-    """int8 matmul TOPS — the shared chip intermittently degrades to
-    ~1/10 of its healthy 317 TOPS (and once to a full outage) for long
-    stretches; record the probe so recorded benchmarks taken during an
-    episode are interpretable."""
+    """int8 matmul TOPS by LINEARITY SLOPE — chained a@b matmuls at two
+    chain lengths, slope = per-matmul time. The round-3 probe (a square
+    c@c chain with an elementwise cast between steps) serialized
+    matmul+VPU work and read 170 TOPS on a chip whose production
+    kernels sustained 249 — the "37.8/317 contradiction" VERDICT round
+    3 flagged was THIS probe shape plus tunnel-overhead differencing,
+    not chip degradation (experiments/r4_mxu_linearity.py: same chip
+    measures 353-402 TOPS slope, 93% of the 394 datasheet peak). Short
+    single-call timings over the tunnel carry a ~30 ms floor, so the
+    slope uses K=16 vs K=64."""
     import jax
     import jax.numpy as jnp
-    a = jnp.asarray(np.random.default_rng(0).integers(
-        -100, 100, size=(4096, 4096), dtype=np.int32).astype(np.int8))
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-100, 100, size=(4096, 4096),
+                                 dtype=np.int32).astype(np.int8))
+    b = jnp.asarray(rng.integers(-100, 100, size=(4096, 4096),
+                                 dtype=np.int32).astype(np.int8))
 
-    @jax.jit
-    def f(a):
-        def body(c, _):
-            d = jax.lax.dot_general(c, c, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-            return (d & 127).astype(jnp.int8), None
-        c, _ = jax.lax.scan(body, a, None, length=8)
-        return c[0, 0].astype(jnp.int32)
-    np.asarray(f(a))
-    t0 = time.perf_counter()
-    np.asarray(f(a))
-    dt = time.perf_counter() - t0
-    return 8 * 2 * 4096 ** 3 / dt / 1e12
+    def mk(K):
+        @jax.jit
+        def f(a, b):
+            def body(c, _):
+                d = jax.lax.dot_general(c, b, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                s = (d.sum(axis=1, dtype=jnp.int32) & 1).astype(jnp.int8)
+                return c ^ s[:, None], None
+            c, _ = jax.lax.scan(body, a, None, length=K)
+            return c.sum(dtype=jnp.int32)
+        return f
+    f1, f2 = mk(16), mk(64)
+    np.asarray(f1(a, b))
+    np.asarray(f2(a, b))
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(f1(a, b))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(f2(a, b))
+        t2 = time.perf_counter() - t0
+        best = min(best, (t2 - t1) / 48)
+    return 2 * 4096 ** 3 / best / 1e12
 
 
 def _tunnel_alive(timeout_s: float = 240.0) -> bool:
@@ -145,9 +165,10 @@ def main():
     if on_tpu:
         try:
             health = round(_chip_health_probe(), 1)
-            print(f"# chip health probe: {health} TOPS int8 "
-                  f"(healthy v5e measures ~317; numbers below are only "
-                  f"meaningful above ~250)", file=sys.stderr)
+            print(f"# chip health probe: {health} TOPS int8 linearity "
+                  f"slope (healthy chip sustains ~368 of the 394 "
+                  f"datasheet peak; degraded episodes read far below "
+                  f"250)", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"# chip health probe failed: {e}", file=sys.stderr)
     n, m = (10240, 1024) if on_tpu else (512, 128)
@@ -390,8 +411,10 @@ def main():
                    downsample_threshold=(1 << 64) - 1, chunk_len=L,
                    span=31, spacing_offsets=None, rolling=False,
                    use128=False)
+        # 'rot' = the fastest device engine (subtract-trick rotation
+        # dense, experiments/r4_sketch2.py: 19.1 ms vs dense 28.5)
         fsk = _fused_oph_fn(_hkw_key(hkw), m, H.OPH_DEFAULT_SEED, False,
-                            False)
+                            False, "rot")
         codes = jnp.asarray(rng.integers(0, 4, size=(R, L)
                                          ).astype(np.uint8))
         fs0 = jnp.zeros(1, jnp.uint64)
@@ -461,13 +484,14 @@ def main():
         "t_min_ms": round(t_head_min * 1e3, 3),
         "t_median_ms": round(t_head_med * 1e3, 3),
         "chip_int8_tops_probe": health,
-        "chip_int8_tops_healthy": 317,
+        # measured sustained slope on a healthy chip: 353-402 TOPS
+        # (93% of the 394 datasheet peak, experiments/r4_mxu_linearity)
+        "chip_int8_tops_healthy": 368,
         # the shared chip intermittently degrades its MXU for long
-        # stretches (R3_RESULTS.md) — but the standalone TOPS probe can
-        # read low (~36) while the production kernels still sustain
-        # ~35% MFU (2026-08-18 session), so the flag trusts the
-        # measured counts-engine MFU when available and falls back to
-        # the probe otherwise
+        # stretches (R3_RESULTS.md); the round-3 probe-vs-MFU
+        # contradiction was a probe-shape artifact (now a linearity
+        # slope, _chip_health_probe). The flag still prefers the
+        # production counts-engine MFU when available.
         "chip_degraded": bool(
             extra["mfu_int8_peak_counts"] < 0.15
             if "mfu_int8_peak_counts" in extra

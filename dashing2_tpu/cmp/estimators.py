@@ -292,8 +292,9 @@ def compressed_ab_measures32(gtc, ltc, m: int, b: float, fd_level: float,
             ret = ret * mu / xp.minimum(lh, rh)
         elif measure == Measure.POISSON_LLR:
             pm = f32(-1.0 / max(1, k))
+            # log1p form: 2r/(1+r) = 1 - ab/(2-ab) for r = 1-ab
             ret = xp.where(ret > 0,
-                           xp.log(f32(2.0) * ret / (f32(1.0) + ret)) * pm,
+                           xp.log1p(-ab / (f32(2.0) - ab)) * pm,
                            f32(np.inf))
     ret = ret.astype(np.float32)
     return xp.where(xp.isfinite(ret), ret, f32(FINF))
@@ -302,12 +303,29 @@ def compressed_ab_measures32(gtc, ltc, m: int, b: float, fd_level: float,
 def bbit_measures32(eqc, m: int, fd_level: float, lhcard, rhcard,
                     measure: Measure, k: int, xp=np):
     """f32 variant of bbit_measures on integer eq COUNT matrices (same
-    rationale as compressed_ab_measures32)."""
+    rationale as compressed_ab_measures32).
+
+    sim is evaluated in the cleared-denominator integer form
+    (eqc*2^b - m) / (m*(2^b - 1)) rather than the reference's
+    (eqc/m - 2^-b)/(1 - 2^-b): the latter in f32 cancels
+    catastrophically when eqc/m ~ 2^-b (the random-collision floor,
+    i.e. exactly the small-sim regime POISSON_LLR amplifies — measured
+    30 ulp vs the long-double oracle, tests/test_ld_oracle.py). In the
+    integer form eqc*2^b is EXACT (power-of-two scale), the subtraction
+    of exacts is correctly rounded, and exact products keep FMA
+    contraction bit-identical to the unfused graph — ulp-level vs the
+    oracle at every fd, same bits on every backend/engine."""
     f32 = np.float32
-    b2pow = f32(-np.ldexp(1.0, -int(fd_level * 8)))
+    scale = f32(np.ldexp(1.0, int(fd_level * 8)))
+    den = f32(np.float64(m) * (np.ldexp(1.0, int(fd_level * 8)) - 1.0))
     sim = xp.maximum(f32(0.0),
-                     (eqc.astype(np.float32) * f32(1.0 / m) + b2pow)
-                     / (f32(1.0) + b2pow))
+                     (eqc.astype(np.float32) * scale - f32(m)) / den)
+    # sim - 1 from exact integers ((eqc - m)*2^b is exact): feeds the
+    # log1p POISSON_LLR form, which does not amplify rounding near
+    # sim -> 1 the way log(2s/(1+s)) does (measured 24 -> <=2 ulp vs
+    # the long-double oracle)
+    simm1 = xp.minimum(
+        f32(0.0), (eqc.astype(np.float32) - f32(m)) * scale / den)
     lh = xp.asarray(lhcard).astype(np.float32)
     rh = xp.asarray(rhcard).astype(np.float32)
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
@@ -319,8 +337,10 @@ def bbit_measures32(eqc, m: int, fd_level: float, lhcard, rhcard,
                 * sim / lh
         elif measure == Measure.POISSON_LLR:
             pm = f32(-1.0 / max(1, k))
+            # log1p form: 2s/(1+s) = 1 + (s-1)/(1+s); log() of an
+            # argument near 1 amplifies its rounding ~1/|log| -fold
             ret = xp.where(sim > 0,
-                           xp.log(f32(2.0) * sim / (f32(1.0) + sim)) * pm,
+                           xp.log1p(simm1 / (f32(1.0) + sim)) * pm,
                            f32(np.inf))
         elif measure == Measure.SYMMETRIC_CONTAINMENT:
             ret = xp.maximum((lh + rh) / (f32(1.0) + sim), f32(0.0)) \
@@ -358,8 +378,10 @@ def full_setsketch_measures32(gt, lt, m: int, lhcard, rhcard,
             ret = isz / xp.minimum(lh, rh)
         elif measure == Measure.POISSON_LLR:
             pm = f32(-1.0 / max(1, k))
+            # log1p form: 2e/(1+e) = 1 - s/(2-s) for e = 1-s (see
+            # bbit_measures32)
             ret = xp.where(eqv > 0,
-                           xp.log(f32(2.0) * eqv / (f32(1.0) + eqv)) * pm,
+                           xp.log1p(-s / (f32(2.0) - s)) * pm,
                            f32(np.inf))
         elif measure == Measure.UNION_SIZE:
             ret = lh + rh - isz
@@ -394,8 +416,10 @@ def equality_measures32(eqc, m: int, lhcard, rhcard, measure: Measure,
             ret = sim * ucard / lh
         elif measure == Measure.POISSON_LLR:
             pm = f32(-1.0 / max(1, k))
+            # log1p form with sim-1 from the exact integer (eqc - m)
+            simm1 = (eqc.astype(np.float32) - f32(m)) * f32(1.0 / m)
             ret = xp.where(sim > 0,
-                           xp.log(f32(2.0) * sim / (f32(1.0) + sim)) * pm,
+                           xp.log1p(simm1 / (f32(1.0) + sim)) * pm,
                            f32(np.inf))
         elif measure == Measure.UNION_SIZE:
             ret = lh + rh - sim * ucard

@@ -152,3 +152,50 @@ def load_emit_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char, ctypes.c_char_p, ctypes.c_size_t]
         lib._sigs_set = True
     return lib
+
+
+def load_ld_oracle() -> Optional[ctypes.CDLL]:
+    """Long-double estimator-epilogue oracle: the reference compare()
+    epilogues (cmp_core.cpp:349-517) transcribed at full precision, for
+    measuring the production f32 epilogues' deviation (PARITY.md
+    deviation 7)."""
+    lib = _load_lib("ldoracle", "ld_oracle.cpp", [])
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        c = ctypes
+        i64p = c.POINTER(c.c_int64)
+        f64p = c.POINTER(c.c_double)
+        lib.ld_epilogue.restype = None
+        lib.ld_epilogue.argtypes = [
+            c.c_int, c.c_int, c.c_int, c.c_int64, c.c_double, c.c_double,
+            i64p, i64p, i64p, f64p, f64p, c.c_int64,
+            c.POINTER(c.c_float)]
+        lib._sigs_set = True
+    return lib
+
+
+def ld_epilogue(mode: int, measure: int, k: int, m: int, bq: float,
+                fd: float, eqc, gtc, ltc, lhcard, rhcard):
+    """Reference long-double epilogue for count vectors -> f32 values
+    (None when the toolchain is unavailable)."""
+    import numpy as np
+    lib = load_ld_oracle()
+    if lib is None:
+        return None
+    c = ctypes
+    n = len(lhcard)
+    z = np.zeros(n, np.int64)
+    eqc = np.ascontiguousarray(eqc if eqc is not None else z, np.int64)
+    gtc = np.ascontiguousarray(gtc if gtc is not None else z, np.int64)
+    ltc = np.ascontiguousarray(ltc if ltc is not None else z, np.int64)
+    lh = np.ascontiguousarray(lhcard, np.float64)
+    rh = np.ascontiguousarray(rhcard, np.float64)
+    out = np.empty(n, np.float32)
+    lib.ld_epilogue(
+        int(mode), int(measure), int(k), int(m), float(bq), float(fd),
+        eqc.ctypes.data_as(c.POINTER(c.c_int64)),
+        gtc.ctypes.data_as(c.POINTER(c.c_int64)),
+        ltc.ctypes.data_as(c.POINTER(c.c_int64)),
+        lh.ctypes.data_as(c.POINTER(c.c_double)),
+        rh.ctypes.data_as(c.POINTER(c.c_double)),
+        n, out.ctypes.data_as(c.POINTER(c.c_float)))
+    return out
