@@ -239,7 +239,8 @@ def main():
             return run
         t_tiles, t_tiles_med = _timed_chain(mk_counts, (nib,))
         macs = (T // 2) * (T + 1) * _TRI_BM * _TRI_BM * 16 * m
-        mfu = macs / V5E_INT8_TOPS / t_tiles
+        # TOPS convention counts mul+add as 2 ops: MFU = 2*MACs / peak
+        mfu = 2 * macs / V5E_INT8_TOPS / t_tiles
         extra["counts_engine_pairs_per_sec"] = round(up / t_tiles)
         extra["mfu_int8_peak_counts"] = round(mfu, 3)
         print(f"# counts engine tile delivery: {t_tiles*1e3:.2f} ms "
@@ -493,7 +494,7 @@ def main():
         # slope, _chip_health_probe). The flag still prefers the
         # production counts-engine MFU when available.
         "chip_degraded": bool(
-            extra["mfu_int8_peak_counts"] < 0.15
+            extra["mfu_int8_peak_counts"] < 0.3
             if "mfu_int8_peak_counts" in extra
             else health is not None and health < 250),
         "nibble_ab_pairs_per_sec": round(up / t_ab_min),
