@@ -358,9 +358,11 @@ def main():
               f"{t_pl*1e3:.2f} ms (med {t_pl_med*1e3:.2f}) = "
               f"{P/t_pl/1e9:.2f} G pairs/s", file=sys.stderr)
 
-        # memoized count-matrix route (cmp.core._pair_matrix_counts):
-        # the refine/dedup/KNN loops build the full self-pairs count
-        # matrix once, then every pair list is a flat extraction
+        # memoized count-matrix route (cmp.core._pair_matrix_counts) —
+        # OPT-IN only since round 4: extraction is scalar-gather-bound
+        # (~10 ns/element however phrased, experiments/r4_pairx.py), so
+        # the gather engine above is the production default; this line
+        # documents WHY (build + extraction never beats it)
         from dashing2_tpu.cmp.core import (_pair_matrix_build_fn,
                                            _pair_take_fn)
         bfn = _pair_matrix_build_fn("gt", "gtlt16", m)

@@ -246,9 +246,10 @@ def bench_blockpath(d):
 def bench_knn10k(d):
     """KNN graph (--topk 10) at the north-star width over synthetic
     full-mode signatures, run twice: once with the pair-list gather
-    engine (DASHING2_TPU_PAIR_MATRIX=0) and once with the memoized
-    count-matrix route (default on one chip) — identical neighbor
-    lists, refine phase on/off the critical path."""
+    engine (the default) and once with the opt-in memoized count-matrix
+    route (DASHING2_TPU_PAIR_MATRIX=force) — identical neighbor lists;
+    the A/B records why the gather engine is the default
+    (experiments/r4_pairx.py: extraction is scalar-gather-bound)."""
     from dashing2_tpu.cmp import core as C
     from dashing2_tpu.cmp.graph import neighbor_graph_main
     from dashing2_tpu.config import Dashing2DistOptions
@@ -260,7 +261,7 @@ def bench_knn10k(d):
     rng = np.random.default_rng(0x4a4a)
     walls = {}
     outs = {}
-    for tag, envval in [("gather", "0"), ("matrix", None)]:
+    for tag, envval in [("gather", None), ("matrix", "force")]:
         if envval is None:
             os.environ.pop("DASHING2_TPU_PAIR_MATRIX", None)
         else:

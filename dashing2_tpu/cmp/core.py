@@ -1241,20 +1241,27 @@ def _pair_take_fn():
 
 def _pair_matrix_route(cache: dict | None, cache_key: str, n: int,
                        npairs: int, m: int) -> bool:
-    """Memoized-matrix policy: the refine/dedup/KNN loops call the
-    pair-list engine MANY times over the same registers, while each
-    gathered pair moves ~2 packed rows (4 KB at m=1024 rank16) — HBM
-    traffic that bounds the gather engine at ~0.2 G pairs/s however the
-    compares run. Once the CUMULATIVE pair count passes ~n^2/32 (the
-    measured build-vs-gather break-even: one circulant self-pairs build
-    ~= 4 gathered 1M-pair calls at n=10240), building the full count
-    matrix once and serving every later call by flat extraction is
-    strictly cheaper. Matrix memory: u32 n^2 (1 GB at the 16384 cap)."""
+    """Memoized-matrix policy — OPT-IN ONLY, measured slower than the
+    gather engine and therefore off by default. The route's premise was
+    that serving pair lists by flat extraction from a prebuilt count
+    matrix costs ~4 B/pair; measured on the chip it does NOT
+    (experiments/r4_pairx.py): a 1M-element extraction from the 104M-
+    element matrix takes 14-15 ms however it is phrased — flat element
+    take 15.1 ms, 128-lane row-take + one-hot lane select 9.6 ms,
+    256/512-lane 11-19 ms, and SORTED indices time identically to
+    random (TPU gathers issue from the scalar core; index order does
+    not help). The gather engine serves the same 1M pairs in 8.3 ms,
+    so build (70 ms) + extraction never amortizes. Scattered access at
+    ~10 ns/element is the floor for EVERY extraction formulation tried;
+    pair-list consumers that want tile-rate service should consume the
+    matrix on device (per-row top-k / masked max), not extract pairs.
+    DASHING2_TPU_PAIR_MATRIX=1 re-enables the cumulative-pairs policy,
+    =force skips it (both used by tests)."""
     import os
     if cache is None or n < 2 or m >= 32768:
         return False
     env = os.environ.get("DASHING2_TPU_PAIR_MATRIX", "")
-    if env == "0":
+    if env not in ("1", "force"):
         return False
     if n > int(os.environ.get("DASHING2_TPU_PAIR_MATRIX_MAX", 16384)):
         return False
@@ -1392,13 +1399,10 @@ def _device_pair_counts(data: np.ndarray, ia: np.ndarray, ib: np.ndarray,
         return None
     entry = _prepare_pack_entry(data, want, len(ia), cache, cache_key)
     import os
-    # memoized count-matrix route (single device — the mesh path keeps
-    # the sharded gather engine — or DASHING2_TPU_PAIR_MATRIX in
-    # {"1", "force"}: eligible on any mesh, "force" also skips the
-    # cumulative-pairs policy): amortizes the refine/dedup/KNN loops
-    if entry[0] == "swar" and (
-            len(jax.devices()) == 1
-            or os.environ.get("DASHING2_TPU_PAIR_MATRIX") in ("1", "force")) \
+    # memoized count-matrix route: opt-in only (DASHING2_TPU_PAIR_MATRIX
+    # in {"1", "force"}) — measured slower than the gather engine, see
+    # _pair_matrix_route
+    if entry[0] == "swar" \
             and _pair_matrix_route(cache, cache_key, int(entry[1].shape[0]),
                                    len(ia), int(entry[3])):
         return _pair_matrix_counts(entry, ia, ib, cache, cache_key)
