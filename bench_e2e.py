@@ -211,11 +211,16 @@ def bench_northstar(d):
 
 def bench_blockpath(d):
     """N >= 32768 regime: self-pairs past DASHING2_TPU_SELF_MAX fall to
-    the generic row-block path (cmp/core._device_block_counts +
-    _block_counts_swar_fn on device). Synthetic full-mode signatures
-    (sketching 32k genomes is a different phase; this measures the
-    compare + emit path the VERDICT flagged as unbenched) streamed
-    through the production pairwise_matrix block iterator."""
+    the generic row-block path — since round 4 the fused device engine
+    (cmp/core._device_block_measures: row gathers + SWAR counts + f32
+    epilogue in ONE program, pulls pipelined one block deep). Synthetic
+    full-mode signatures (sketching 32k genomes is a different phase;
+    this measures the compare + emit path the VERDICT flagged as
+    unbenched) streamed through the production pairwise_matrix block
+    iterator. The wall here is the tunnel: the n^2 f32 output (4 GB at
+    n=32768) crosses device->host at the measured ~30 MB/s; the unfused
+    round-3 path additionally paid ~29 s/block of host numpy epilogue
+    (617 s total)."""
     import resource
 
     from dashing2_tpu.cmp.core import pairwise_matrix

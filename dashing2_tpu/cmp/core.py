@@ -294,6 +294,87 @@ def _device_block_counts(opts, result, creps, rows, cols):
     return None, np.asarray(gt), np.asarray(lt)
 
 
+@functools.lru_cache(maxsize=32)
+def _block_measures_swar_fn(kind: str, pmode: str, mtrue: int, m: int,
+                            msr: Measure, k: int, fd: float):
+    """Fully-fused row-block engine over the CACHED packed matrix:
+    device row gathers -> rectangular SWAR counts -> f32 estimator
+    epilogue, one jit, f32 measures out. Unlike _block_matrix_swar_fn
+    (the multi-host driver's form, which packs inside the jit and keys
+    on static [lo, hi)), this takes runtime row/col index vectors so
+    every block of an N > SELF_MAX job shares ONE compiled program and
+    one packing. Counts use mtrue (the packed register count); the
+    epilogue uses the job's sketchsize m, mirroring the host
+    _count_matrices -> _dispatch_measures split exactly (same f32
+    epilogues -> bit-identical blocks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cmp_kernels import count_eq_packed, count_gtlt_packed16
+
+    @jax.jit
+    def f(pk, rows, cols, cards, b, gbt, gbinv):
+        a = jnp.take(pk, rows, axis=0)
+        bb = jnp.take(pk, cols, axis=0)
+        if pmode.startswith("gtlt"):
+            c1, c2 = count_gtlt_packed16(a, bb, mode=pmode)
+        else:
+            eq = count_eq_packed(a, bb, mtrue, mode=pmode)
+            if kind in ("eqfull", "bbit"):
+                c1, c2 = eq, None
+            else:
+                # sum-first estimators ('full', 'ab' fd >= 8) accept any
+                # (gt', lt') with gt' + lt' = mtrue - eq
+                c1 = jnp.int32(mtrue) - eq
+                c2 = jnp.zeros_like(eq)
+        lh = jnp.take(cards, rows)
+        rh = jnp.take(cards, cols)
+        return _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh, rh, b,
+                               (gbt, gbinv))
+    return f
+
+
+def _device_block_measures(opts, result, creps, rows, cols):
+    """Fused device f32 measure block, returned as a DEVICE array so
+    pairwise_matrix can pipeline the device->host pull of block b
+    against block b+1's compute and the consumer's emit of b-1. None ->
+    the caller runs _measure_block (host epilogue). Measured on the
+    remote chip at n=32768: the unfused path paid ~29 s/block of host
+    numpy epilogue on top of the counts pull; fused, the per-block cost
+    is the f32 pull (tunnel-bound) plus sub-second compute."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    nprod = len(rows) * len(cols)
+    force = os.environ.get("DASHING2_TPU_PAIR_DEVICE", "") == "force"
+    if not force and (jax.default_backend() == "cpu"
+                      or nprod < (1 << 20)):
+        return None
+    if creps.nibble_packed:
+        return None
+    info = _rep_device_cache(opts, result, creps)
+    if info is None:
+        return None
+    cache, key, data, want = info
+    entry = _prepare_pack_entry(data, want, nprod, cache, key + "_dev")
+    if entry[0] != "swar":
+        return None
+    _, pk, pmode, mtrue = entry
+    kind, _ = _representation(opts, result, creps)
+    ckey = key + "_cards"
+    if ckey not in cache:
+        cache[ckey] = jnp.asarray(
+            np.asarray(result.cardinalities, np.float64))
+    bf = max(creps.b, 1.0 + 1e-9)
+    gbt, gbinv = _gb_args(bf, opts.sketchsize)
+    fn = _block_measures_swar_fn(kind, pmode, mtrue, opts.sketchsize,
+                                 opts.measure, opts.k, opts.fd_level)
+    return fn(pk, jnp.asarray(rows.astype(np.int32)),
+              jnp.asarray(cols.astype(np.int32)), cache[ckey],
+              np.float64(bf), gbt, gbinv)
+
+
 def _consumes_gtlt(opts: Dashing2DistOptions,
                    creps: CompressedReps) -> bool:
     """True when the representation's estimator takes (gt, lt) count
@@ -1579,6 +1660,18 @@ def measure_pairs(opts: Dashing2DistOptions, result: SketchingResult,
                               ).astype(np.float32)
 
 
+def _block_size(opts: Dashing2DistOptions) -> int:
+    """Row-block size for the generic pairwise loop: --batch-size, else
+    the reference's cache heuristic (cmp_main.cpp:370-388; D2_CACHE_SIZE
+    env, 4MiB default) bounded to [64, 4096]. Shared by pairwise_matrix
+    and warm_pairwise_cache so the warmed block program's shapes match
+    production exactly."""
+    import os
+    cache = int(os.environ.get("D2_CACHE_SIZE", 4 << 20))
+    return opts.cmp_batch_size if opts.cmp_batch_size > 0 else \
+        int(min(4096, max(64, cache // max(opts.sketchsize, 1))))
+
+
 def warm_pairwise_cache(opts: Dashing2DistOptions, n: int,
                         nq: int = 0) -> bool:
     """Pre-compile the fused all-pairs compare program for the job's
@@ -1599,11 +1692,14 @@ def warm_pairwise_cache(opts: Dashing2DistOptions, n: int,
     branch. Returns True when a fast-path program was warmed."""
     import os
     self_max = int(os.environ.get("DASHING2_TPU_SELF_MAX", 16384))
+    # block-path warms allocate a synthetic (n, m) f64 matrix; cap so a
+    # huge job can't blow host memory from the warm thread
+    warm_max = int(os.environ.get("DASHING2_TPU_WARM_MAX", 65536))
     counts_path = (opts.kmer_result < KmerSketchResultType.FULL_MMER_SET
                    and opts.sspace != SketchSpace.SPACE_EDIT_DISTANCE)
     nf = n - nq
     span = nf if nq else n
-    if not counts_path or not (64 <= n <= self_max) or span < 64:
+    if not counts_path or not (64 <= n <= warm_max) or span < 64:
         return False
     rng = np.random.default_rng(0x5eed)
     fake = SketchingResult(names=[f"_warm{i}" for i in range(n)])
@@ -1613,6 +1709,18 @@ def warm_pairwise_cache(opts: Dashing2DistOptions, n: int,
     fake.cardinalities = rng.random(n) * 1e3 + 10.0
     fake.nq = nq
     creps, fake = _prep(opts, fake)
+    if n > self_max:
+        # N > SELF_MAX: warm the fused row-block program (and its
+        # one-time rank/pack program) at the production (block, n)
+        # shape; the result stays on device and is dropped. The last
+        # PARTIAL block compiles separately later — unavoidable, one
+        # shape. Measured n=32768: the first real block paid ~189 s of
+        # compile+pack that this moves under the sketch phase.
+        block = _block_size(opts)
+        rows = np.arange(min(block, nf if nq else n))
+        cols = np.arange(nf, n) if nq else np.arange(n)
+        return _device_block_measures(opts, fake, creps, rows,
+                                      cols) is not None
     if nq:
         out = _panel_pairs_matrix(opts, fake, creps, nf)
     else:
@@ -1628,13 +1736,7 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     Otherwise: full n x n (symmetric emitters slice the upper triangle).
     """
     if block <= 0:
-        # row-block size from --batch-size, else the reference's cache
-        # heuristic (cmp_main.cpp:370-388; D2_CACHE_SIZE env, 4MiB
-        # default) bounded to [64, 4096]
-        import os
-        cache = int(os.environ.get("D2_CACHE_SIZE", 4 << 20))
-        block = opts.cmp_batch_size if opts.cmp_batch_size > 0 else \
-            int(min(4096, max(64, cache // max(opts.sketchsize, 1))))
+        block = _block_size(opts)
     creps, result = _prep(opts, result)
     n = result.n if result.names else len(result.cardinalities)
     nq = result.nqueries()
@@ -1667,6 +1769,21 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                 yield start, mat[start:start + block]
             return
 
+    # generic row-block loop (N > SELF_MAX, panels over the cap, exact/
+    # edit kinds). Device-eligible representations run the fused
+    # counts+epilogue program and pipeline one block: dispatch block b,
+    # THEN pull/yield block b-1 — the device computes b while the host
+    # pulls b-1 over the (slow) tunnel and the consumer formats/emits.
+    pending = None
     for start in range(0, row_end, block):
         rows = np.arange(start, min(start + block, row_end))
-        yield start, _measure_block(opts, result, creps, rows, cols)
+        dev = _device_block_measures(opts, result, creps, rows, cols)
+        if pending is not None:
+            yield pending[0], np.asarray(pending[1])
+            pending = None
+        if dev is None:
+            yield start, _measure_block(opts, result, creps, rows, cols)
+        else:
+            pending = (start, dev)
+    if pending is not None:
+        yield pending[0], np.asarray(pending[1])

@@ -163,16 +163,21 @@ def test_swar_pack30_kernels_exact(m):
     assert np.array_equal(pack_words_np(v, "gtlt30"), np.asarray(pk))
 
 
-@pytest.mark.parametrize("kind_opts", [
-    dict(kmer_result=1),                                     # full gt/lt
-    dict(kmer_result=1, fd_level=1.0, truncation_method=1),  # bbit u8
-    dict(kmer_result=1, fd_level=1.0),                       # ab u8 gtlt
+@pytest.mark.parametrize("kind_opts,exact", [
+    (dict(kmer_result=1), True),                                # full gt/lt
+    (dict(kmer_result=1, fd_level=1.0, truncation_method=1), True),  # bbit
+    (dict(kmer_result=1, fd_level=1.0), False),                 # ab u8 gtlt
 ])
-def test_device_block_counts_match_host(kind_opts, monkeypatch):
-    """The generic row-block path (N > SELF_MAX) with the device SWAR
-    block engine forced must emit byte-identical blocks to the host
-    block path (counts are integers; the epilogue is the same numpy
-    code either way)."""
+def test_device_block_counts_match_host(kind_opts, exact, monkeypatch):
+    """The generic row-block path (N > SELF_MAX) with the fused device
+    SWAR block engine forced must match the host block path. Counts are
+    bit-identical by construction; the f32 epilogue now runs INSIDE the
+    device program (round 4: the host numpy epilogue cost ~29 s/block
+    at n=32768), so for the a/b-quantized kinds — whose g_b complement
+    recurrence chains contractible steps and transcendental calls — the
+    XLA and numpy graphs may differ by ~10 ulps (README deviations; the
+    same envelope as the swar/xla routing fuzz below). full/bbit
+    epilogues are contraction-immune and stay byte-identical."""
     from dashing2_tpu.config import Dashing2DistOptions
     from dashing2_tpu.result import SketchingResult
     n, m = 150, 96
@@ -194,7 +199,10 @@ def test_device_block_counts_match_host(kind_opts, monkeypatch):
     dev = dict(C.pairwise_matrix(opts, res2))
     assert host.keys() == dev.keys()
     for k in host:
-        assert np.array_equal(host[k], dev[k]), k
+        if exact:
+            assert np.array_equal(host[k], dev[k]), k
+        else:
+            _close(host[k], dev[k], tol=2e-6)
 
 
 def _close(a, b, tol=3e-7):

@@ -70,8 +70,35 @@ def test_warm_declines_out_of_range(corpus):
     import dashing2_tpu.cmp.core as C
     opts, groups = _opts([], corpus)
     assert C.warm_pairwise_cache(opts, 8) is False        # n < 64
-    big = int(os.environ.get("DASHING2_TPU_SELF_MAX", 16384)) + 1
-    assert C.warm_pairwise_cache(opts, big) is False
+    big = int(os.environ.get("DASHING2_TPU_WARM_MAX", 65536)) + 1
+    assert C.warm_pairwise_cache(opts, big) is False      # > warm cap
+    # between SELF_MAX and the warm cap the BLOCK program warms — but
+    # only where the device block engine runs (not the CPU backend)
+    mid = int(os.environ.get("DASHING2_TPU_SELF_MAX", 16384)) + 1
+    assert C.warm_pairwise_cache(opts, mid) is False
+
+
+def test_warm_block_program(corpus, monkeypatch):
+    """N > SELF_MAX: the warm must compile the fused row-block program
+    (_block_measures_swar_fn) for the production (block, n) shape so
+    the job's first block doesn't pay the compile (measured ~189 s at
+    n=32768 on the remote chip)."""
+    monkeypatch.setenv("DASHING2_TPU_PAIR_DEVICE", "force")
+    monkeypatch.setenv("DASHING2_TPU_SELF_MAX", "64")
+    import dashing2_tpu.cmp.core as C
+    opts, groups = _opts([], corpus)
+    n = len(groups)
+    assert n > 64
+    assert C.warm_pairwise_cache(opts, n) is True
+
+    from dashing2_tpu.cli import _do_sketch
+    result = _do_sketch(opts, groups, 0)
+    creps, result = C._prep(opts, result)
+    kind, _ = C._representation(opts, result, creps)
+    # production block shapes: full rows block (warmed) — the partial
+    # tail block compiles separately
+    blocks = dict(C.pairwise_matrix(opts, result))
+    assert sum(b.shape[0] for b in blocks.values()) == n
 
 
 def test_warm_panel(corpus, monkeypatch):
