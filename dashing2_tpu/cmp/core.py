@@ -334,6 +334,54 @@ def _block_measures_swar_fn(kind: str, pmode: str, mtrue: int, m: int,
     return f
 
 
+@functools.lru_cache(maxsize=32)
+def _block_measures_swar_sharded_fn(kind: str, pmode: str, mtrue: int,
+                                    m: int, msr: Measure, k: int,
+                                    fd: float, ndev: int, nrows: int):
+    """Mesh-sharded form of _block_measures_swar_fn: the block's rows
+    shard over the devices (each chip gathers its row slice from the
+    replicated packed matrix and compares against all columns, zero
+    cross-device communication); the f32 epilogue runs outside the
+    shard_map and GSPMD keeps it row-sharded. The caller pads rows to a
+    multiple of ndev; the pad is sliced off INSIDE the jit (nrows is
+    static) so no padded rows cross device->host."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ..ops.cmp_kernels import count_eq_packed, count_gtlt_packed16
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
+
+    @jax.jit
+    def f(pk, rows, cols, cards, b, gbt, gbinv):
+        a = jnp.take(pk, rows, axis=0)
+        bb = jnp.take(pk, cols, axis=0)
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("rows", None), P(None, None)),
+            out_specs=(P("rows", None), P("rows", None)))
+        def counts(ab, ball):
+            if pmode.startswith("gtlt"):
+                return count_gtlt_packed16(ab, ball, mode=pmode)
+            eq = count_eq_packed(ab, ball, mtrue, mode=pmode)
+            if kind in ("eqfull", "bbit"):
+                return eq, jnp.zeros_like(eq)
+            return jnp.int32(mtrue) - eq, jnp.zeros_like(eq)
+
+        c1, c2 = counts(a, bb)
+        if not pmode.startswith("gtlt") and kind in ("eqfull", "bbit"):
+            c2 = None
+        lh = jnp.take(cards, rows)
+        rh = jnp.take(cards, cols)
+        out = _tiled_epilogue(kind, m, msr, k, fd, c1, c2, lh, rh, b,
+                              (gbt, gbinv))
+        return out[:nrows]
+    return f
+
+
 def _device_block_measures(opts, result, creps, rows, cols):
     """Fused device f32 measure block, returned as a DEVICE array so
     pairwise_matrix can pipeline the device->host pull of block b
@@ -341,7 +389,9 @@ def _device_block_measures(opts, result, creps, rows, cols):
     the caller runs _measure_block (host epilogue). Measured on the
     remote chip at n=32768: the unfused path paid ~29 s/block of host
     numpy epilogue on top of the counts pull; fused, the per-block cost
-    is the f32 pull (tunnel-bound) plus sub-second compute."""
+    is the f32 pull (tunnel-bound) plus sub-second compute. With >1
+    device attached the block's rows shard over the mesh
+    (_block_measures_swar_sharded_fn)."""
     import os
 
     import jax
@@ -368,6 +418,18 @@ def _device_block_measures(opts, result, creps, rows, cols):
             np.asarray(result.cardinalities, np.float64))
     bf = max(creps.b, 1.0 + 1e-9)
     gbt, gbinv = _gb_args(bf, opts.sketchsize)
+    ndev = len(jax.devices())
+    if ndev > 1 and len(rows) >= ndev \
+            and os.environ.get("DASHING2_TPU_MULTICHIP", "1") != "0":
+        pad = (-len(rows)) % ndev
+        rowsp = np.concatenate(
+            [rows, np.full(pad, rows[-1], rows.dtype)]) if pad else rows
+        fn = _block_measures_swar_sharded_fn(
+            kind, pmode, mtrue, opts.sketchsize, opts.measure, opts.k,
+            opts.fd_level, ndev, len(rows))
+        return fn(pk, jnp.asarray(rowsp.astype(np.int32)),
+                  jnp.asarray(cols.astype(np.int32)), cache[ckey],
+                  np.float64(bf), gbt, gbinv)
     fn = _block_measures_swar_fn(kind, pmode, mtrue, opts.sketchsize,
                                  opts.measure, opts.k, opts.fd_level)
     return fn(pk, jnp.asarray(rows.astype(np.int32)),
