@@ -263,34 +263,40 @@ def bench_knn10k(d):
 
     n = int(os.environ.get("DASHING2_TPU_BENCH_KNN_N", 10240))
     m = 1024
-    rng = np.random.default_rng(0x4a4a)
     walls = {}
     outs = {}
+    # each route runs twice: the first pass pays that route's one-time
+    # compiles (plus, for whichever tag goes first, the shared LSH /
+    # packing programs), the second is the steady-state wall — the
+    # honest A/B is warm vs warm
     for tag, envval in [("gather", None), ("matrix", "force")]:
         if envval is None:
             os.environ.pop("DASHING2_TPU_PAIR_MATRIX", None)
         else:
             os.environ["DASHING2_TPU_PAIR_MATRIX"] = envval
-        res = SketchingResult(names=[f"g{i}" for i in range(n)])
-        res.signatures = rng.random((n, m)) + 0.5
-        res.cardinalities = rng.random(n) * 1e6 + 10.0
-        rng = np.random.default_rng(0x4a4a)   # same data both runs
-        out = os.path.join(d, f"knn_{tag}.bin")
-        opts = Dashing2DistOptions(
-            k=31, sketchsize=m, num_neighbors=10,
-            output_kind=OutputKind.KNN_GRAPH,
-            output_format=OutputFormat.MACHINE_READABLE,
-            outfile_path=out)
-        t0 = time.perf_counter()
-        neighbor_graph_main(opts, res)
-        walls[tag] = time.perf_counter() - t0
+        for phase in ("cold", "warm"):
+            rng = np.random.default_rng(0x4a4a)   # same data every run
+            res = SketchingResult(names=[f"g{i}" for i in range(n)])
+            res.signatures = rng.random((n, m)) + 0.5
+            res.cardinalities = rng.random(n) * 1e6 + 10.0
+            out = os.path.join(d, f"knn_{tag}.bin")
+            opts = Dashing2DistOptions(
+                k=31, sketchsize=m, num_neighbors=10,
+                output_kind=OutputKind.KNN_GRAPH,
+                output_format=OutputFormat.MACHINE_READABLE,
+                outfile_path=out)
+            t0 = time.perf_counter()
+            neighbor_graph_main(opts, res)
+            walls[f"{tag}_{phase}"] = time.perf_counter() - t0
         outs[tag] = open(out, "rb").read()
     os.environ.pop("DASHING2_TPU_PAIR_MATRIX", None)
     assert outs["gather"] == outs["matrix"], "route outputs diverged"
     return _emit("knn-topk10-10k", n=n,
-                 seconds_gather=round(walls["gather"], 3),
-                 seconds_matrix=round(walls["matrix"], 3),
-                 items_per_s=round(n / walls["matrix"]),
+                 seconds_gather=round(walls["gather_warm"], 3),
+                 seconds_matrix=round(walls["matrix_warm"], 3),
+                 seconds_gather_cold=round(walls["gather_cold"], 3),
+                 seconds_matrix_cold=round(walls["matrix_cold"], 3),
+                 items_per_s=round(n / walls["gather_warm"]),
                  identical_outputs=True)
 
 

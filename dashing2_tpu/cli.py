@@ -342,7 +342,13 @@ def _do_cmp(opts: Dashing2DistOptions, result: SketchingResult) -> None:
         from .cmp.graph import neighbor_graph_main
         neighbor_graph_main(opts, result)
         return
-    emit_rectangular(opts, result, pairwise_matrix(opts, result))
+    # symmetric/PHYLIP emitters never read the lower triangle: pull only
+    # the upper trapezoids over the (slow) device->host hop
+    upper = (opts.output_kind in (OutputKind.SYMMETRIC_ALL_PAIRS,
+                                  OutputKind.PHYLIP)
+             and result.nqueries() == 0)
+    emit_rectangular(opts, result,
+                     pairwise_matrix(opts, result, upper_only=upper))
 
 
 def _load_presketched(opts: Dashing2DistOptions,

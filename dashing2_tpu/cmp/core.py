@@ -1116,11 +1116,22 @@ def _panel_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
 
 def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                        creps: CompressedReps):
+    """Full (n, n) f32 measure matrix (host ndarray) for a symmetric
+    all-pairs job — see _self_pairs_matrix_dev."""
+    dev = _self_pairs_matrix_dev(opts, result, creps)
+    return None if dev is None else np.asarray(dev)
+
+
+def _self_pairs_matrix_dev(opts: Dashing2DistOptions,
+                           result: SketchingResult,
+                           creps: CompressedReps):
     """Full (n, n) f32 measure matrix for a symmetric all-pairs job via
-    the fused device self-pairs pipeline. Returns None when the
-    representation wants a different engine (nibble-range values ride
-    the MXU full-square path instead). With >1 device attached the gt
-    counts come from the band-sharded multi-chip kernel
+    the fused device self-pairs pipeline, returned as a DEVICE array
+    (pairwise_matrix's symmetric upper_only route pulls only the
+    per-block upper trapezoids — half the tunnel bytes). Returns None
+    when the representation wants a different engine (nibble-range
+    values ride the MXU full-square path instead). With >1 device
+    attached the gt counts come from the band-sharded multi-chip kernel
     (parallel.allpairs.sharded_selfpairs) — each chip owns 1/D of the
     unique-pair work — and the measure epilogue runs jitted on the
     replicated count matrix."""
@@ -1190,10 +1201,10 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
             cnt = sharded_selfpairs(mesh, d64)
             fn = _counts_epilogue_fn(kind, m, opts.measure, opts.k,
                                      opts.fd_level)
-        return np.asarray(fn(cnt, cards, b, gbt, gbinv))
+        return fn(cnt, cards, b, gbt, gbinv)
     fn = _self_matrix_fn(kind, opts.sketchsize, opts.measure, opts.k,
                          opts.fd_level)
-    return np.asarray(fn(data, cards, b, gbt, gbinv))
+    return fn(data, cards, b, gbt, gbinv)
 
 
 @functools.lru_cache(maxsize=8)
@@ -1786,17 +1797,38 @@ def warm_pairwise_cache(opts: Dashing2DistOptions, n: int,
     if nq:
         out = _panel_pairs_matrix(opts, fake, creps, nf)
     else:
-        out = _self_pairs_matrix(opts, fake, creps)
+        # device variant: warming must not pull the (n, n) synthetic
+        # matrix over the tunnel (400 MB = ~13 s at n=10240)
+        out = _self_pairs_matrix_dev(opts, fake, creps)
     return out is not None
 
 
+def _expand_upper(arr: np.ndarray, start: int, n: int) -> np.ndarray:
+    """Place a pulled upper trapezoid (b, n-start) into a full-width
+    (b, n) f32 block; the [:, :start] part is zeros and NEVER read by
+    symmetric/PHYLIP consumers (they slice [i+1:] with i >= start)."""
+    if arr.shape[1] == n:
+        return arr
+    out = np.zeros((arr.shape[0], n), np.float32)
+    out[:, start:] = arr
+    return out
+
+
 def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
-                    block: int = 0) -> Iterator[Tuple[int, np.ndarray]]:
+                    block: int = 0, upper_only: bool = False
+                    ) -> Iterator[Tuple[int, np.ndarray]]:
     """Yield (first_row_index, block measure matrix f32) covering all rows.
 
     PANEL: rows = references [0, nf), columns = queries [nf, n).
     Otherwise: full n x n (symmetric emitters slice the upper triangle).
-    """
+
+    upper_only=True (symmetric/PHYLIP emit call sites only): blocks are
+    still full-width, but only the upper trapezoid [:, start:] crosses
+    device->host — the lower-left is zeros. The device->host hop is the
+    wall for big jobs (~30 MB/s over the remote tunnel: a 10240^2 f32
+    matrix is ~13 s, 32768^2 ~2.4 min), and symmetric consumers never
+    read the lower triangle, so this halves the dominant term. Ignored
+    on host-computed routes (no pull to save)."""
     if block <= 0:
         block = _block_size(opts)
     creps, result = _prep(opts, result)
@@ -1806,6 +1838,7 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     if nq:
         cols = np.arange(nf, n)
         row_end = nf
+        upper_only = False
     else:
         cols = np.arange(n)
         row_end = n
@@ -1818,8 +1851,27 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                                  or opts.measure == Measure.M_EDIT_DISTANCE)))
     if nq == 0 and 64 <= n <= self_max and counts_path \
             and result.signatures is not None:
-        mat = _self_pairs_matrix(opts, result, creps)
+        mat = _self_pairs_matrix_dev(opts, result, creps)
         if mat is not None:
+            import jax
+            if upper_only and (jax.default_backend() != "cpu"
+                               or os.environ.get("DASHING2_TPU_UPPER")
+                               == "force"):
+                # pipeline: dispatch the slice of block b (device-side,
+                # async), pull b-1 while it runs
+                pending = None
+                for start in range(0, n, block):
+                    b = min(block, n - start)
+                    sl = mat[start:start + b, start:]
+                    if pending is not None:
+                        yield pending[0], _expand_upper(
+                            np.asarray(pending[1]), pending[0], n)
+                    pending = (start, sl)
+                if pending is not None:
+                    yield pending[0], _expand_upper(
+                        np.asarray(pending[1]), pending[0], n)
+                return
+            mat = np.asarray(mat)
             for start in range(0, n, block):
                 yield start, mat[start:start + block]
             return
@@ -1837,15 +1889,20 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     # THEN pull/yield block b-1 — the device computes b while the host
     # pulls b-1 over the (slow) tunnel and the consumer formats/emits.
     pending = None
+    width = len(cols)   # n for symmetric, nq for panels (no trapezoid)
     for start in range(0, row_end, block):
         rows = np.arange(start, min(start + block, row_end))
         dev = _device_block_measures(opts, result, creps, rows, cols)
         if pending is not None:
-            yield pending[0], np.asarray(pending[1])
+            yield pending[0], _expand_upper(
+                np.asarray(pending[1]), pending[0], width)
             pending = None
         if dev is None:
             yield start, _measure_block(opts, result, creps, rows, cols)
         else:
+            if upper_only:
+                dev = dev[:, start:]
             pending = (start, dev)
     if pending is not None:
-        yield pending[0], np.asarray(pending[1])
+        yield pending[0], _expand_upper(
+            np.asarray(pending[1]), pending[0], width)

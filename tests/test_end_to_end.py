@@ -151,3 +151,62 @@ def test_multiset_and_prob(fixtures, tmp_path):
         t = true_jaccard(fixtures[0], fixtures[1])
         # genome k-mers are mostly unique -> J_W ~ J_P ~ plain Jaccard
         assert abs(vals[0] - t) < 0.1, (flag, vals[0], t)
+
+
+def test_upper_only_trapezoid_routes(tmp_path, monkeypatch):
+    """pairwise_matrix(upper_only=True) pulls only the upper trapezoids
+    (half the device->host bytes on symmetric jobs); the emitted bytes
+    must equal the full-width route for every symmetric consumer, on
+    BOTH the fused self path (DASHING2_TPU_UPPER=force on CPU) and the
+    N > SELF_MAX block path (device engine forced)."""
+    import io as _io
+
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.enums import OutputFormat, OutputKind
+    from dashing2_tpu.io.emitters import emit_rectangular
+    from dashing2_tpu.result import SketchingResult
+
+    n, m = 150, 96
+    rng = np.random.default_rng(31)
+
+    def mk():
+        res = SketchingResult(names=[f"s{i}" for i in range(n)])
+        res.signatures = np.abs(rng.normal(size=(n, m))) + 1e-9
+        res.cardinalities = rng.uniform(1e3, 1e5, size=n)
+        return res
+
+    def emit_bytes(okind, ofmt, upper, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        try:
+            rng2 = np.random.default_rng(31)  # same data every call
+            res = SketchingResult(names=[f"s{i}" for i in range(n)])
+            res.signatures = np.abs(rng2.normal(size=(n, m))) + 1e-9
+            res.cardinalities = rng2.uniform(1e3, 1e5, size=n)
+            opts = Dashing2DistOptions(
+                k=21, sketchsize=m, output_kind=okind, output_format=ofmt,
+                outfile_path=str(tmp_path / "u.bin"))
+            emit_rectangular(opts, res,
+                             C.pairwise_matrix(opts, res,
+                                               upper_only=upper))
+            return (tmp_path / "u.bin").read_bytes()
+        finally:
+            for k in env:
+                monkeypatch.delenv(k)
+
+    for okind, ofmt in [
+            (OutputKind.SYMMETRIC_ALL_PAIRS, OutputFormat.MACHINE_READABLE),
+            (OutputKind.PHYLIP, OutputFormat.MACHINE_READABLE),
+            (OutputKind.SYMMETRIC_ALL_PAIRS, OutputFormat.HUMAN_READABLE)]:
+        # fused self path: trapezoid slicing forced on the CPU backend
+        full = emit_bytes(okind, ofmt, False, {})
+        trap = emit_bytes(okind, ofmt, True,
+                          {"DASHING2_TPU_UPPER": "force"})
+        assert trap == full and len(full) > 0, (okind, ofmt, "self")
+        # block path (N > SELF_MAX), fused device engine
+        benv = {"DASHING2_TPU_SELF_MAX": "0",
+                "DASHING2_TPU_PAIR_DEVICE": "force"}
+        bfull = emit_bytes(okind, ofmt, False, benv)
+        btrap = emit_bytes(okind, ofmt, True, benv)
+        assert btrap == bfull and bfull == full, (okind, ofmt, "block")
