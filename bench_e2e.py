@@ -169,9 +169,11 @@ def bench_northstar(d):
     dedup of the same corpus. NOT in the default set (fixture
     generation alone writes ~520 MB); run with
     `python bench_e2e.py northstar`. Measured 2026-08-19 on the remote
-    v5e: 108 s wall / 3.45 GB peak RSS with the compare-program warm-up
-    overlapping the sketch phase (pre-warm: 216 s; round 2: 380 s),
-    dedup timing in README.md."""
+    v5e (round 4, trapezoid pulls): COLD 94.0 s / 1.45 GB peak RSS,
+    WARM repeat 30.6 s (round 3: 108 s cold / 3.45 GB; round 2: 380 s).
+    One degraded-server episode measured 911 s cold with warm still
+    28.2 s — the cold wall is server-side compile + tunnel state, not
+    this code path. Dedup timing in README.md."""
     import resource
 
     from dashing2_tpu.cli import main as climain
@@ -234,17 +236,25 @@ def bench_blockpath(d):
     res.signatures = rng.random((n, m)) + 0.5
     res.cardinalities = rng.random(n) * 1e6 + 10.0
     opts = Dashing2DistOptions(k=31, sketchsize=m)
-    t0 = time.perf_counter()
-    total = 0
-    checksum = 0.0
-    for lo, blk in pairwise_matrix(opts, res):
-        total += blk.size
-        checksum += float(np.asarray(blk[:, :1]).sum())
-    dt = time.perf_counter() - t0
-    assert total == n * (n - 1) // 2 or total == n * n, total
+    # upper_only mirrors the CLI's symmetric emit route (round 4: only
+    # the upper trapezoids cross the tunnel); the last column is valid
+    # in every block, the lower-left is zeros by contract. Two passes:
+    # the first pays the block-program + per-width slice compiles, the
+    # second is the steady-state (tunnel-bound) wall.
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        total = 0
+        checksum = 0.0
+        for lo, blk in pairwise_matrix(opts, res, upper_only=True):
+            total += blk.size
+            checksum += float(np.asarray(blk[:, -1:]).sum())
+        walls.append(time.perf_counter() - t0)
+        assert total == n * (n - 1) // 2 or total == n * n, total
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    return _emit("blockpath-32k", n=n, seconds=round(dt, 3),
-                 pairs_per_s=round(_pairs(n) / dt),
+    return _emit("blockpath-32k", n=n, seconds=round(walls[0], 3),
+                 seconds_warm=round(walls[1], 3),
+                 pairs_per_s=round(_pairs(n) / walls[1]),
                  peak_rss_gb=round(rss, 2), checksum=round(checksum, 3))
 
 
@@ -254,7 +264,11 @@ def bench_knn10k(d):
     engine (the default) and once with the opt-in memoized count-matrix
     route (DASHING2_TPU_PAIR_MATRIX=force) — identical neighbor lists;
     the A/B records why the gather engine is the default
-    (experiments/r4_pairx.py: extraction is scalar-gather-bound)."""
+    (experiments/r4_pairx.py: extraction is scalar-gather-bound).
+    Measured 2026-08-19 on the remote v5e: gather 6.5 s warm / 8.9 s
+    cold, matrix 9.8 s warm — the whole 10240-item KNN build (LSH index
+    + candidates + refine + emit) sits far off the compare engines'
+    critical path."""
     from dashing2_tpu.cmp import core as C
     from dashing2_tpu.cmp.graph import neighbor_graph_main
     from dashing2_tpu.config import Dashing2DistOptions

@@ -1803,6 +1803,44 @@ def warm_pairwise_cache(opts: Dashing2DistOptions, n: int,
     return out is not None
 
 
+def _pull_block(dev) -> np.ndarray:
+    """Device->host pull of a 2-D block, split row-wise over several
+    concurrent transfer threads. The remote tunnel carries one stream
+    at ~21 MB/s but multiplexes: 4 concurrent streams sustain ~37 MB/s
+    aggregate (experiments/r4_pull.py), a 1.8x cut of the pull wall
+    that dominates every big-N job. DASHING2_TPU_PULL_STREAMS overrides
+    (default 4 on accelerators; 1 on the CPU backend where the 'pull'
+    is a local copy, unless the env var forces it for tests)."""
+    import os
+
+    import jax
+    env = os.environ.get("DASHING2_TPU_PULL_STREAMS")
+    if env is not None:
+        streams = int(env)
+    elif jax.default_backend() == "cpu":
+        streams = 1
+    else:
+        streams = 4
+    r = int(dev.shape[0])
+    if streams <= 1 or r < 2 * streams:
+        return np.asarray(dev)
+    import threading
+    bounds = np.linspace(0, r, streams + 1).astype(int)
+    parts = [dev[int(bounds[i]):int(bounds[i + 1])]
+             for i in range(streams)]
+    out = [None] * streams
+
+    def pull(i):
+        out[i] = np.asarray(parts[i])
+    th = [threading.Thread(target=pull, args=(i,))
+          for i in range(streams)]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    return np.concatenate(out, axis=0)
+
+
 def _expand_upper(arr: np.ndarray, start: int, n: int) -> np.ndarray:
     """Place a pulled upper trapezoid (b, n-start) into a full-width
     (b, n) f32 block; the [:, :start] part is zeros and NEVER read by
@@ -1865,13 +1903,13 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                     sl = mat[start:start + b, start:]
                     if pending is not None:
                         yield pending[0], _expand_upper(
-                            np.asarray(pending[1]), pending[0], n)
+                            _pull_block(pending[1]), pending[0], n)
                     pending = (start, sl)
                 if pending is not None:
                     yield pending[0], _expand_upper(
-                        np.asarray(pending[1]), pending[0], n)
+                        _pull_block(pending[1]), pending[0], n)
                 return
-            mat = np.asarray(mat)
+            mat = _pull_block(mat)
             for start in range(0, n, block):
                 yield start, mat[start:start + block]
             return
@@ -1895,7 +1933,7 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
         dev = _device_block_measures(opts, result, creps, rows, cols)
         if pending is not None:
             yield pending[0], _expand_upper(
-                np.asarray(pending[1]), pending[0], width)
+                _pull_block(pending[1]), pending[0], width)
             pending = None
         if dev is None:
             yield start, _measure_block(opts, result, creps, rows, cols)
@@ -1905,4 +1943,4 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
             pending = (start, dev)
     if pending is not None:
         yield pending[0], _expand_upper(
-            np.asarray(pending[1]), pending[0], width)
+            _pull_block(pending[1]), pending[0], width)

@@ -204,6 +204,11 @@ def test_upper_only_trapezoid_routes(tmp_path, monkeypatch):
         trap = emit_bytes(okind, ofmt, True,
                           {"DASHING2_TPU_UPPER": "force"})
         assert trap == full and len(full) > 0, (okind, ofmt, "self")
+        # multi-stream pulls (4 transfer threads) must not reorder bytes
+        trap4 = emit_bytes(okind, ofmt, True,
+                           {"DASHING2_TPU_UPPER": "force",
+                            "DASHING2_TPU_PULL_STREAMS": "4"})
+        assert trap4 == full, (okind, ofmt, "streams")
         # block path (N > SELF_MAX), fused device engine
         benv = {"DASHING2_TPU_SELF_MAX": "0",
                 "DASHING2_TPU_PAIR_DEVICE": "force"}
