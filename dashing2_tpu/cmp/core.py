@@ -1111,7 +1111,7 @@ def _panel_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     else:
         fn = _panel_matrix_fn(kind, opts.sketchsize, opts.measure,
                               opts.k, opts.fd_level, nf)
-    return np.asarray(fn(data, cards, np.float64(bf), gbt, gbinv))
+    return _pull_block(fn(data, cards, np.float64(bf), gbt, gbinv))
 
 
 def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
@@ -1119,7 +1119,7 @@ def _self_pairs_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     """Full (n, n) f32 measure matrix (host ndarray) for a symmetric
     all-pairs job — see _self_pairs_matrix_dev."""
     dev = _self_pairs_matrix_dev(opts, result, creps)
-    return None if dev is None else np.asarray(dev)
+    return None if dev is None else _pull_block(dev)
 
 
 def _self_pairs_matrix_dev(opts: Dashing2DistOptions,
