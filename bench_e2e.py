@@ -305,12 +305,28 @@ def bench_knn10k(d):
         outs[tag] = open(out, "rb").read()
     os.environ.pop("DASHING2_TPU_PAIR_MATRIX", None)
     assert outs["gather"] == outs["matrix"], "route outputs diverged"
+    # the BASELINE scenario's other half: --similarity-threshold graph
+    # over the same corpus (NN_GRAPH_THRESHOLD, min_similarity filter)
+    rng = np.random.default_rng(0x4a4a)
+    res = SketchingResult(names=[f"g{i}" for i in range(n)])
+    res.signatures = rng.random((n, m)) + 0.5
+    res.cardinalities = rng.random(n) * 1e6 + 10.0
+    tout = os.path.join(d, "nnt.bin")
+    topts = Dashing2DistOptions(
+        k=31, sketchsize=m, min_similarity=0.8,
+        output_kind=OutputKind.NN_GRAPH_THRESHOLD,
+        output_format=OutputFormat.MACHINE_READABLE, outfile_path=tout)
+    t0 = time.perf_counter()
+    neighbor_graph_main(topts, res)
+    tsec = time.perf_counter() - t0
+    assert os.path.getsize(tout) > 0
     return _emit("knn-topk10-10k", n=n,
                  seconds_gather=round(walls["gather_warm"], 3),
                  seconds_matrix=round(walls["matrix_warm"], 3),
                  seconds_gather_cold=round(walls["gather_cold"], 3),
                  seconds_matrix_cold=round(walls["matrix_cold"], 3),
                  items_per_s=round(n / walls["gather_warm"]),
+                 seconds_threshold=round(tsec, 3),
                  identical_outputs=True)
 
 
