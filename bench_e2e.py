@@ -169,11 +169,13 @@ def bench_northstar(d):
     dedup of the same corpus. NOT in the default set (fixture
     generation alone writes ~520 MB); run with
     `python bench_e2e.py northstar`. Measured 2026-08-19 on the remote
-    v5e (round 4, trapezoid pulls): COLD 94.0 s / 1.45 GB peak RSS,
-    WARM repeat 30.6 s (round 3: 108 s cold / 3.45 GB; round 2: 380 s).
-    One degraded-server episode measured 911 s cold with warm still
-    28.2 s — the cold wall is server-side compile + tunnel state, not
-    this code path. Dedup timing in README.md."""
+    v5e (round 4): WARM repeat 18.3 s with trapezoid + 4-stream pulls;
+    process-cold 24.0-94.0 s depending on server-side compile-cache
+    state (the axon server reuses compiles across processes when its
+    cache is warm). Round 3: 108 s cold / 30.6 s warm pre-streams;
+    round 2: 380 s. One degraded-server episode measured 911 s cold
+    with warm still 28.2 s — the cold wall is server-side compile +
+    tunnel state, not this code path. Dedup timing in README.md."""
     import resource
 
     from dashing2_tpu.cli import main as climain
@@ -219,10 +221,12 @@ def bench_blockpath(d):
     full-mode signatures (sketching 32k genomes is a different phase;
     this measures the compare + emit path the VERDICT flagged as
     unbenched) streamed through the production pairwise_matrix block
-    iterator. The wall here is the tunnel: the n^2 f32 output (4 GB at
-    n=32768) crosses device->host at the measured ~30 MB/s; the unfused
-    round-3 path additionally paid ~29 s/block of host numpy epilogue
-    (617 s total)."""
+    iterator. The wall here is the tunnel: the symmetric upper
+    trapezoid (2 GB f32 at n=32768) crosses device->host at the
+    measured ~37 MB/s aggregate over 4 streams — measured warm 65.0 s
+    (8.3 M pairs/s). The round-3 unfused path took 617 s (host numpy
+    epilogue + full-width single-stream pulls); cold walls vary 133 s
+    to ~17 min with server-side compile-queue state."""
     import resource
 
     from dashing2_tpu.cmp.core import pairwise_matrix
