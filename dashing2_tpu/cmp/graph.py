@@ -75,26 +75,77 @@ def _refine_lists(opts: Dashing2DistOptions, result: SketchingResult,
     vals = (C.measure_pairs(ropts, result, creps, ia, ib)
             if len(ia) else np.zeros(0, np.float32))
     isdist = measure_is_distance(opts.measure)
-    lists: List[List[Tuple[float, int]]] = [[] for _ in range(n)]
-    for a, b, v in zip(ia, ib, vals):
-        lists[a].append((float(v), int(b)))
-        lists[b].append((float(v), int(a)))
-    for i, lst in enumerate(lists):
-        lst.sort(key=lambda x: (x[0] if isdist else -x[0], x[1]))
-        if opts.num_neighbors > 0:
-            if not isdist:
-                lst = [x for x in lst if x[0] != 0.0]
-            if len(lst) > opts.num_neighbors:
-                kth = lst[opts.num_neighbors - 1][0]
-                lst = [x for j, x in enumerate(lst)
-                       if j < opts.num_neighbors or x[0] == kth]
-        elif opts.min_similarity > 0:
-            if isdist:
-                lst = [x for x in lst if x[0] < opts.min_similarity]
-            else:
-                lst = [x for x in lst if x[0] >= opts.min_similarity]
-        lists[i] = lst
-    return lists
+    if len(ia) == 0:
+        return [[] for _ in range(n)]
+    # vectorized grouped selection (the per-pair Python append + per-item
+    # list.sort walk cost seconds at n=10240 x ~35 candidates): mirror
+    # each pair to both endpoints, lexsort by (item, key, neighbor) —
+    # identical order to the old per-list sort key (v if isdist else -v,
+    # id) — then apply the reference's trim semantics per group slice.
+    items = np.concatenate([ia, ib]).astype(np.int64)
+    nbrs = np.concatenate([ib, ia]).astype(np.int64)
+    vv = np.concatenate([vals, vals]).astype(np.float32)
+    if np.isnan(vv).any():
+        # NaN keys would make lexsort and Python sort diverge; keep the
+        # straightforward walk for that degenerate case
+        lists: List[List[Tuple[float, int]]] = [[] for _ in range(n)]
+        for a, b, v in zip(ia, ib, vals):
+            lists[a].append((float(v), int(b)))
+            lists[b].append((float(v), int(a)))
+        for i, lst in enumerate(lists):
+            lst.sort(key=lambda x: (x[0] if isdist else -x[0], x[1]))
+            lists[i] = _trim_list(opts, isdist, lst)
+        return lists
+    key = vv if isdist else -vv.astype(np.float64)
+    order = np.lexsort((nbrs, key, items))
+    it_s, nb_s, v_s = items[order], nbrs[order], vv[order]
+    k = opts.num_neighbors
+    if k > 0 and not isdist:
+        keep = v_s != np.float32(0.0)     # sim mode drops zeros pre-k
+        it_s, nb_s, v_s = it_s[keep], nb_s[keep], v_s[keep]
+    starts = np.searchsorted(it_s, np.arange(n), side="left")
+    ends = np.searchsorted(it_s, np.arange(n), side="right")
+    if k > 0:
+        sizes = ends - starts
+        big = sizes > k
+        pos = np.arange(len(it_s)) - starts[it_s]
+        kth = np.zeros(n, np.float32)
+        kth[big] = v_s[starts[big] + k - 1]
+        keep = (pos < k) | (big[it_s] & (v_s == kth[it_s]))
+        it_s, nb_s, v_s = it_s[keep], nb_s[keep], v_s[keep]
+        starts = np.searchsorted(it_s, np.arange(n), side="left")
+        ends = np.searchsorted(it_s, np.arange(n), side="right")
+    elif opts.min_similarity > 0:
+        keep = (v_s < opts.min_similarity if isdist
+                else v_s >= opts.min_similarity)
+        it_s, nb_s, v_s = it_s[keep], nb_s[keep], v_s[keep]
+        starts = np.searchsorted(it_s, np.arange(n), side="left")
+        ends = np.searchsorted(it_s, np.arange(n), side="right")
+    vf = v_s.astype(np.float64)
+    nbl = nb_s.tolist()
+    vfl = vf.tolist()
+    return [list(zip(vfl[s:e], nbl[s:e]))
+            for s, e in zip(starts.tolist(), ends.tolist())]
+
+
+def _trim_list(opts: Dashing2DistOptions, isdist: bool,
+               lst: List[Tuple[float, int]]) -> List[Tuple[float, int]]:
+    """The reference's per-item trim (refine.cpp:27-72): top-k with
+    k-th-value ties kept (similarity mode drops exact zeros first), or
+    the threshold filter."""
+    if opts.num_neighbors > 0:
+        if not isdist:
+            lst = [x for x in lst if x[0] != 0.0]
+        if len(lst) > opts.num_neighbors:
+            kth = lst[opts.num_neighbors - 1][0]
+            lst = [x for j, x in enumerate(lst)
+                   if j < opts.num_neighbors or x[0] == kth]
+    elif opts.min_similarity > 0:
+        if isdist:
+            lst = [x for x in lst if x[0] < opts.min_similarity]
+        else:
+            lst = [x for x in lst if x[0] >= opts.min_similarity]
+    return lst
 
 
 def build_exact_lists(opts: Dashing2DistOptions, result: SketchingResult,
