@@ -269,10 +269,11 @@ def bench_knn10k(d):
     route (DASHING2_TPU_PAIR_MATRIX=force) — identical neighbor lists;
     the A/B records why the gather engine is the default
     (experiments/r4_pairx.py: extraction is scalar-gather-bound).
-    Measured 2026-08-19 on the remote v5e: gather 6.5 s warm / 8.9 s
-    cold, matrix 9.8 s warm — the whole 10240-item KNN build (LSH index
-    + candidates + refine + emit) sits far off the compare engines'
-    critical path."""
+    Measured 2026-08-19 on the remote v5e (after the lexsort refine
+    vectorization): gather 4.75 s warm / 7.1 s cold, matrix 4.76 s
+    warm, threshold graph 4.4 s — the whole 10240-item KNN build (LSH
+    index + candidates + refine + emit) sits far off the compare
+    engines' critical path."""
     from dashing2_tpu.cmp import core as C
     from dashing2_tpu.cmp.graph import neighbor_graph_main
     from dashing2_tpu.config import Dashing2DistOptions
