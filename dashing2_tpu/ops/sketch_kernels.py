@@ -415,10 +415,21 @@ def oph_sketch_rows_rot(hashed: jnp.ndarray, valid: jnp.ndarray, *,
     empty = dmin >> jnp.uint32(s) != 0
     min_hi = jnp.where(empty, U32MAX, colbase[None, :] + dmin)
 
+    # pass 2/3 run with 4 independent accumulator trees over the
+    # position axis: the single min/sum accumulator is a serial VPU
+    # dependency chain, and splitting it measures 10.6 -> 9.0 ms/batch
+    # at (256, 32768, m=1024) (experiments/r4s3_rot_issue.py; pass 1's
+    # reduce is insensitive). min/sum are associative, so the split is
+    # bit-identical.
+    acc = 4 if chunk % 4 == 0 else 1
+
     def body_lo(lmin, xs):
         chi, clo = xs
-        on = chi[:, :, None] == min_hi[:, None, :]
-        cmin = jnp.min(jnp.where(on, clo[:, :, None], U32MAX), axis=1)
+        shi = chi.reshape(R, acc, chunk // acc)
+        slo = clo.reshape(R, acc, chunk // acc)
+        on = shi[:, :, :, None] == min_hi[:, None, None, :]
+        cmin = jnp.min(jnp.where(on, slo[:, :, :, None], U32MAX),
+                       axis=2).min(axis=1)
         return jnp.minimum(lmin, cmin), None
 
     min_lo, _ = jax.lax.scan(body_lo, jnp.full((R, m), U32MAX, jnp.uint32),
@@ -432,9 +443,11 @@ def oph_sketch_rows_rot(hashed: jnp.ndarray, valid: jnp.ndarray, *,
 
     def cbody(counts, xs):
         chi, clo = xs
-        ismin = ((chi[:, :, None] == min_hi[:, None, :])
-                 & (clo[:, :, None] == min_lo[:, None, :]))
-        return counts + ismin.sum(1).astype(jnp.uint32), None
+        shi = chi.reshape(R, acc, chunk // acc)
+        slo = clo.reshape(R, acc, chunk // acc)
+        ismin = ((shi[:, :, :, None] == min_hi[:, None, None, :])
+                 & (slo[:, :, :, None] == min_lo[:, None, None, :]))
+        return counts + ismin.sum((1, 2)).astype(jnp.uint32), None
 
     counts, _ = jax.lax.scan(cbody, jnp.zeros((R, m), jnp.uint32),
                              (hi_t, lo_t))
