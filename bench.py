@@ -415,7 +415,7 @@ def main():
                    span=31, spacing_offsets=None, rolling=False,
                    use128=False)
         # 'rot' = the fastest device engine (subtract-trick rotation
-        # dense, experiments/r4_sketch2.py: 19.1 ms vs dense 28.5)
+        # dense, r4_sketch2.py + r4s3_rot_issue.py: 18.0 ms vs dense 28.5)
         fsk = _fused_oph_fn(_hkw_key(hkw), m, H.OPH_DEFAULT_SEED, False,
                             False, "rot")
         codes = jnp.asarray(rng.integers(0, 4, size=(R, L)

@@ -437,6 +437,74 @@ def _device_block_measures(opts, result, creps, rows, cols):
               np.float64(bf), gbt, gbinv)
 
 
+@functools.lru_cache(maxsize=32)
+def _block_counts_u16_fn(pmode: str, mtrue: int):
+    """Jitted row-block eq counts as u16 (counts-pull variant of
+    _block_measures_swar_fn: gathers + SWAR counts on device, epilogue
+    on host from the pulled u16 block — see _counts_pull_on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cmp_kernels import count_eq_packed
+
+    @jax.jit
+    def f(pk, rows, cols):
+        a = jnp.take(pk, rows, axis=0)
+        bb = jnp.take(pk, cols, axis=0)
+        return count_eq_packed(a, bb, mtrue, mode=pmode
+                               ).astype(jnp.uint16)
+    return f
+
+
+def _device_block_counts_pull(opts, result, creps, rows, cols):
+    """(device u16 eq block, host epilogue closure) — the counts-pull
+    variant of _device_block_measures, or None -> fused f32 block.
+    Same engagement guards; multi-chip meshes keep the f32 sharded
+    engine. The closure takes (pulled u16 block, col offset into
+    `cols` for upper_only slices)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    nprod = len(rows) * len(cols)
+    force = os.environ.get("DASHING2_TPU_PAIR_DEVICE", "") == "force"
+    if not force and (jax.default_backend() == "cpu"
+                      or nprod < (1 << 20)):
+        return None
+    if creps.nibble_packed:
+        return None
+    kind, _ = _representation(opts, result, creps)
+    if not _counts_pull_on(kind, opts.measure, opts.sketchsize):
+        return None
+    ndev = len(jax.devices())
+    if ndev > 1 and len(rows) >= ndev \
+            and os.environ.get("DASHING2_TPU_MULTICHIP", "1") != "0":
+        return None
+    info = _rep_device_cache(opts, result, creps)
+    if info is None:
+        return None
+    cache, key, data, want = info
+    entry = _prepare_pack_entry(data, want, nprod, cache, key + "_dev")
+    if entry[0] != "swar":
+        return None
+    _, pk, pmode, mtrue = entry
+    if not pmode.startswith("eq") or mtrue >= (1 << 16):
+        return None
+    dev = _block_counts_u16_fn(pmode, mtrue)(
+        pk, jnp.asarray(rows.astype(np.int32)),
+        jnp.asarray(cols.astype(np.int32)))
+    cards = np.asarray(result.cardinalities, np.float64)
+    m, msr, k, fd = opts.sketchsize, opts.measure, opts.k, opts.fd_level
+    lh = cards[rows][:, None]
+    rhf = cards[cols]
+
+    def epi(eqc: np.ndarray, col_off: int) -> np.ndarray:
+        rh = rhf[None, col_off:col_off + eqc.shape[1]]
+        return _host_counts_epilogue(kind, m, msr, k, fd, eqc, lh, rh,
+                                     mtrue)
+    return dev, epi
+
+
 def _consumes_gtlt(opts: Dashing2DistOptions,
                    creps: CompressedReps) -> bool:
     """True when the representation's estimator takes (gt, lt) count
@@ -761,6 +829,131 @@ def _swar_fused_matrix(kind: str, data, m: int, fd: float, msr: Measure,
     return circ_assemble(L, U, seg_idx, npad, t)[:n, :n]
 
 
+# ---------------------------------------------------------------------------
+# u16 counts-pull route: for eq-count representations the f32 measure is a
+# pure elementwise IEEE-f32 function of (eq count, cardinalities), identical
+# whether XLA evaluates it on device or numpy on host — so only u16 eq counts
+# need cross the device->host link (HALF the bytes of the f32 matrix; the
+# pull is the wall for every big-N job on the tunnel-backed chip, and 2x
+# fewer PCIe bytes on a directly-attached host). POISSON_LLR stays on the
+# f32 route: its log1p differs between libm and XLA in the last ulp.
+# ---------------------------------------------------------------------------
+
+_COUNTS_PULL_KINDS = ("full", "eqfull", "bbit", "nibble-bbit")
+
+
+def _counts_pull_on(kind: str, msr: Measure, m: int) -> bool:
+    """Counts-pull route eligibility. DASHING2_TPU_PULL_COUNTS: '1'
+    (default, accelerator backends), '0' disables, 'force' enables on
+    the CPU backend (tests byte-compare the route against the fused f32
+    pull). 'ab' kinds are excluded (their g_b epilogues are
+    transcendental AND they consume separate gt/lt — two u16 counts
+    carry no byte savings over one f32)."""
+    import os
+    env = os.environ.get("DASHING2_TPU_PULL_COUNTS", "1")
+    if env == "0":
+        return False
+    if kind not in _COUNTS_PULL_KINDS or msr == Measure.POISSON_LLR:
+        return False
+    if m >= (1 << 16):
+        return False
+    import jax
+    return env == "force" or jax.default_backend() != "cpu"
+
+
+def _host_counts_epilogue(kind: str, m: int, msr: Measure, k: int,
+                          fd: float, eqc: np.ndarray, lh, rh,
+                          comp_m: int) -> np.ndarray:
+    """numpy mirror of the device measure epilogue on a pulled u16
+    eq-count block: the same integer complement the device forms
+    (comp_m - eq for the sum-first 'full' kind; comp_m is m on the
+    self route, the packed mtrue on the block route) and the same
+    measures32 functions with xp=np. Every op on the eligible measures
+    is IEEE +,-,*,/,min,max,select, so the bytes match the device route
+    exactly (tests/test_counts_pull.py)."""
+    eq = eqc.astype(np.int32)
+    if kind in ("eqfull", "bbit", "nibble-bbit"):
+        c1, c2 = eq, None
+    else:
+        c1 = np.int32(comp_m) - eq
+        c2 = np.zeros_like(c1)
+    return np.asarray(
+        _measure_epilogue(kind, m, msr, k, fd, c1, c2, lh, rh, 0.0,
+                          np, None)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _self_counts_fn_m(kind: str, m: int, fd: float, mode: str):
+    """Jitted (data) -> full (n, n) u16 eq-count matrix: the count
+    phase of _self_matrix_fn_m with the measure epilogue left to the
+    host (counts-pull route)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(data):
+        if kind.startswith("nibble"):
+            from ..ops.pallas_cmp import (_nibble_mxu, tri_assemble_f32,
+                                          tri_counts_tiles,
+                                          tri_self_counts_available)
+            lo = data & jnp.uint8(0xF)
+            hi = data >> jnp.uint8(4)
+            regs = jnp.concatenate([lo, hi], axis=1)
+            n = regs.shape[0]
+            if tri_self_counts_available(n, regs.shape[1]):
+                eq_t, _, T, bm, _npad = tri_counts_tiles(regs, False)
+                eq_t = eq_t.astype(jnp.uint16)
+                return tri_assemble_f32(eq_t, eq_t, T, bm)[:n, :n]
+            eq, _, _ = _nibble_mxu(regs, regs, want_gtlt=False)
+            return eq.astype(jnp.uint16)
+        n = data.shape[0]
+        if _swar_route(n, mode):
+            from ..ops.cmp_kernels import (_circ_seg_index,
+                                           _swar_pad_rows, circ_assemble,
+                                           circ_self_swar_tiles)
+            packed, mode8, extra = _swar_pack(kind, data, m, fd)
+            t = max(8, min(512, 1 << max(n - 1, 1).bit_length()))
+            a = _swar_pad_rows(packed, t)
+            xs, _ = circ_self_swar_tiles(a, t=t, mode=mode8)
+            eq_t = (xs - jnp.int32(extra)).astype(jnp.uint16)
+            seg_idx = jnp.asarray(_circ_seg_index(a.shape[0], t))
+            return circ_assemble(eq_t, eq_t, seg_idx, a.shape[0],
+                                 t)[:n, :n]
+        return CK.count_eq_self(data).astype(jnp.uint16)
+    return jax.jit(f)
+
+
+def _self_counts_matrix_dev(opts: Dashing2DistOptions,
+                            result: SketchingResult,
+                            creps: CompressedReps):
+    """(device u16 eq-count matrix, host epilogue closure) for the
+    counts-pull route of a symmetric all-pairs job, or None -> the
+    fused f32 route. Mirrors _self_pairs_matrix_dev's routing guards;
+    multi-chip meshes keep the f32 band-sharded engine (their pulls are
+    per-device local, not the job wall). The epilogue closure takes
+    (pulled u16 block, row start, col start)."""
+    if creps.data is not None and not creps.nibble_packed:
+        A = creps.data
+        if A.dtype != np.uint64 and A.max(initial=0) < 16 \
+                and _kernel_mode() in ("mxu", "pallas") \
+                and _multichip_mesh() is None:
+            return None     # small-int MXU full-square path (f32 route)
+    kind, data = _representation(opts, result, creps)
+    m = opts.sketchsize
+    if not _counts_pull_on(kind, opts.measure, m):
+        return None
+    if _multichip_mesh() is not None:
+        return None
+    dev = _self_counts_fn_m(kind, m, opts.fd_level, _kernel_mode())(data)
+    cards = np.asarray(result.cardinalities, np.float64)
+    msr, k, fd = opts.measure, opts.k, opts.fd_level
+
+    def epi(eqc: np.ndarray, rs: int, cs: int) -> np.ndarray:
+        lh = cards[rs:rs + eqc.shape[0], None]
+        rh = cards[None, cs:cs + eqc.shape[1]]
+        return _host_counts_epilogue(kind, m, msr, k, fd, eqc, lh, rh, m)
+    return dev, epi
+
+
 def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
     """One jitted function per (representation kind, measure, shape
     params, engine mode): see _self_matrix_fn_m. The engine mode is part
@@ -889,6 +1082,59 @@ def _panel_matrix_fn_m(kind: str, m: int, msr: Measure, k: int, fd: float,
                                cards[:nf], cards[nf:], b, gb)
 
     return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _panel_counts_fn_m(kind: str, m: int, fd: float, nf: int, mode: str):
+    """Jitted (data) -> (nf, nq) u16 eq-count panel: the count phase of
+    _panel_matrix_fn_m with the epilogue left to the host (counts-pull
+    route, see _counts_pull_on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cmp_kernels import count_eq_packed
+
+    def f(data):
+        if kind.startswith("nibble"):
+            from ..ops.pallas_cmp import _nibble_mxu
+            lo = data & jnp.uint8(0xF)
+            hi = data >> jnp.uint8(4)
+            regs = jnp.concatenate([lo, hi], axis=1)
+            eq, _, _ = _nibble_mxu(regs[:nf], regs[nf:],
+                                   want_gtlt=False)
+            return eq.astype(jnp.uint16)
+        packed, pmode, _extra = _swar_pack(kind, data, m, fd)
+        eq = count_eq_packed(packed[:nf], packed[nf:], m, mode=pmode)
+        return eq.astype(jnp.uint16)
+    return jax.jit(f)
+
+
+def _panel_counts_matrix_dev(opts: Dashing2DistOptions,
+                             result: SketchingResult,
+                             creps: CompressedReps, nf: int):
+    """(device u16 eq-count panel, host epilogue closure) for the
+    counts-pull route of an nq > 0 job, or None -> the fused f32 panel
+    engine. The closure takes (pulled u16 block, reference-row start)."""
+    kind, data = _representation(opts, result, creps)
+    n = len(result.cardinalities)
+    if not _panel_available(kind, data, n, nf):
+        return None
+    m = opts.sketchsize
+    if not _counts_pull_on(kind, opts.measure, m):
+        return None
+    mesh = _multichip_mesh()
+    if mesh is not None and nf >= mesh.devices.size:
+        return None
+    dev = _panel_counts_fn_m(kind, m, opts.fd_level, nf,
+                             _kernel_mode())(data)
+    cards = np.asarray(result.cardinalities, np.float64)
+    msr, k, fd = opts.measure, opts.k, opts.fd_level
+    rh = cards[None, nf:]
+
+    def epi(eqc: np.ndarray, rs: int) -> np.ndarray:
+        lh = cards[rs:rs + eqc.shape[0], None]
+        return _host_counts_epilogue(kind, m, msr, k, fd, eqc, lh, rh, m)
+    return dev, epi
 
 
 @functools.lru_cache(maxsize=32)
@@ -1792,14 +2038,24 @@ def warm_pairwise_cache(opts: Dashing2DistOptions, n: int,
         block = _block_size(opts)
         rows = np.arange(min(block, nf if nq else n))
         cols = np.arange(nf, n) if nq else np.arange(n)
+        # warm whichever route production will take (counts-pull wins
+        # when eligible — see pairwise_matrix)
+        if _device_block_counts_pull(opts, fake, creps, rows,
+                                     cols) is not None:
+            return True
         return _device_block_measures(opts, fake, creps, rows,
                                       cols) is not None
     if nq:
-        out = _panel_pairs_matrix(opts, fake, creps, nf)
+        out = _panel_counts_matrix_dev(opts, fake, creps, nf)
+        if out is None:
+            out = _panel_pairs_matrix(opts, fake, creps, nf)
     else:
         # device variant: warming must not pull the (n, n) synthetic
-        # matrix over the tunnel (400 MB = ~13 s at n=10240)
-        out = _self_pairs_matrix_dev(opts, fake, creps)
+        # matrix over the tunnel (400 MB = ~13 s at n=10240). Warm the
+        # route production will take: counts-pull when eligible.
+        out = _self_counts_matrix_dev(opts, fake, creps)
+        if out is None:
+            out = _self_pairs_matrix_dev(opts, fake, creps)
     return out is not None
 
 
@@ -1889,6 +2145,35 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                                  or opts.measure == Measure.M_EDIT_DISTANCE)))
     if nq == 0 and 64 <= n <= self_max and counts_path \
             and result.signatures is not None:
+        cnt = _self_counts_matrix_dev(opts, result, creps)
+        if cnt is not None:
+            # counts-pull route: u16 eq counts cross device->host (half
+            # the f32 bytes), the byte-identical numpy epilogue runs on
+            # the pulled block (overlapped with the next block's pull by
+            # the emitters' prefetch thread)
+            import jax
+            devc, epi = cnt
+            if upper_only and (jax.default_backend() != "cpu"
+                               or os.environ.get("DASHING2_TPU_UPPER")
+                               == "force"):
+                pending = None
+                for start in range(0, n, block):
+                    b = min(block, n - start)
+                    sl = devc[start:start + b, start:]
+                    if pending is not None:
+                        yield pending[0], _expand_upper(
+                            epi(_pull_block(pending[1]), pending[0],
+                                pending[0]), pending[0], n)
+                    pending = (start, sl)
+                if pending is not None:
+                    yield pending[0], _expand_upper(
+                        epi(_pull_block(pending[1]), pending[0],
+                            pending[0]), pending[0], n)
+                return
+            cmat = _pull_block(devc)
+            for start in range(0, n, block):
+                yield start, epi(cmat[start:start + block], start, 0)
+            return
         mat = _self_pairs_matrix_dev(opts, result, creps)
         if mat is not None:
             import jax
@@ -1915,6 +2200,13 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
             return
     if nq > 0 and 64 <= n <= self_max and counts_path \
             and result.signatures is not None:
+        pc = _panel_counts_matrix_dev(opts, result, creps, nf)
+        if pc is not None:
+            devp, epi = pc
+            cmat = _pull_block(devp)
+            for start in range(0, nf, block):
+                yield start, epi(cmat[start:start + block], start)
+            return
         mat = _panel_pairs_matrix(opts, result, creps, nf)
         if mat is not None:
             for start in range(0, nf, block):
@@ -1926,21 +2218,32 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
     # counts+epilogue program and pipeline one block: dispatch block b,
     # THEN pull/yield block b-1 — the device computes b while the host
     # pulls b-1 over the (slow) tunnel and the consumer formats/emits.
-    pending = None
+    pending = None   # (start, device block, post) — post=None means f32
     width = len(cols)   # n for symmetric, nq for panels (no trapezoid)
+
+    def _drain(p):
+        arr = _pull_block(p[1])
+        if p[2] is not None:
+            arr = p[2](arr, p[0] if upper_only else 0)
+        return p[0], _expand_upper(arr, p[0], width)
+
     for start in range(0, row_end, block):
         rows = np.arange(start, min(start + block, row_end))
-        dev = _device_block_measures(opts, result, creps, rows, cols)
+        post = None
+        cpull = _device_block_counts_pull(opts, result, creps, rows,
+                                          cols)
+        if cpull is not None:
+            dev, post = cpull
+        else:
+            dev = _device_block_measures(opts, result, creps, rows, cols)
         if pending is not None:
-            yield pending[0], _expand_upper(
-                _pull_block(pending[1]), pending[0], width)
+            yield _drain(pending)
             pending = None
         if dev is None:
             yield start, _measure_block(opts, result, creps, rows, cols)
         else:
             if upper_only:
                 dev = dev[:, start:]
-            pending = (start, dev)
+            pending = (start, dev, post)
     if pending is not None:
-        yield pending[0], _expand_upper(
-            _pull_block(pending[1]), pending[0], width)
+        yield _drain(pending)

@@ -1,0 +1,138 @@
+"""The u16 counts-pull route (cmp/core._counts_pull_on): for eq-count
+representations and transcendental-free measures, only the u16 eq
+counts cross device->host and the numpy epilogue reconstructs the f32
+measure matrix BYTE-IDENTICALLY to the fused f32 route (which is the
+goldens' contract). DASHING2_TPU_PULL_COUNTS=force engages it on the
+CPU test backend; =0 pins the f32 route as the reference."""
+
+import numpy as np
+import pytest
+
+from dashing2_tpu.cmp import core as C
+from dashing2_tpu.cmp.core import pairwise_matrix
+from dashing2_tpu.config import Dashing2DistOptions
+from dashing2_tpu.enums import Measure
+from dashing2_tpu.result import SketchingResult
+
+MEASURES = [Measure.SIMILARITY, Measure.CONTAINMENT,
+            Measure.INTERSECTION, Measure.SYMMETRIC_CONTAINMENT,
+            Measure.UNION_SIZE]
+
+
+def _result(n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    res = SketchingResult(names=[f"g{i}" for i in range(n)])
+    res.signatures = rng.random((n, m)) + 0.5
+    res.cardinalities = rng.random(n) * 1e5 + 10.0
+    return res
+
+
+def _collect(opts, res, upper_only=False):
+    if hasattr(res, "_pair_dev_cache"):
+        del res._pair_dev_cache
+    out = {}
+    for start, blk in pairwise_matrix(opts, res, upper_only=upper_only):
+        out[start] = np.asarray(blk).copy()
+    return out
+
+
+def _byte_equal(a, b):
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].dtype == b[k].dtype == np.float32
+        assert np.array_equal(a[k], b[k], equal_nan=True), \
+            (k, np.nanmax(np.abs(a[k].astype(np.float64)
+                                 - b[k].astype(np.float64))))
+
+
+@pytest.fixture(autouse=True)
+def _route_env(monkeypatch):
+    # single-logical-device routing (the mesh keeps the f32 route) and
+    # the SWAR engines (the production TPU route) on the CPU backend
+    monkeypatch.setenv("DASHING2_TPU_MULTICHIP", "0")
+    monkeypatch.setenv("DASHING2_TPU_KERNEL", "swar")
+
+
+@pytest.mark.parametrize("msr", MEASURES)
+def test_self_route_byte_identical(monkeypatch, msr):
+    opts = Dashing2DistOptions(k=31, sketchsize=64, measure=msr)
+    res = _result(300, 64, seed=int(msr))
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "0")
+    ref = _collect(opts, res)
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "force")
+    got = _collect(opts, res)
+    _byte_equal(got, ref)
+
+
+def test_self_route_upper_only(monkeypatch):
+    opts = Dashing2DistOptions(k=31, sketchsize=64)
+    res = _result(300, 64, seed=5)
+    monkeypatch.setenv("DASHING2_TPU_UPPER", "force")
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "0")
+    ref = _collect(opts, res, upper_only=True)
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "force")
+    got = _collect(opts, res, upper_only=True)
+    _byte_equal(got, ref)
+
+
+@pytest.mark.parametrize("upper", [False, True])
+def test_block_route_byte_identical(monkeypatch, upper):
+    opts = Dashing2DistOptions(k=31, sketchsize=64,
+                               measure=Measure.CONTAINMENT)
+    res = _result(300, 64, seed=9)
+    monkeypatch.setenv("DASHING2_TPU_SELF_MAX", "0")
+    monkeypatch.setenv("DASHING2_TPU_PAIR_DEVICE", "force")
+    if upper:
+        monkeypatch.setenv("DASHING2_TPU_UPPER", "force")
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "0")
+    ref = _collect(opts, res, upper_only=upper)
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "force")
+    got = _collect(opts, res, upper_only=upper)
+    _byte_equal(got, ref)
+
+
+@pytest.mark.parametrize("msr", [Measure.SIMILARITY,
+                                 Measure.CONTAINMENT])
+def test_panel_route_byte_identical(monkeypatch, msr):
+    opts = Dashing2DistOptions(k=31, sketchsize=64, measure=msr)
+    res = _result(300, 64, seed=13)
+    res.nq = 40   # last 40 rows are queries -> (260, 40) panel
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "0")
+    ref = _collect(opts, res)
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "force")
+    got = _collect(opts, res)
+    _byte_equal(got, ref)
+
+
+def test_pllr_and_ab_stay_on_f32_route():
+    # log1p-based measures and the gt/lt-consuming ab kinds never take
+    # the route (libm vs XLA transcendentals differ in the last ulp;
+    # two u16 counts carry no byte savings)
+    assert not C._counts_pull_on("full", Measure.POISSON_LLR, 64)
+    assert not C._counts_pull_on("ab", Measure.SIMILARITY, 64)
+    assert not C._counts_pull_on("nibble-ab", Measure.SIMILARITY, 64)
+    assert not C._counts_pull_on("full", Measure.SIMILARITY, 1 << 16)
+
+
+def test_cli_fastcmp_routes_byte_identical(monkeypatch, tmp_path):
+    """CLI-level: bbit u8 (--fastcmp 1) and nibble-bbit (--fastcmp 0.5
+    --bbit-sigs) condensed binary outputs are byte-identical with the
+    counts-pull route forced vs disabled."""
+    import sys
+    sys.path.insert(0, str(tmp_path))  # noqa: F401 (fixture imports)
+    from make_fixtures import make
+
+    from dashing2_tpu.cli import main as climain
+    fas = make(str(tmp_path), n_genomes=8, length=12000, seed=21)
+    for extra in (["--fastcmp", "1"],
+                  ["--fastcmp", "0.5", "--bbit-sigs"]):
+        outs = {}
+        for mode in ("0", "force"):
+            monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", mode)
+            out = str(tmp_path / f"o_{'-'.join(extra)}_{mode}.bin")
+            rc = climain(["sketch", "-k", "31", "-S", "64",
+                          "--binary-output", "--cmpout", out]
+                         + extra + fas)
+            assert rc == 0
+            outs[mode] = open(out, "rb").read()
+        assert outs["0"] == outs["force"], extra
