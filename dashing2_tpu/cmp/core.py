@@ -488,8 +488,8 @@ def _device_block_counts_pull(opts, result, creps, rows, cols):
     if entry[0] != "swar":
         return None
     _, pk, pmode, mtrue = entry
-    if not pmode.startswith("eq") or mtrue >= (1 << 16):
-        return None
+    if not pmode.startswith("eq") or mtrue != opts.sketchsize:
+        return None     # the sim table indexes counts in m-space
     dev = _block_counts_u16_fn(pmode, mtrue)(
         pk, jnp.asarray(rows.astype(np.int32)),
         jnp.asarray(cols.astype(np.int32)))
@@ -846,14 +846,23 @@ def _counts_pull_on(kind: str, msr: Measure, m: int) -> bool:
     """Counts-pull route eligibility. DASHING2_TPU_PULL_COUNTS: '1'
     (default, accelerator backends), '0' disables, 'force' enables on
     the CPU backend (tests byte-compare the route against the fused f32
-    pull). 'ab' kinds are excluded (their g_b epilogues are
-    transcendental AND they consume separate gt/lt — two u16 counts
-    carry no byte savings over one f32)."""
+    pull).
+
+    SIMILARITY only, by measurement (experiments/r4s3_counts_pull_diag
+    on the chip): the card-dependent measures divide by per-pair
+    runtime values, and the TPU's f32 divide is not bit-identical to
+    IEEE host division (CONTAINMENT 1-6 ulp, UNION up to 1024 ulp at
+    card scale). SIMILARITY is cardinality-free — a pure function of
+    the eq count — so the host epilogue is an (m+1)-entry sim table
+    computed ON DEVICE once (_sim_table): bit-exact for every kind by
+    construction, including bbit's /den whose TPU lowering differs from
+    numpy by 1 ulp. 'ab' kinds are excluded (they consume separate
+    gt/lt — two u16 counts carry no byte savings over one f32)."""
     import os
     env = os.environ.get("DASHING2_TPU_PULL_COUNTS", "1")
     if env == "0":
         return False
-    if kind not in _COUNTS_PULL_KINDS or msr == Measure.POISSON_LLR:
+    if kind not in _COUNTS_PULL_KINDS or msr != Measure.SIMILARITY:
         return False
     if m >= (1 << 16):
         return False
@@ -861,25 +870,44 @@ def _counts_pull_on(kind: str, msr: Measure, m: int) -> bool:
     return env == "force" or jax.default_backend() != "cpu"
 
 
+@functools.lru_cache(maxsize=64)
+def _sim_table(kind: str, m: int, k: int, fd: float) -> np.ndarray:
+    """(m+1,) f32 SIMILARITY values for every possible eq count,
+    computed by the DEVICE epilogue itself (one jit over the count
+    range, one 4 KB pull) — the host lookup is bit-exact with the fused
+    f32 route whatever the backend's divide/FMA lowering does. Safe
+    because the products feeding the sim formulas are exact (integer x
+    power-of-two scale), so in-graph FMA contraction cannot change the
+    fused route's values vs this standalone graph (see
+    bbit_measures32's docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f():
+        counts = jnp.arange(m + 1, dtype=jnp.int32)[None, :]
+        if kind in ("eqfull", "bbit", "nibble-bbit"):
+            c1, c2 = counts, None
+        else:
+            c1 = jnp.int32(m) - counts
+            c2 = jnp.zeros_like(c1)
+        one = jnp.ones((1, 1), jnp.float64)
+        return _measure_epilogue(kind, m, Measure.SIMILARITY, k, fd,
+                                 c1, c2, one, one, 0.0, jnp, None
+                                 ).astype(jnp.float32)
+    return np.asarray(f()).reshape(-1)
+
+
 def _host_counts_epilogue(kind: str, m: int, msr: Measure, k: int,
                           fd: float, eqc: np.ndarray, lh, rh,
                           comp_m: int) -> np.ndarray:
-    """numpy mirror of the device measure epilogue on a pulled u16
-    eq-count block: the same integer complement the device forms
-    (comp_m - eq for the sum-first 'full' kind; comp_m is m on the
-    self route, the packed mtrue on the block route) and the same
-    measures32 functions with xp=np. Every op on the eligible measures
-    is IEEE +,-,*,/,min,max,select, so the bytes match the device route
-    exactly (tests/test_counts_pull.py)."""
-    eq = eqc.astype(np.int32)
-    if kind in ("eqfull", "bbit", "nibble-bbit"):
-        c1, c2 = eq, None
-    else:
-        c1 = np.int32(comp_m) - eq
-        c2 = np.zeros_like(c1)
-    return np.asarray(
-        _measure_epilogue(kind, m, msr, k, fd, c1, c2, lh, rh, 0.0,
-                          np, None)).astype(np.float32)
+    """Host epilogue on a pulled u16 eq-count block: SIMILARITY via the
+    device-built sim table (bit-exact with the fused f32 route for
+    every kind — see _sim_table). lh/rh/comp_m are unused for
+    SIMILARITY but kept so card-dependent measures can be added if a
+    backend with IEEE divides warrants them."""
+    assert msr == Measure.SIMILARITY
+    return _sim_table(kind, m, k, fd)[eqc]
 
 
 @functools.lru_cache(maxsize=64)

@@ -38,7 +38,10 @@ n, m = 2048, 1024
 res = SketchingResult(names=[f"g{i}" for i in range(n)])
 res.signatures = rng.random((n, m)) + 0.5
 res.cardinalities = rng.random(n) * 1e5 + 10.0
-for msr in (Measure.SIMILARITY, Measure.CONTAINMENT):
+for msr in (Measure.SIMILARITY,):
+    # SIMILARITY only engages the route (sim-table epilogue); the
+    # card-dependent measures keep the f32 route by measurement
+    # (r4s3_counts_pull_diag.py: TPU divide is not IEEE-identical)
     opts = Dashing2DistOptions(k=31, sketchsize=m, measure=msr)
     os.environ["DASHING2_TPU_PULL_COUNTS"] = "0"
     ref = collect(opts, res)

@@ -14,9 +14,10 @@ from dashing2_tpu.config import Dashing2DistOptions
 from dashing2_tpu.enums import Measure
 from dashing2_tpu.result import SketchingResult
 
-MEASURES = [Measure.SIMILARITY, Measure.CONTAINMENT,
-            Measure.INTERSECTION, Measure.SYMMETRIC_CONTAINMENT,
-            Measure.UNION_SIZE]
+# SIMILARITY only: the card-dependent measures divide by per-pair
+# runtime values and the TPU f32 divide is not IEEE-identical
+# (experiments/r4s3_counts_pull_diag.py) — they keep the f32 route
+MEASURES = [Measure.SIMILARITY]
 
 
 def _result(n, m, seed=0):
@@ -77,8 +78,7 @@ def test_self_route_upper_only(monkeypatch):
 
 @pytest.mark.parametrize("upper", [False, True])
 def test_block_route_byte_identical(monkeypatch, upper):
-    opts = Dashing2DistOptions(k=31, sketchsize=64,
-                               measure=Measure.CONTAINMENT)
+    opts = Dashing2DistOptions(k=31, sketchsize=64)
     res = _result(300, 64, seed=9)
     monkeypatch.setenv("DASHING2_TPU_SELF_MAX", "0")
     monkeypatch.setenv("DASHING2_TPU_PAIR_DEVICE", "force")
@@ -91,10 +91,8 @@ def test_block_route_byte_identical(monkeypatch, upper):
     _byte_equal(got, ref)
 
 
-@pytest.mark.parametrize("msr", [Measure.SIMILARITY,
-                                 Measure.CONTAINMENT])
-def test_panel_route_byte_identical(monkeypatch, msr):
-    opts = Dashing2DistOptions(k=31, sketchsize=64, measure=msr)
+def test_panel_route_byte_identical(monkeypatch):
+    opts = Dashing2DistOptions(k=31, sketchsize=64)
     res = _result(300, 64, seed=13)
     res.nq = 40   # last 40 rows are queries -> (260, 40) panel
     monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "0")
@@ -104,14 +102,30 @@ def test_panel_route_byte_identical(monkeypatch, msr):
     _byte_equal(got, ref)
 
 
-def test_pllr_and_ab_stay_on_f32_route():
-    # log1p-based measures and the gt/lt-consuming ab kinds never take
-    # the route (libm vs XLA transcendentals differ in the last ulp;
-    # two u16 counts carry no byte savings)
-    assert not C._counts_pull_on("full", Measure.POISSON_LLR, 64)
+def test_non_sim_and_ab_stay_on_f32_route():
+    # card-dependent measures (TPU divide is not IEEE-identical,
+    # measured 1-1024 ulp on chip) and the gt/lt-consuming ab kinds
+    # never take the route
+    for msr in (Measure.POISSON_LLR, Measure.CONTAINMENT,
+                Measure.INTERSECTION, Measure.SYMMETRIC_CONTAINMENT,
+                Measure.UNION_SIZE):
+        assert not C._counts_pull_on("full", msr, 64)
     assert not C._counts_pull_on("ab", Measure.SIMILARITY, 64)
     assert not C._counts_pull_on("nibble-ab", Measure.SIMILARITY, 64)
     assert not C._counts_pull_on("full", Measure.SIMILARITY, 1 << 16)
+
+
+def test_sim_table_matches_epilogue():
+    # the (m+1)-entry device sim table IS the fused epilogue evaluated
+    # on every possible count (here the device is XLA:CPU)
+    import numpy as np
+    from dashing2_tpu.cmp import estimators as E
+    m = 64
+    t_eqfull = C._sim_table("eqfull", m, 31, 8.0)
+    ref = E.equality_measures32(np.arange(m + 1, dtype=np.int32), m,
+                                np.ones(1), np.ones(1),
+                                Measure.SIMILARITY, 31, xp=np)
+    assert np.array_equal(t_eqfull, np.asarray(ref, np.float32).ravel())
 
 
 def test_cli_fastcmp_routes_byte_identical(monkeypatch, tmp_path):
