@@ -476,6 +476,7 @@ def _device_block_counts_pull(opts, result, creps, rows, cols):
     kind, _ = _representation(opts, result, creps)
     if not _counts_pull_on(kind, opts.measure, opts.sketchsize):
         return None
+    _sim_table(kind, opts.sketchsize, opts.k, opts.fd_level)  # warm jit
     ndev = len(jax.devices())
     if ndev > 1 and len(rows) >= ndev \
             and os.environ.get("DASHING2_TPU_MULTICHIP", "1") != "0":
@@ -971,6 +972,10 @@ def _self_counts_matrix_dev(opts: Dashing2DistOptions,
         return None
     if _multichip_mesh() is not None:
         return None
+    # build the host sim table NOW so the warm pass pre-pays its tiny
+    # jit compile too (on the remote chip every compile is a server
+    # round trip; lazy build would land on the first emitted block)
+    _sim_table(kind, m, opts.k, opts.fd_level)
     dev = _self_counts_fn_m(kind, m, opts.fd_level, _kernel_mode())(data)
     cards = np.asarray(result.cardinalities, np.float64)
     msr, k, fd = opts.measure, opts.k, opts.fd_level
@@ -1153,6 +1158,7 @@ def _panel_counts_matrix_dev(opts: Dashing2DistOptions,
     mesh = _multichip_mesh()
     if mesh is not None and nf >= mesh.devices.size:
         return None
+    _sim_table(kind, m, opts.k, opts.fd_level)  # pre-pay the table jit
     dev = _panel_counts_fn_m(kind, m, opts.fd_level, nf,
                              _kernel_mode())(data)
     cards = np.asarray(result.cardinalities, np.float64)

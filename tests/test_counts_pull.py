@@ -102,7 +102,14 @@ def test_panel_route_byte_identical(monkeypatch):
     _byte_equal(got, ref)
 
 
-def test_non_sim_and_ab_stay_on_f32_route():
+def test_non_sim_and_ab_stay_on_f32_route(monkeypatch):
+    # force-enable so the kind/measure/m exclusion guards are what the
+    # assertions exercise (without it the CPU backend returns False for
+    # EVERY combo and the guards could be deleted unnoticed)
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "force")
+    # positive control: the eligible combo takes the route under force
+    assert C._counts_pull_on("full", Measure.SIMILARITY, 64)
+    assert C._counts_pull_on("eqfull", Measure.SIMILARITY, 64)
     # card-dependent measures (TPU divide is not IEEE-identical,
     # measured 1-1024 ulp on chip) and the gt/lt-consuming ab kinds
     # never take the route
