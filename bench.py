@@ -454,22 +454,52 @@ def main():
         lib = NAT.load_oph_lib()
         if lib is not None:
             cnp = np.asarray(codes)
-            _native_oph_rows(lib, cnp, hkw, m, H.OPH_DEFAULT_SEED, False)
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                _native_oph_rows(lib, cnp, hkw, m, H.OPH_DEFAULT_SEED,
-                                 False)
-                ts.append(time.perf_counter() - t0)
             ncore = multiprocessing.cpu_count()
-            rate = R * L / min(ts)
+
+            def nat_rate(cfg_hkw, codes_arr, reps=3):
+                _native_oph_rows(lib, codes_arr, cfg_hkw, m,
+                                 H.OPH_DEFAULT_SEED, False)
+                ts = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    _native_oph_rows(lib, codes_arr, cfg_hkw, m,
+                                     H.OPH_DEFAULT_SEED, False)
+                    ts.append(time.perf_counter() - t0)
+                return codes_arr.size / min(ts), min(ts)
+
+            rate, tbest = nat_rate(hkw, cnp)
             extra["sketch_native_mbase_per_sec_per_core"] = round(
                 rate / 1e6, 1)
             extra["sketch_native_host_cores"] = ncore
-            print(f"# native host sketch engine: {min(ts)*1e3:.1f} "
+            print(f"# native host sketch engine: {tbest*1e3:.1f} "
                   f"ms/batch = {rate/1e6:.0f} Mbase/s per core "
                   f"({ncore} host core(s) available; threads partition "
                   f"batch rows)", file=sys.stderr)
+            # per-config rates across the round-5 full surface (the
+            # device fallback these replace ran 0.43 Gbase/s TOTAL)
+            from dashing2_tpu.ops.kmers import parse_spacing
+            cfgs = {
+                "minimizer_w31": dict(hkw, k=21, span=21, w=31),
+                "rolling_k40": dict(hkw, k=40, span=40, rolling=True),
+                "use128_k40": dict(hkw, k=40, span=40, use128=True),
+                "spaced_k11": dict(
+                    hkw, k=11, span=21,
+                    spacing_offsets=tuple(parse_spacing("1x10", 11))),
+                "protein20_k10": dict(hkw, k=10, span=10, canon=False,
+                                      alphabet=Alphabet.PROTEIN20),
+            }
+            rates = {}
+            for name, ch in cfgs.items():
+                arr = cnp
+                if ch["alphabet"] != Alphabet.DNA:
+                    arr = np.asarray(
+                        rng.integers(0, 20, size=cnp.shape), np.uint8)
+                r_c, _ = nat_rate(ch, arr, reps=2)
+                rates[name] = round(r_c / 1e6, 1)
+            extra["sketch_native_mbase_per_config"] = rates
+            print("# native per-config Mbase/s/core: "
+                  + ", ".join(f"{k}={v}" for k, v in rates.items()),
+                  file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# native sketch engine failed: {e}", file=sys.stderr)
 

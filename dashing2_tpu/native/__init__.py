@@ -136,6 +136,10 @@ def load_oph_lib() -> Optional[ctypes.CDLL]:
             c.c_uint64, c.c_uint64,
             c.c_int32, c.c_uint64, c.c_uint64,
             c.c_int64, c.c_int64, c.c_int64, c.c_int32,
+            c.c_int32, c.c_int32, c.c_int32,
+            c.POINTER(c.c_int32), c.c_int32,
+            c.POINTER(c.c_uint64),
+            c.POINTER(c.c_uint64), c.c_int64, c.c_int64,
             c.POINTER(c.c_uint64), c.POINTER(c.c_uint32)]
         lib._sigs_set = True
     return lib

@@ -66,6 +66,17 @@ static inline uint64_t window2(const uint64_t* packed, int64_t q) {
     return v;
 }
 
+// Encoding modes, mirroring the device routing in
+// sketch/core._hash_chunk_batch + ops/kmers.hashed_kmers:
+//   DNA     exact 2-bit codes, RC canonical, k <= 32 (the hot default)
+//   BASEB   base-b packed codes (protein reduced alphabets, DNA2)
+//   SPACED  spaced-seed codes: kept offsets shifted into one word
+//   ROLL    cyclic-polynomial rolling hash (k beyond exact capacity)
+//   DNA128  128-bit exact codes; the low word feeds the 64-bit chain
+//           (maskfn u128 low-word truncation, enums.h:144-148)
+enum Mode { MODE_DNA = 0, MODE_BASEB = 1, MODE_SPACED = 2,
+            MODE_ROLL = 3, MODE_DNA128 = 4 };
+
 struct Params {
     const uint8_t* codes;
     int64_t R, L;
@@ -76,6 +87,17 @@ struct Params {
     int64_t m;
     uint64_t* out_regs;
     uint32_t* out_counts;
+    // generalized-config surface (VERDICT r4 item 1)
+    int32_t mode = MODE_DNA;
+    int32_t base = 4;        // alphabet size (base-b packing / table size)
+    int32_t bits = 2;        // bits per kept base (spaced seeds)
+    const int32_t* offsets = nullptr;  // spaced-seed kept positions
+    int32_t noffsets = 0;
+    const uint64_t* roll_table = nullptr;  // per-symbol rolling table
+    const uint64_t* filterset = nullptr;   // sorted exclusion hashes
+    int64_t fs_len = 0;
+    int64_t vspan = 0;       // validity-window length (span for spaced,
+                             // k otherwise); npos = L - vspan + 1
 };
 
 struct RowScratch {
@@ -87,6 +109,10 @@ struct RowScratch {
     std::vector<uint8_t> sel;           // minimizer-selected mask (w > k)
     std::vector<int32_t> winv;          // invalid-position prefix counts
     std::vector<int32_t> deque;         // monotonic-deque index ring
+    std::vector<uint64_t> vals;         // generic modes: per-pos codes
+    std::vector<uint64_t> hashed;       // generic modes: scrambled keys
+    std::vector<uint8_t> cln;           // invalid-substituted codes
+    std::vector<uint8_t> ccl;           // complement indices (rolling)
     uint64_t ids[kBlock + 8];
     uint8_t live[kBlock / 8 + 2];       // one lane-mask byte per 8 ids
 };
@@ -102,24 +128,18 @@ struct RowScratch {
 // prev-eq comparisons out of range with u64::max, so a maxv score in
 // the first nwin-1 slots "prev-eqs" the padding — mirrored here,
 // reachable only for the k=32 all-T k-mer).
-static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
+// Selection pass over a pre-filled s.score array (invalid positions
+// already U64MAX). vspan is the validity-window length (k for plain
+// k-mers, the seed span for spaced seeds); the minimizer WINDOW count
+// stays nwin = w - k + 1 for every mode (device minimizer_mask is
+// always called with (k, w), kmers.py:459-462).
+static void select_from_scores(const Params& p, RowScratch& s, bool clean,
+                               int64_t npos) {
     const int32_t k = p.k;
-    const uint64_t mask = (k == 32) ? kU64Max : ((1ULL << (2 * k)) - 1);
-    const int64_t npos = p.L - k + 1;
+    const int64_t vspan = p.vspan > 0 ? p.vspan : k;
     const int64_t nwin = (int64_t)p.w - k + 1;
     const int64_t nw = npos - nwin + 1;          // window count (may be <=0)
-    const int64_t Lk = p.L - k;
-    s.score.resize(npos);
     s.sel.assign(npos, 0);
-    for (int64_t i = 0; i < npos; ++i) {
-        if (!clean && s.run[i + k - 1] < k) { s.score[i] = kU64Max; continue; }
-        uint64_t v = window2(s.fwd_packed.data(), Lk - i) & mask;
-        if (p.canon) {
-            const uint64_t rc = window2(s.rc_packed.data(), i) & mask;
-            v = std::min(v, rc);
-        }
-        s.score[i] = v;
-    }
     // window liveness: invalid-position prefix counts (clean rows: all
     // windows live, skip the scratch)
     s.winv.clear();
@@ -127,7 +147,7 @@ static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
         s.winv.resize(npos + 1);
         s.winv[0] = 0;
         for (int64_t i = 0; i < npos; ++i)
-            s.winv[i + 1] = s.winv[i] + (s.run[i + k - 1] < k);
+            s.winv[i + 1] = s.winv[i] + (s.run[i + vspan - 1] < vspan);
     }
     auto win_live = [&](int64_t j) -> bool {
         return clean || s.winv[j + nwin] == s.winv[j];
@@ -162,13 +182,33 @@ static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
             ++head;
         const uint64_t sc = s.score[i];
         if (s.deque.size() <= head || s.wmin[s.deque[head]] != sc) continue;
-        if (!clean && s.run[i + k - 1] < k) continue;   // invalid position
+        if (!clean && s.run[i + vspan - 1] < vspan) continue;  // invalid
         bool prev_eq = (i < nwin - 1) && sc == kU64Max;
         const int64_t dmax = std::min<int64_t>(i, nwin - 1);
         for (int64_t d = 1; d <= dmax && !prev_eq; ++d)
             prev_eq = s.score[i - d] == sc;
         s.sel[i] = !prev_eq;
     }
+}
+
+// DNA 2-bit score fill (canonical k-mer codes from the packed arrays)
+// + selection.
+static void minimizer_select(const Params& p, RowScratch& s, bool clean) {
+    const int32_t k = p.k;
+    const uint64_t mask = (k == 32) ? kU64Max : ((1ULL << (2 * k)) - 1);
+    const int64_t npos = p.L - k + 1;
+    const int64_t Lk = p.L - k;
+    s.score.resize(npos);
+    for (int64_t i = 0; i < npos; ++i) {
+        if (!clean && s.run[i + k - 1] < k) { s.score[i] = kU64Max; continue; }
+        uint64_t v = window2(s.fwd_packed.data(), Lk - i) & mask;
+        if (p.canon) {
+            const uint64_t rc = window2(s.rc_packed.data(), i) & mask;
+            v = std::min(v, rc);
+        }
+        s.score[i] = v;
+    }
+    select_from_scores(p, s, clean, npos);
 }
 
 #ifdef D2_OPH_AVX512
@@ -251,6 +291,263 @@ static bool pack_row(const Params& p, const uint8_t* row, RowScratch& s) {
     return clean;
 }
 
+static inline uint64_t rotl64s(uint64_t x, int s) {
+    s &= 63;
+    return s ? (x << s) | (x >> (64 - s)) : x;
+}
+
+// Generic-mode per-position code values (s.vals) + scramble keys
+// (s.hashed), bit-identical to the device formulations in ops/kmers.py
+// (invalid bases substitute code 0 into the value math exactly like
+// the device's where(bad, 0, codes); validity is masked separately via
+// the run array). Returns npos.
+static int64_t compute_values(const Params& p, const uint8_t* row,
+                              RowScratch& s, bool clean) {
+    const int64_t L = p.L;
+    const int32_t k = p.k;
+    const int64_t vspan = p.vspan > 0 ? p.vspan : k;
+    const int64_t npos = L - vspan + 1;
+    if (npos <= 0) return 0;
+    s.vals.assign(npos, 0);
+    // invalid-substituted codes, once per row (the device's
+    // where(bad, 0, codes)); keeps every inner loop branch-free so the
+    // compiler vectorizes the value math (measured ~1.8x on the
+    // rolling recurrence vs per-access ternaries)
+    const uint8_t* cln = row;
+    if (p.mode != MODE_DNA && p.mode != MODE_DNA128) {
+        if (!clean) {
+            s.cln.resize(L);
+            uint8_t* c = s.cln.data();
+            for (int64_t i = 0; i < L; ++i)
+                c[i] = row[i] == kInvalid ? 0 : row[i];
+            cln = c;
+        }
+    }
+    if (p.mode == MODE_DNA) {
+        // 2-bit exact path through the generic loop: only taken when a
+        // filterset is active (the probe needs the scramble keys, which
+        // the fused AVX-512 block engine does not retain)
+        const int64_t Lk = L - k;
+        const uint64_t mask =
+            (k == 32) ? kU64Max : ((1ULL << (2 * k)) - 1);
+        for (int64_t i = 0; i < npos; ++i) {
+            uint64_t v = window2(s.fwd_packed.data(), Lk - i) & mask;
+            if (p.canon) {
+                const uint64_t rc =
+                    window2(s.rc_packed.data(), i) & mask;
+                v = std::min(v, rc);
+            }
+            s.vals[i] = v;
+        }
+    } else if (p.mode == MODE_BASEB) {
+        // acc = acc * base + c, k vectorizable passes (u64 wrap-around
+        // multiply-add is order-exact; kmers.base_b_kmer_codes)
+        const uint64_t base = (uint64_t)p.base;
+        uint64_t* __restrict v = s.vals.data();
+        for (int32_t j = 0; j < k; ++j) {
+            const uint8_t* __restrict cj = cln + j;
+            for (int64_t i = 0; i < npos; ++i)
+                v[i] = v[i] * base + cj[i];
+        }
+    } else if (p.mode == MODE_SPACED) {
+        // acc = (acc << bits) | c over the kept offsets
+        // (kmers.spaced_kmer_codes; no canonicalization, like the device)
+        uint64_t* __restrict v = s.vals.data();
+        const int bits = p.bits;
+        for (int32_t oi = 0; oi < p.noffsets; ++oi) {
+            const uint8_t* __restrict cj = cln + p.offsets[oi];
+            for (int64_t i = 0; i < npos; ++i)
+                v[i] = (v[i] << bits) | cj[i];
+        }
+    } else if (p.mode == MODE_ROLL) {
+        // cyclic-polynomial rolling hash (kmers.rolling_hash_codes):
+        //   h_i = XOR_j rotl(T[c_{i+j}], (k-1-j) mod 64)
+        // via the O(1)/position recurrence
+        //   h_{i+1} = rotl(h_i,1) ^ rotl(T[c_i], k%64) ^ T[c_{i+k}]
+        // (rotation exponents live mod 64, so the algebra holds for
+        // any k). Canonical (DNA only, like the device): the mirrored
+        // complement-table recurrence, elementwise min.
+        const uint64_t* T = p.roll_table;
+        // pre-rotated tables lift the per-step rotl off the carried
+        // dependency chain; the recurrence runs to npos-1 so no bounds
+        // guard lives inside the loop
+        uint64_t Tk[64], h = 0;
+        for (int32_t c = 0; c < p.base; ++c)
+            Tk[c] = rotl64s(T[c], (int)(k % 64));
+        for (int32_t j = 0; j < k; ++j)
+            h ^= rotl64s(T[cln[j]], (int)((k - 1 - j) % 64));
+        uint64_t* __restrict v = s.vals.data();
+        for (int64_t i = 0; i < npos - 1; ++i) {
+            v[i] = h;
+            h = rotl64s(h, 1) ^ Tk[cln[i]] ^ T[cln[i + k]];
+        }
+        v[npos - 1] = h;
+        if (p.canon) {
+            // rc_i = XOR_j rotl(Tc[c_{i+j}], j mod 64), Tc via the
+            // complement INDEX (bad bases index slot 0, matching the
+            // device's where(bad, 0, 3 - safe)): a per-row complement
+            // index buffer keeps the loop branch-free
+            const uint8_t* ccl;
+            if (clean && p.base == 4) {
+                static const uint8_t comp4[4] = {3, 2, 1, 0};
+                s.ccl.resize(L);
+                uint8_t* c = s.ccl.data();
+                for (int64_t i = 0; i < L; ++i) c[i] = comp4[row[i]];
+                ccl = c;
+            } else {
+                s.ccl.resize(L);
+                uint8_t* c = s.ccl.data();
+                for (int64_t i = 0; i < L; ++i)
+                    c[i] = row[i] == kInvalid ? 0 : 3 - row[i];
+                ccl = c;
+            }
+            uint64_t Tk1[64], rc = 0;
+            for (int32_t c = 0; c < p.base; ++c)
+                Tk1[c] = rotl64s(T[c], (int)((k - 1) % 64));
+            for (int32_t j = 0; j < k; ++j)
+                rc ^= rotl64s(T[ccl[j]], (int)(j % 64));
+            for (int64_t i = 0; i < npos - 1; ++i) {
+                if (rc < v[i]) v[i] = rc;
+                const uint64_t x = rc ^ T[ccl[i]];
+                rc = ((x >> 1) | (x << 63)) ^ Tk1[ccl[i + k]];
+            }
+            if (rc < v[npos - 1]) v[npos - 1] = rc;
+        }
+    } else {  // MODE_DNA128
+        // 128-bit exact codes from the same two packed arrays as the
+        // 64-bit path (pack_row): lo/hi are two windowed loads each.
+        // Canonical = 128-bit (hi, lo) min; the minimizer SCORE is
+        // (hi >> 1) ^ lo and the sketch key is the low word
+        // (sketch/core._hash_chunk_batch 128-bit branch).
+        const int64_t Lk = L - k;
+        const uint64_t lomask =
+            (k >= 32) ? kU64Max : ((1ULL << (2 * k)) - 1);
+        const int hb = (int)(2 * k - 64);   // hi width in bits
+        const uint64_t himask =
+            hb <= 0 ? 0 : (hb >= 64 ? kU64Max : ((1ULL << hb) - 1));
+        s.hashed.resize(npos);   // reused as the lo-word buffer here
+        for (int64_t i = 0; i < npos; ++i) {
+            const int64_t q = Lk - i;
+            uint64_t flo = window2(s.fwd_packed.data(), q) & lomask;
+            uint64_t fhi = hb <= 0 ? 0
+                : window2(s.fwd_packed.data(), q + 32) & himask;
+            uint64_t lo = flo, hi = fhi;
+            if (p.canon) {
+                const uint64_t rlo =
+                    window2(s.rc_packed.data(), i) & lomask;
+                const uint64_t rhi = hb <= 0 ? 0
+                    : window2(s.rc_packed.data(), i + 32) & himask;
+                if (rhi < fhi || (rhi == fhi && rlo < flo)) {
+                    lo = rlo; hi = rhi;
+                }
+            }
+            s.vals[i] = (hi >> 1) ^ lo;
+            s.hashed[i] = lo;
+        }
+    }
+    // scramble keys: maskfn(key) = WangHash(key ^ xormask); seed 0
+    // passes raw codes through (ops/hashes.maskfn). Plain
+    // branch-hoisted loops so the compiler vectorizes the hash chain
+    // across positions (AVX512DQ vpmullq).
+    if (p.mode == MODE_DNA128) {
+        if (!p.seed_is_zero) {
+            uint64_t* h = s.hashed.data();
+            const uint64_t xm = p.xormask;
+            for (int64_t i = 0; i < npos; ++i)
+                h[i] = wanghash(h[i] ^ xm);
+        }
+    } else {
+        s.hashed.resize(npos);
+        uint64_t* h = s.hashed.data();
+        const uint64_t* v = s.vals.data();
+        if (p.seed_is_zero) {
+            std::copy(v, v + npos, h);
+        } else {
+            const uint64_t xm = p.xormask;
+            for (int64_t i = 0; i < npos; ++i)
+                h[i] = wanghash(v[i] ^ xm);
+        }
+    }
+    return npos;
+}
+
+// Generic-mode row loop: values -> (optional) minimizer selection ->
+// liveness checks -> OPH bucket-min. Scalar per live position; the
+// non-default configs this serves (protein, spaced, rolling k>32,
+// 128-bit, filterset) are correctness surface first — the AVX-512
+// block engine below keeps the hot default-DNA path.
+static void sketch_row_generic(const Params& p, const uint8_t* row,
+                               RowScratch& s, uint64_t* regs,
+                               uint32_t* cnts) {
+    const int64_t vspan = p.vspan > 0 ? p.vspan : p.k;
+    const bool clean = memchr(row, kInvalid, (size_t)p.L) == nullptr;
+    if (!clean) {
+        s.run.assign(p.L + 8, 0);
+        int32_t run = 0;
+        for (int64_t i = 0; i < p.L; ++i) {
+            run = (row[i] == kInvalid) ? 0 : run + 1;
+            s.run[i] = run;
+        }
+    }
+    if (p.mode == MODE_DNA128 || p.mode == MODE_DNA)
+        pack_row(p, row, s);
+    const int64_t npos = compute_values(p, row, s, clean);
+    const bool use_sel = p.w > p.k;
+    if (use_sel) {
+        s.score.resize(npos);
+        for (int64_t i = 0; i < npos; ++i)
+            s.score[i] = (!clean && s.run[i + vspan - 1] < vspan)
+                ? kU64Max : s.vals[i];
+        select_from_scores(p, s, clean, npos);
+    }
+    const int64_t lo = std::max<int64_t>(p.own_lo, 0);
+    const int64_t hi = std::min<int64_t>(p.own_hi, npos);
+    if (hi <= lo) return;
+    const bool pow2 = (p.m & (p.m - 1)) == 0;
+    const uint64_t mmask = (uint64_t)p.m - 1;
+    // vectorized passes over the owned range: OPH ids (and the
+    // downsample keep mask) are straight-line hash chains the compiler
+    // vectorizes; only the bucket-min update stays scalar (like the
+    // AVX-512 DNA engine's phase split).
+    const int64_t nown = hi - lo;
+    s.vals.resize((size_t)std::max<int64_t>(nown, 1));  // reuse as ids
+    {
+        uint64_t* ids = s.vals.data();
+        const uint64_t* h = s.hashed.data() + lo;
+        const uint64_t ox = p.oph_xor;
+        for (int64_t t = 0; t < nown; ++t)
+            ids[t] = wanghash(h[t] ^ ox);
+    }
+    s.score.resize((size_t)std::max<int64_t>(nown, 1));  // reuse: keep
+    uint64_t* keep = s.score.data();
+    if (p.downsample) {
+        const uint64_t* h = s.hashed.data() + lo;
+        const uint64_t salt = p.ds_salt, thr = p.ds_threshold;
+        for (int64_t t = 0; t < nown; ++t)
+            keep[t] = wanghash(h[t] ^ salt) < thr;
+    } else {
+        std::fill(keep, keep + nown, 1);
+    }
+    const uint64_t* ids = s.vals.data();
+    for (int64_t t = 0; t < nown; ++t) {
+        if (!keep[t]) continue;
+        const int64_t i = lo + t;
+        if (!clean && s.run[i + vspan - 1] < vspan) continue;
+        if (use_sel && !s.sel[i]) continue;
+        if (p.fs_len && std::binary_search(
+                p.filterset, p.filterset + p.fs_len, s.hashed[i]))
+            continue;
+        const uint64_t id = ids[t];
+        const uint64_t b = pow2 ? (id & mmask) : (id % (uint64_t)p.m);
+        if (cnts) {
+            if (id < regs[b]) { regs[b] = id; cnts[b] = 1; }
+            else if (id == regs[b]) ++cnts[b];
+        } else if (id < regs[b]) {
+            regs[b] = id;
+        }
+    }
+}
+
 static void sketch_rows(const Params& p, int64_t r0, int64_t r1) {
     const int32_t k = p.k;
     const uint64_t mask = (k == 32) ? kU64Max : ((1ULL << (2 * k)) - 1);
@@ -259,6 +556,9 @@ static void sketch_rows(const Params& p, int64_t r0, int64_t r1) {
     const int64_t hi = std::min<int64_t>(p.own_hi, npos);
     const bool pow2 = (p.m & (p.m - 1)) == 0;
     const uint64_t mmask = (uint64_t)p.m - 1;
+    // non-default configs (and filterset probes, which need the
+    // scramble keys) run the generic per-position loop
+    const bool generic = p.mode != MODE_DNA || p.fs_len > 0;
     RowScratch s;
     for (int64_t r = r0; r < r1; ++r) {
         const uint8_t* row = p.codes + r * p.L;
@@ -266,6 +566,10 @@ static void sketch_rows(const Params& p, int64_t r0, int64_t r1) {
         uint32_t* cnts = p.out_counts ? p.out_counts + r * p.m : nullptr;
         std::fill(regs, regs + p.m, kU64Max);
         if (cnts) std::fill(cnts, cnts + p.m, 0u);
+        if (generic) {
+            sketch_row_generic(p, row, s, regs, cnts);
+            continue;
+        }
         if (hi <= lo) continue;
         const bool clean = pack_row(p, row, s);
         const bool use_sel = p.w > p.k;
@@ -380,8 +684,12 @@ static void sketch_rows(const Params& p, int64_t r0, int64_t r1) {
 
 extern "C" {
 
-// codes: (R, L) row-major uint8 alphabet codes (0..3, 0xFF invalid).
-// out_regs: (R, m) u64; out_counts: (R, m) u32 or null.
+// codes: (R, L) row-major uint8 alphabet codes (0xFF invalid).
+// mode/base/bits/offsets/roll_table select the encoding (enum Mode);
+// filterset is a sorted u64 exclusion list probed on the scramble
+// keys; vspan is the validity-window length (seed span for spaced
+// seeds, k otherwise). out_regs: (R, m) u64; out_counts: (R, m) u32
+// or null.
 void oph_rows_native(const uint8_t* codes, int64_t R, int64_t L,
                      int32_t k, int32_t w, int32_t canon,
                      int32_t seed_is_zero,
@@ -389,11 +697,18 @@ void oph_rows_native(const uint8_t* codes, int64_t R, int64_t L,
                      int32_t downsample, uint64_t ds_threshold,
                      uint64_t ds_salt, int64_t own_lo, int64_t own_hi,
                      int64_t m, int32_t nthreads,
+                     int32_t mode, int32_t base, int32_t bits,
+                     const int32_t* offsets, int32_t noffsets,
+                     const uint64_t* roll_table,
+                     const uint64_t* filterset, int64_t fs_len,
+                     int64_t vspan,
                      uint64_t* out_regs, uint32_t* out_counts) {
     Params p{codes, R, L, k, w, canon != 0, seed_is_zero != 0,
              downsample != 0,
              xormask, oph_xor, ds_threshold, ds_salt,
-             own_lo, own_hi, m, out_regs, out_counts};
+             own_lo, own_hi, m, out_regs, out_counts,
+             mode, base, bits, offsets, noffsets, roll_table,
+             filterset, fs_len, vspan};
     int nt = nthreads > 0 ? nthreads
                           : (int)std::thread::hardware_concurrency();
     nt = std::max(1, std::min<int>(nt, (int)R));

@@ -143,18 +143,59 @@ def _hkw_key(hkw: dict) -> tuple:
 
 
 def _native_oph_supported(hkw: dict, use_fs: bool) -> bool:
-    """Config coverage of the native host OPH sketcher: the default DNA
-    path (2-bit exact codes, incl. w>k lexicographic minimizer windows;
-    no spaced seeds / rolling / entropy scoring / filterset)."""
+    """Config coverage of the native host OPH sketcher. Round 5: the
+    FULL sketch-config surface — 2-bit DNA (incl. w>k minimizer
+    windows), protein/DNA2 base-b alphabets, spaced seeds, rolling hash
+    for k beyond exact coding, the 128-bit low-word path, and filterset
+    probes — every config except --entmin (whose entropy scores go
+    through log2/division, not bit-reproducible between XLA's libm and
+    the host's; it stays on the device engines)."""
+    del use_fs  # filtersets probe the scramble keys in the generic loop
+    if hkw["entmin"]:
+        return False
+    if hkw["rolling"] or hkw["spacing_offsets"]:
+        return True
     from ..enums import Alphabet
-    return (not use_fs and not hkw["entmin"] and not hkw["rolling"]
-            and not hkw["use128"] and not hkw["spacing_offsets"]
-            and 1 <= hkw["k"] <= 32
-            and hkw["alphabet"] in (Alphabet.DNA, Alphabet.DNAC))
+    if hkw["use128"]:
+        return 1 <= hkw["k"] <= 63
+    if hkw["alphabet"] in (Alphabet.DNA, Alphabet.DNAC):
+        return 1 <= hkw["k"] <= 32
+    # base-b exact coding: non-rolling implies k is within the
+    # alphabet's 64-bit capacity (config.use_rolling_hash)
+    return hkw["k"] >= 1
+
+
+# native/oph_sketch.cpp enum Mode
+_NAT_DNA, _NAT_BASEB, _NAT_SPACED, _NAT_ROLL, _NAT_DNA128 = range(5)
+
+
+def _native_mode(hkw: dict):
+    """(mode, base, bits, offsets, roll_table, canon_eff): the native
+    engine's encoding selection, mirroring _hash_chunk_batch +
+    ops/kmers.hashed_kmers routing exactly."""
+    from ..enums import Alphabet
+    alpha = hkw["alphabet"]
+    is_dna = alpha in (Alphabet.DNA, Alphabet.DNAC)
+    base = K.alphabet_size(alpha)
+    canon = bool(hkw["canon"])
+    if hkw["use128"] and not hkw["rolling"] and not hkw["spacing_offsets"]:
+        return _NAT_DNA128, base, 2, None, None, canon
+    if hkw["rolling"]:
+        # canonical only for DNA (kmers.rolling_hash_codes)
+        return (_NAT_ROLL, base, 2, None,
+                K._rolling_table(alpha), canon and is_dna)
+    if hkw["spacing_offsets"]:
+        bits = 2 if is_dna else max(1, (base - 1).bit_length())
+        return (_NAT_SPACED, base, bits,
+                np.asarray(hkw["spacing_offsets"], np.int32), None, False)
+    if is_dna:
+        return _NAT_DNA, 4, 2, None, None, canon
+    return _NAT_BASEB, base, 2, None, None, False
 
 
 def _native_oph_rows(lib, chunks: np.ndarray, hkw: dict, m: int,
-                     seed: int, want_counts: bool, nthreads: int = 0):
+                     seed: int, want_counts: bool, nthreads: int = 0,
+                     filterset: Optional[np.ndarray] = None):
     """Sketch one (R, L) chunk batch on host cores via the native
     engine; bit-identical to the device path for supported configs."""
     import ctypes
@@ -169,15 +210,30 @@ def _native_oph_rows(lib, chunks: np.ndarray, hkw: dict, m: int,
     oph_xor = int(H.mt19937_64_first(seed)) ^ H.CEIXOR_OPH
     if nthreads <= 0:
         nthreads = int(os.environ.get("DASHING2_TPU_NATIVE_THREADS", 0))
+    mode, base, bits, offsets, roll_table, canon = _native_mode(hkw)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    off_p, noff = i32p(), 0
+    if offsets is not None:
+        offsets = np.ascontiguousarray(offsets, np.int32)
+        off_p, noff = offsets.ctypes.data_as(i32p), len(offsets)
+    roll_p = u64p()
+    if roll_table is not None:
+        roll_table = np.ascontiguousarray(roll_table, np.uint64)
+        roll_p = roll_table.ctypes.data_as(u64p)
+    fs_p, fs_len = u64p(), 0
+    if filterset is not None and len(filterset):
+        filterset = np.ascontiguousarray(filterset, np.uint64)
+        fs_p, fs_len = filterset.ctypes.data_as(u64p), len(filterset)
     lib.oph_rows_native(
         chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        R, L, hkw["k"], hkw["w"], int(hkw["canon"]),
+        R, L, hkw["k"], hkw["w"], int(canon),
         int(hkw["seed_is_zero"]),
         hkw["xormask"], oph_xor & 0xFFFFFFFFFFFFFFFF,
         int(ds), hkw["downsample_threshold"] & 0xFFFFFFFFFFFFFFFF,
         DOWNSAMPLE_SALT, lo, hi, m, nthreads,
+        mode, base, bits, off_p, noff, roll_p, fs_p, fs_len, span,
         regs.ctypes.data_as(u64p),
         counts.ctypes.data_as(u32p) if want_counts else u32p())
     if counts is None:
@@ -671,7 +727,8 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             for chunks, ids in prefetch(_iter_chunk_batches(
                     opts, items_iter(), chunk_len, rows_per_batch)):
                 r, c = _native_oph_rows(native_lib, chunks, hkw, m,
-                                        H.OPH_DEFAULT_SEED, want_counts)
+                                        H.OPH_DEFAULT_SEED, want_counts,
+                                        filterset=fs if use_fs else None)
                 for row, item_id in enumerate(ids):
                     if item_id < 0:
                         continue

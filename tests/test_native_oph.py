@@ -25,11 +25,14 @@ from make_fixtures import make
 
 
 def _hkw(k=31, w=None, canon=True, chunk_len=512, xormask=H.XORMASK,
-         seed_is_zero=False, ds=(1 << 64) - 1):
-    return dict(k=k, w=w or k, canon=canon, alphabet=Alphabet.DNA,
+         seed_is_zero=False, ds=(1 << 64) - 1, alphabet=Alphabet.DNA,
+         spacing_offsets=None, rolling=False, use128=False):
+    span = spacing_offsets[-1] + 1 if spacing_offsets else k
+    return dict(k=k, w=w or k, canon=canon, alphabet=alphabet,
                 entmin=False, xormask=xormask, seed_is_zero=seed_is_zero,
-                downsample_threshold=ds, chunk_len=chunk_len, span=k,
-                spacing_offsets=None, rolling=False, use128=False)
+                downsample_threshold=ds, chunk_len=chunk_len, span=span,
+                spacing_offsets=spacing_offsets, rolling=rolling,
+                use128=use128)
 
 
 def _codes(rng, R, L, invalid_frac=0.02):
@@ -109,6 +112,120 @@ def test_native_minimizers_match_device(k, w, invalid_frac, ds_frac):
         assert np.array_equal(np.asarray(c_dev), c_nat), (k, w)
 
 
+def _assert_native_matches(hkw, chunks, m=128, fs=None, seeds=(True, False)):
+    use_fs = fs is not None
+    fs_dev = jnp.asarray(fs if use_fs else np.zeros(1, np.uint64))
+    for want_counts in seeds:
+        hashed, valid = _hash_chunk_batch(
+            jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
+        r_dev, c_dev = SK.oph_sketch_rows_dense(
+            hashed, valid, m=m, seed=H.OPH_DEFAULT_SEED,
+            want_counts=want_counts)
+        r_nat, c_nat = _native_oph_rows(lib, chunks, hkw, m,
+                                        H.OPH_DEFAULT_SEED, want_counts,
+                                        filterset=fs)
+        assert np.array_equal(np.asarray(r_dev), r_nat)
+        assert np.array_equal(np.asarray(c_dev), c_nat)
+
+
+def _alpha_codes(rng, R, L, alphabet, invalid_frac=0.02):
+    from dashing2_tpu.ops.kmers import alphabet_size
+    c = rng.integers(0, alphabet_size(alphabet),
+                     size=(R, L)).astype(np.uint8)
+    c[rng.random((R, L)) < invalid_frac] = 0xFF
+    return c
+
+
+@pytest.mark.parametrize("alphabet,k,w", [
+    (Alphabet.PROTEIN20, 10, None),     # base-20 packing
+    (Alphabet.PROTEIN_6, 20, None),     # Murphy-6, high k
+    (Alphabet.PROTEIN_3BIT, 12, 20),    # 8-letter + minimizer windows
+    (Alphabet.DNA2, 40, None),          # 1-bit alphabet past k=32
+])
+def test_native_baseb_matches_device(alphabet, k, w):
+    """Protein / DNA2 base-b exact coding (kmers.base_b_kmer_codes; no
+    canonicalization, matching the device)."""
+    rng = np.random.default_rng(hash((alphabet, k)) % 2**32)
+    R, L = 5, 700
+    hkw = _hkw(k=k, w=w, chunk_len=L - 80, alphabet=alphabet)
+    assert _native_oph_supported(hkw, use_fs=False)
+    _assert_native_matches(hkw, _alpha_codes(rng, R, L, alphabet))
+
+
+@pytest.mark.parametrize("k,canon,w,alphabet", [
+    (40, True, None, Alphabet.DNA),     # rolling + RC canonical
+    (80, True, None, Alphabet.DNA),     # k > 64 rotation wrap
+    (40, False, None, Alphabet.DNA),
+    (40, True, 60, Alphabet.DNA),       # rolling + minimizer windows
+    (30, True, None, Alphabet.PROTEIN20),  # protein rolling: no canon
+])
+def test_native_rolling_matches_device(k, canon, w, alphabet):
+    """Cyclic-polynomial rolling hash for k beyond exact coding
+    (kmers.rolling_hash_codes), incl. the canonical DNA recurrence."""
+    rng = np.random.default_rng(hash((k, canon, alphabet)) % 2**32)
+    R, L = 5, 700
+    hkw = _hkw(k=k, w=w, canon=canon, chunk_len=L - 150,
+               alphabet=alphabet, rolling=True)
+    assert _native_oph_supported(hkw, use_fs=False)
+    _assert_native_matches(hkw, _alpha_codes(rng, R, L, alphabet))
+
+
+@pytest.mark.parametrize("spacing,k,w", [
+    ("1x10", 11, None),        # uniform gaps
+    ("0,2,0,1,0x5,3", 11, None),
+    ("1x10", 11, 30),          # spaced + minimizer windows
+])
+def test_native_spaced_matches_device(spacing, k, w):
+    from dashing2_tpu.ops.kmers import parse_spacing
+    rng = np.random.default_rng(hash((spacing, k)) % 2**32)
+    R, L = 5, 700
+    offs = tuple(parse_spacing(spacing, k))
+    hkw = _hkw(k=k, w=w, chunk_len=L - 120, spacing_offsets=offs)
+    assert _native_oph_supported(hkw, use_fs=False)
+    _assert_native_matches(hkw, _codes(rng, R, L))
+
+
+@pytest.mark.parametrize("k,canon,seed_is_zero,w", [
+    (40, True, False, None),    # 128-bit canonical
+    (33, True, False, None),    # hi-word 2-bit edge
+    (63, True, False, None),    # capacity edge
+    (40, False, True, None),    # raw low words
+    (40, True, False, 55),      # 128-bit minimizers ((hi>>1)^lo scores)
+    (21, True, False, None),    # use128 with k < 32 (hi == 0)
+])
+def test_native_128bit_matches_device(k, canon, seed_is_zero, w):
+    """--long-kmers 128-bit exact codes: canonical 128-bit min, low-word
+    scramble truncation (enums.h:144-148 semantics), (hi>>1)^lo
+    minimizer scores."""
+    rng = np.random.default_rng(hash((k, canon, w)) % 2**32)
+    R, L = 5, 700
+    hkw = _hkw(k=k, w=w, canon=canon, seed_is_zero=seed_is_zero,
+               chunk_len=L - 150, use128=True)
+    assert _native_oph_supported(hkw, use_fs=False)
+    _assert_native_matches(hkw, _codes(rng, R, L))
+
+
+def test_native_filterset_matches_device():
+    """Sorted-hash exclusion probe on the scramble keys (the generic
+    loop handles DNA + filterset; device parity incl. hits)."""
+    rng = np.random.default_rng(99)
+    R, L, m = 5, 700, 128
+    hkw = _hkw(k=21, chunk_len=L - 80)
+    chunks = _codes(rng, R, L)
+    # build the exclusion set from hashes that actually occur
+    hashed, valid = _hash_chunk_batch(
+        jnp.asarray(chunks), jnp.zeros(1, jnp.uint64),
+        use_filterset=False, **hkw)
+    hv = np.asarray(hashed)[np.asarray(valid)]
+    fs = np.sort(np.unique(rng.choice(hv, size=min(200, len(hv)),
+                                      replace=False)))
+    assert _native_oph_supported(hkw, use_fs=True)
+    _assert_native_matches(hkw, chunks, m=m, fs=fs)
+    # filterset + minimizers + downsampling stack
+    hkw2 = _hkw(k=21, w=31, chunk_len=L - 80, ds=int(0.6 * 2**64))
+    _assert_native_matches(hkw2, chunks, m=m, fs=fs)
+
+
 def test_native_threads_layout_independent():
     """Row partitioning across thread counts must not change results."""
     rng = np.random.default_rng(7)
@@ -122,17 +239,22 @@ def test_native_threads_layout_independent():
         assert np.array_equal(outs[0][1], c)
 
 
-def test_native_unsupported_configs_rejected():
-    assert not _native_oph_supported(_hkw(k=40), False)       # k > 32
-    assert _native_oph_supported(_hkw(w=50), False)   # minimizers: native
+def test_native_supported_surface():
+    """Round 5: every config is native-covered except --entmin (libm
+    log2 scores are not bit-reproducible vs XLA) and non-routed k."""
+    assert _native_oph_supported(_hkw(w=50), False)   # minimizers
+    assert _native_oph_supported(_hkw(), True)        # filterset
+    h = _hkw(k=40); h["rolling"] = True               # rolling k > 32
+    assert _native_oph_supported(h, False)
+    h = _hkw(k=10); h["alphabet"] = Alphabet.PROTEIN20
+    assert _native_oph_supported(h, False)            # protein base-b
+    assert _native_oph_supported(_hkw(k=40, use128=True), False)
     h = _hkw(w=50)
-    h["entmin"] = True                           # entropy scoring: not
+    h["entmin"] = True                                # entropy scoring
     assert not _native_oph_supported(h, False)
-    assert not _native_oph_supported(_hkw(), True)            # filterset
-    h = _hkw(); h["rolling"] = True
-    assert not _native_oph_supported(h, False)
-    h = _hkw(); h["alphabet"] = Alphabet.PROTEIN
-    assert not _native_oph_supported(h, False)
+    # 2-bit exact k past capacity only arrives as rolling/use128; the
+    # raw combination is rejected
+    assert not _native_oph_supported(_hkw(k=40), False)
 
 
 @pytest.mark.parametrize("engine", ["dense", "dense2", "sort", "scatter"])
@@ -172,14 +294,22 @@ def test_dense_path_mixed_shape_drain(tmp_path, monkeypatch):
                           np.asarray(ref.signatures))
 
 
-def test_native_engine_e2e_matches_default(tmp_path, monkeypatch):
+@pytest.mark.parametrize("extra", [
+    ["-k", "31"],                              # default DNA AVX path
+    ["-k", "40"],                              # rolling hash
+    ["-k", "40", "--128bit"],                  # 128-bit exact low-word
+    ["-k", "11", "--spacing", "1x10"],         # spaced seed
+    ["-k", "21", "-w", "31"],                  # minimizer windows
+])
+def test_native_engine_e2e_matches_default(tmp_path, monkeypatch, extra):
     """DASHING2_TPU_OPH_ENGINE=native through the CLI produces
-    byte-identical output to the default engine."""
+    byte-identical output to the default engine across the full
+    supported config surface."""
     from dashing2_tpu.cli import main
     paths = make(str(tmp_path / "fa"), n_genomes=4, length=6000)
     out_d, out_n = str(tmp_path / "d.bin"), str(tmp_path / "n.bin")
-    args = ["sketch", "-S", "128", "-k", "31", "--binary-output",
-            "--cmpout"]
+    args = ["sketch", "-S", "128", "--binary-output"] + extra \
+        + ["--cmpout"]
     monkeypatch.delenv("DASHING2_TPU_OPH_ENGINE", raising=False)
     assert main(args + [out_d] + paths) == 0
     monkeypatch.setenv("DASHING2_TPU_OPH_ENGINE", "native")
