@@ -178,6 +178,7 @@ def bench_northstar(d):
     tunnel state, not this code path. Dedup timing in README.md."""
     import resource
 
+    from dashing2_tpu import timing as T
     from dashing2_tpu.cli import main as climain
     n, length = 10240, 50000
     fas = _gen_fastas(os.path.join(d, "ns"), n, length, seed=11)
@@ -185,11 +186,13 @@ def bench_northstar(d):
     with open(lst, "w") as f:
         f.write("\n".join(fas) + "\n")
     out = os.path.join(d, "ns.bin")
+    T.reset_spans()
     t0 = time.perf_counter()
     rc = climain(["sketch", "-k", "31", "-S", "1024", "--fastcmp", "0.5",
                   "--bbit-sigs", "--binary-output", "--cmpout", out,
                   "-F", lst])
     dt = time.perf_counter() - t0
+    spans_cold = {k: round(v, 3) for k, v in sorted(T.spans().items())}
     assert rc == 0
     assert os.path.getsize(out) == 4 * n * (n - 1) // 2
     # WARM repeat: the same invocation inside one resident process —
@@ -197,11 +200,18 @@ def bench_northstar(d):
     # executables (sketch + compare programs) are process-cached, so
     # this is the job's compile-free wall.
     out2 = os.path.join(d, "ns2.bin")
+    T.reset_spans()
     t0 = time.perf_counter()
     rc = climain(["sketch", "-k", "31", "-S", "1024", "--fastcmp", "0.5",
                   "--bbit-sigs", "--binary-output", "--cmpout", out2,
                   "-F", lst])
     dt_warm = time.perf_counter() - t0
+    # phase breakdown (VERDICT r4 item 2): top-level phases from the
+    # CLI `phase()` wrappers + fine-grained spans (sketch ingest-stall /
+    # native-oph / merge, cmp dispatch/pull/epilogue, emit write). The
+    # fine spans accumulate across threads so overlapped work can sum
+    # past the wall; read them as per-resource busy time.
+    spans_warm = {k: round(v, 3) for k, v in sorted(T.spans().items())}
     assert rc == 0
     with open(out, "rb") as f1, open(out2, "rb") as f2:
         assert f1.read() == f2.read(), "warm repeat diverged"
@@ -210,7 +220,8 @@ def bench_northstar(d):
                  seconds_warm=round(dt_warm, 3),
                  unique_pairs_per_s=round(_pairs(n) / dt),
                  unique_pairs_per_s_warm=round(_pairs(n) / dt_warm),
-                 peak_rss_gb=round(rss, 2))
+                 peak_rss_gb=round(rss, 2),
+                 phases_cold=spans_cold, phases_warm=spans_warm)
 
 
 def bench_blockpath(d):

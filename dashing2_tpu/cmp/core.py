@@ -908,7 +908,9 @@ def _host_counts_epilogue(kind: str, m: int, msr: Measure, k: int,
     SIMILARITY but kept so card-dependent measures can be added if a
     backend with IEEE divides warrants them."""
     assert msr == Measure.SIMILARITY
-    return _sim_table(kind, m, k, fd)[eqc]
+    from ..timing import span
+    with span("cmp/epilogue"):
+        return _sim_table(kind, m, k, fd)[eqc]
 
 
 @functools.lru_cache(maxsize=64)
@@ -976,7 +978,10 @@ def _self_counts_matrix_dev(opts: Dashing2DistOptions,
     # jit compile too (on the remote chip every compile is a server
     # round trip; lazy build would land on the first emitted block)
     _sim_table(kind, m, opts.k, opts.fd_level)
-    dev = _self_counts_fn_m(kind, m, opts.fd_level, _kernel_mode())(data)
+    from ..timing import span
+    with span("cmp/dispatch"):
+        dev = _self_counts_fn_m(kind, m, opts.fd_level,
+                                _kernel_mode())(data)
     cards = np.asarray(result.cardinalities, np.float64)
     msr, k, fd = opts.measure, opts.k, opts.fd_level
 
@@ -2111,24 +2116,27 @@ def _pull_block(dev) -> np.ndarray:
         streams = 1
     else:
         streams = 4
+    from ..timing import span
     r = int(dev.shape[0])
     if streams <= 1 or r < 2 * streams:
-        return np.asarray(dev)
+        with span("cmp/pull"):
+            return np.asarray(dev)
     import threading
-    bounds = np.linspace(0, r, streams + 1).astype(int)
-    parts = [dev[int(bounds[i]):int(bounds[i + 1])]
-             for i in range(streams)]
-    out = [None] * streams
+    with span("cmp/pull"):
+        bounds = np.linspace(0, r, streams + 1).astype(int)
+        parts = [dev[int(bounds[i]):int(bounds[i + 1])]
+                 for i in range(streams)]
+        out = [None] * streams
 
-    def pull(i):
-        out[i] = np.asarray(parts[i])
-    th = [threading.Thread(target=pull, args=(i,))
-          for i in range(streams)]
-    for t in th:
-        t.start()
-    for t in th:
-        t.join()
-    return np.concatenate(out, axis=0)
+        def pull(i):
+            out[i] = np.asarray(parts[i])
+        th = [threading.Thread(target=pull, args=(i,))
+              for i in range(streams)]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join()
+        return np.concatenate(out, axis=0)
 
 
 def _expand_upper(arr: np.ndarray, start: int, n: int) -> np.ndarray:

@@ -112,35 +112,43 @@ def emit_rectangular(opts: Dashing2DistOptions, result: SketchingResult,
                     nm = names[i] if i < len(names) and names[i] else f"E{i}"
                     f.write(("\t" + nm).encode())
                 f.write(b"\n")
+            from ..timing import span
             for start, mat in blocks:
-                out = []
-                for bi in range(mat.shape[0]):
-                    i = start + bi
-                    nm = names[i] if i < len(names) and names[i] else f"E{i}"
-                    if len(nm) < 9:
-                        nm = nm + " " * (9 - len(nm))
-                    row = [nm]
-                    if kind in (OutputKind.PANEL,
-                                OutputKind.ASYMMETRIC_ALL_PAIRS):
-                        vals = mat[bi]
-                    else:
-                        if kind == OutputKind.SYMMETRIC_ALL_PAIRS:
-                            row.append("\t-" * (i + 1))
-                        vals = mat[bi, i + 1:]
-                    row.append(_fmt_row(vals))
-                    row.append("\n")
-                    out.append("".join(row))
-                f.write("".join(out).encode())
-        else:
-            for start, mat in blocks:
-                if kind in (OutputKind.SYMMETRIC_ALL_PAIRS, OutputKind.PHYLIP):
+                with span("emit/format"):
+                    out = []
                     for bi in range(mat.shape[0]):
                         i = start + bi
+                        nm = (names[i] if i < len(names) and names[i]
+                              else f"E{i}")
+                        if len(nm) < 9:
+                            nm = nm + " " * (9 - len(nm))
+                        row = [nm]
+                        if kind in (OutputKind.PANEL,
+                                    OutputKind.ASYMMETRIC_ALL_PAIRS):
+                            vals = mat[bi]
+                        else:
+                            if kind == OutputKind.SYMMETRIC_ALL_PAIRS:
+                                row.append("\t-" * (i + 1))
+                            vals = mat[bi, i + 1:]
+                        row.append(_fmt_row(vals))
+                        row.append("\n")
+                        out.append("".join(row))
+                with span("emit/write"):
+                    f.write("".join(out).encode())
+        else:
+            from ..timing import span
+            for start, mat in blocks:
+                with span("emit/write"):
+                    if kind in (OutputKind.SYMMETRIC_ALL_PAIRS,
+                                OutputKind.PHYLIP):
+                        for bi in range(mat.shape[0]):
+                            i = start + bi
+                            f.write(np.ascontiguousarray(
+                                mat[bi, i + 1:],
+                                dtype=np.float32).tobytes())
+                    else:
                         f.write(np.ascontiguousarray(
-                            mat[bi, i + 1:], dtype=np.float32).tobytes())
-                else:
-                    f.write(np.ascontiguousarray(
-                        mat, dtype=np.float32).tobytes())
+                            mat, dtype=np.float32).tobytes())
     finally:
         f.flush()
         if close:

@@ -405,6 +405,24 @@ def _iter_chunk_batches(opts: Dashing2Options, items: Sequence[_Item],
         yield tail
 
 
+def _timed_iter(it, name: str):
+    """Iterate while accumulating per-next() wall into the named span —
+    the consumer-side stall behind the ingest/prefetch producer."""
+    import time as _time
+
+    from ..timing import add_span
+    it = iter(it)
+    while True:
+        t0 = _time.perf_counter()
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        finally:
+            add_span(name, _time.perf_counter() - t0)
+        yield item
+
+
 def _merge_oph(regs_a, counts_a, regs_b, counts_b):
     """Merge two OPH partials: min registers; counts follow the winning
     side and add when both sides hold the same min (streaming semantics,
@@ -724,16 +742,22 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             # heterogeneous placement: the scatter-shaped bucket-min
             # update runs on host cores (threads across batch rows)
             # while the device stays free for the comparison phase
-            for chunks, ids in prefetch(_iter_chunk_batches(
-                    opts, items_iter(), chunk_len, rows_per_batch)):
-                r, c = _native_oph_rows(native_lib, chunks, hkw, m,
-                                        H.OPH_DEFAULT_SEED, want_counts,
-                                        filterset=fs if use_fs else None)
-                for row, item_id in enumerate(ids):
-                    if item_id < 0:
-                        continue
-                    regs[item_id], counts[item_id] = _merge_oph(
-                        regs[item_id], counts[item_id], r[row], c[row])
+            from ..timing import span
+            for chunks, ids in _timed_iter(prefetch(_iter_chunk_batches(
+                    opts, items_iter(), chunk_len, rows_per_batch)),
+                    "sketch/ingest-stall"):
+                with span("sketch/native-oph"):
+                    r, c = _native_oph_rows(
+                        native_lib, chunks, hkw, m,
+                        H.OPH_DEFAULT_SEED, want_counts,
+                        filterset=fs if use_fs else None)
+                with span("sketch/merge"):
+                    for row, item_id in enumerate(ids):
+                        if item_id < 0:
+                            continue
+                        regs[item_id], counts[item_id] = _merge_oph(
+                            regs[item_id], counts[item_id], r[row],
+                            c[row])
         elif dense_rows:
             # dispatch every batch asynchronously, fetch results in
             # bounded groups: per-batch synchronous pulls pay the
@@ -797,13 +821,17 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             # batches (~8 MB each) keep parse+encode+chunk running
             # through the compile so ingest is off the critical path
             pf_depth = int(os.environ.get("DASHING2_TPU_PREFETCH", 16))
-            for chunks, ids in prefetch(_iter_chunk_batches(
+            from ..timing import span
+            for chunks, ids in _timed_iter(prefetch(_iter_chunk_batches(
                     opts, items_iter(), chunk_len, rows_per_batch),
-                    depth=pf_depth):
-                inflight.append((fused(put(chunks), fs_dev), ids))
+                    depth=pf_depth), "sketch/ingest-stall"):
+                with span("sketch/dispatch"):
+                    inflight.append((fused(put(chunks), fs_dev), ids))
                 if len(inflight) >= window:
-                    drain()
-            drain()
+                    with span("sketch/drain"):
+                        drain()
+            with span("sketch/drain"):
+                drain()
         else:
             for chunks, ids in prefetch(_iter_chunk_batches(
                     opts, items_iter(), chunk_len, rows_per_batch)):

@@ -37,11 +37,52 @@ compare_counter = CompareCounter()
 @contextlib.contextmanager
 def phase(name: str, verbosity: int = 0, min_level: int = 1):
     """Time a pipeline phase; prints to stderr when verbosity >= min_level
-    (repeated -v raises it, options.h:364)."""
+    (repeated -v raises it, options.h:364). Always records into the
+    span accumulator (below) so harnesses can read the breakdown."""
     t0 = time.perf_counter()
     try:
         yield
     finally:
+        dt = time.perf_counter() - t0
+        add_span(name, dt)
         if verbosity >= min_level:
-            print(f"#dashing2-tpu [{name}] {time.perf_counter() - t0:.3f}s",
-                  file=sys.stderr)
+            print(f"#dashing2-tpu [{name}] {dt:.3f}s", file=sys.stderr)
+
+
+# ----------------------------------------------------------------------
+# span accumulator: named wall-clock totals across a run, so bench
+# harnesses (bench_e2e northstar) can publish a per-phase breakdown
+# (VERDICT r4 item 2). Always on — the spans wrap per-batch/per-block
+# work, thousands of perf_counter() pairs at most.
+# ----------------------------------------------------------------------
+
+_spans: dict = {}
+_spans_lock = None
+
+
+def add_span(name: str, dt: float) -> None:
+    global _spans_lock
+    if _spans_lock is None:
+        import threading
+        _spans_lock = threading.Lock()
+    with _spans_lock:
+        _spans[name] = _spans.get(name, 0.0) + dt
+
+
+def spans() -> dict:
+    """Accumulated {name: seconds} since the last reset."""
+    return dict(_spans)
+
+
+def reset_spans() -> None:
+    _spans.clear()
+
+
+@contextlib.contextmanager
+def span(name: str):
+    """Accumulate wall-clock into the named span (no printing)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        add_span(name, time.perf_counter() - t0)
