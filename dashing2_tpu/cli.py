@@ -128,6 +128,13 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
                         "-DSKETCH_FLOAT_TYPE=float build, as a runtime "
                         "switch; ~1.4x faster full-register comparisons)")
     p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("--warm-only", type=int, default=0, metavar="N",
+                   help="compile the compare programs for an announced "
+                        "item count N under these flags, then exit (no "
+                        "inputs needed). Through a resident worker "
+                        "(DASHING2_TPU_DAEMON / `serve --warm`) this "
+                        "pre-pays the XLA compile wall so the real job "
+                        "runs at the warm rate")
 
 
 def _build_opts(a: argparse.Namespace, presketched: bool = False
@@ -486,12 +493,19 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
                      help="unix socket path to listen on")
     psv.add_argument("--max-requests", type=int, default=0,
                      help="exit after N jobs (0 = run until shutdown)")
+    psv.add_argument("--warm", action="append", default=[], metavar="ARGV",
+                     help="CLI invocation (quoted, shell-split) run once "
+                          "at startup before accepting jobs, e.g. "
+                          "--warm 'cmp --warm-only 10240' — precompiles "
+                          "the expected program set so the first client "
+                          "job runs at the warm rate; repeatable")
     psv.add_argument("-v", "--verbose", action="count", default=0)
     a = top.parse_args(argv)
 
     if a.command == "serve":
         from .serve import serve_main
-        return serve_main(a.socket, a.max_requests, bool(a.verbose))
+        return serve_main(a.socket, a.max_requests, bool(a.verbose),
+                          warm=a.warm)
 
     if a.command == "wsketch":
         from .sketch.wsketch import wsketch_main
@@ -513,6 +527,16 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
               + " ".join(argv), file=sys.stderr)
     if a.command in ("cmp", "dist") and not opts.outfile_path:
         opts.outfile_path = "/dev/stdout"
+    if getattr(a, "warm_only", 0):
+        from .cmp.core import warm_pairwise_cache
+        from .timing import phase as _ph
+        with _ph("warm-only", opts.verbosity):
+            ok = warm_pairwise_cache(opts, a.warm_only, nq)
+        if opts.verbosity >= 1:
+            print(f"#dashing2-tpu warm-only n={a.warm_only}: "
+                  f"{'warmed' if ok else 'no fast-path program'}",
+                  file=sys.stderr)
+        return 0
 
     from .timing import phase
     import contextlib

@@ -143,10 +143,30 @@ class _RequestContext:
 
 
 def serve_main(socket_path: str, max_requests: int = 0,
-               verbose: bool = False) -> int:
-    """Run the resident worker until shutdown (or max_requests jobs)."""
+               verbose: bool = False,
+               warm: Optional[Sequence[str]] = None) -> int:
+    """Run the resident worker until shutdown (or max_requests jobs).
+
+    `warm` entries are CLI invocations (shell-split) run once at startup
+    BEFORE the socket starts accepting — typically `cmp --warm-only N
+    <job flags>` lines that compile the expected compare programs so the
+    first real client job lands on a warm jit cache (VERDICT r4 item 3:
+    the reference binary pays no compile wall; this is the TPU-native
+    replacement for that property)."""
+    import shlex
     from .cli import main as cli_main
     os.environ.pop("DASHING2_TPU_DAEMON", None)   # no self-dispatch
+    for spec in warm or ():
+        argv = shlex.split(spec)
+        if verbose:
+            print(f"# dashing2-tpu serve: warming `{spec}`",
+                  file=sys.stderr, flush=True)
+        try:
+            cli_main(argv)
+        except SystemExit:
+            pass
+        except BaseException:
+            traceback.print_exc()
     try:
         os.unlink(socket_path)
     except OSError:
