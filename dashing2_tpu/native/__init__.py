@@ -47,7 +47,18 @@ def _load_lib(name: str, src_file: str, link: list,
         try:
             src = os.path.join(os.path.dirname(__file__), src_file)
             with open(src, "rb") as f:
-                tag = hashlib.sha256(f.read()).hexdigest()[:16]
+                body = f.read()
+            # local includes participate in the content hash (editing a
+            # shared header must rebuild dependents)
+            import re
+            for inc in re.findall(rb'#include\s+"([^"]+)"', body):
+                try:
+                    with open(os.path.join(os.path.dirname(src),
+                                           inc.decode()), "rb") as hf:
+                        body += hf.read()
+                except OSError:
+                    pass
+            tag = hashlib.sha256(body).hexdigest()[:16]
             if cflags:
                 tag = f"{tag}-{hashlib.sha256(' '.join(cflags).encode()).hexdigest()[:6]}"
                 if any("-march=native" in c for c in cflags):
@@ -125,7 +136,7 @@ def load_myers_lib() -> Optional[ctypes.CDLL]:
 def load_oph_lib() -> Optional[ctypes.CDLL]:
     """Native threaded OPH sketcher (default DNA path; heterogeneous
     host-cores placement of the scatter-shaped bucket-min update)."""
-    lib = _load_lib("ophsketch", "oph_sketch.cpp", ["-lpthread"],
+    lib = _load_lib("ophsketch", "oph_sketch.cpp", ["-lpthread", "-lz"],
                     cflags=("-march=native", "-funroll-loops"))
     if lib is not None and not getattr(lib, "_sigs_set", False):
         c = ctypes
@@ -136,6 +147,19 @@ def load_oph_lib() -> Optional[ctypes.CDLL]:
             c.c_uint64, c.c_uint64,
             c.c_int32, c.c_uint64, c.c_uint64,
             c.c_int64, c.c_int64, c.c_int64, c.c_int32,
+            c.c_int32, c.c_int32, c.c_int32,
+            c.POINTER(c.c_int32), c.c_int32,
+            c.POINTER(c.c_uint64),
+            c.POINTER(c.c_uint64), c.c_int64, c.c_int64,
+            c.POINTER(c.c_uint64), c.POINTER(c.c_uint32)]
+        lib.oph_sketch_files.restype = c.c_int64
+        lib.oph_sketch_files.argtypes = [
+            c.POINTER(c.c_char_p), c.POINTER(c.c_int32),
+            c.c_int64, c.c_int64, c.c_char_p,
+            c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+            c.c_uint64, c.c_uint64,
+            c.c_int32, c.c_uint64, c.c_uint64,
+            c.c_int64, c.c_int32,
             c.c_int32, c.c_int32, c.c_int32,
             c.POINTER(c.c_int32), c.c_int32,
             c.POINTER(c.c_uint64),

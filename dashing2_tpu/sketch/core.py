@@ -634,9 +634,139 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
     return res
 
 
+def _finalize_one_perm(opts: Dashing2Options, res: SketchingResult,
+                       regs, counts, n: int, m: int) -> SketchingResult:
+    """Shared ONE_PERM finalization: cardinalities, -log signatures (in
+    row blocks into a RAM-or-memmap matrix so peak temp memory stays
+    bounded for huge N, mm::vector semantics), id recovery, counts."""
+    from ..io import mmvec
+    res.cardinalities = SK.oph_cardinality(regs)
+    sigs = mmvec.alloc((n, m), np.float64, opts.sig_ram_limit)
+    for s in range(0, n, 4096):
+        sigs[s:s + 4096] = SK.oph_to_sigs(regs[s:s + 4096])
+    res.signatures = sigs
+    if opts.save_kmers:
+        ids64 = H.oph_hash_inverse(regs)
+        ids64[regs == U64MAX] = 0
+        res.kmers = ids64
+    if opts.save_kmercounts:
+        res.kmercounts = counts.astype(np.float32)
+    return res
+
+
+def _try_native_files(opts: Dashing2Options, groups: Sequence[str]
+                      ) -> Optional[SketchingResult]:
+    """The native FILE-DRIVER sketch path: read + encode + sketch whole
+    path groups inside the C++ engine (oph_sketch_files), bypassing
+    _load_items / chunk batching / per-record numpy copies entirely.
+
+    Measured (experiments/r5_ns_profile.py, north-star 10240 x 50 kb on
+    one host core): the chunk-batched native route spent ~4.5 s of its
+    9 s sketch phase on Python-side ingest (per-record copies, batch
+    stacking, ctypes plumbing); this driver removes all of it — the
+    reference's P4 native producer/consumer ingest (src/fqfeeder.cpp)
+    fused with sketching. Results are bit-identical to the chunked
+    engines: the OPH bucket-min is partition-order-free and chunked
+    minimizer selection equals whole-record selection by construction
+    (tests/test_native_oph.py asserts per config).
+
+    DASHING2_TPU_NATIVE_FILES: '' auto (on whenever the native engine
+    is selected), '0' off (chunk-batched native), '1'/'force' on even
+    where the engine policy would pick a device route (tests drive the
+    CPU-backend comparison this way). Returns None -> generic path."""
+    env = os.environ.get("DASHING2_TPU_NATIVE_FILES", "")
+    if env == "0":
+        return None
+    if opts.parse_by_seq or opts.by_chrom \
+            or opts.sspace != SketchSpace.SPACE_SET \
+            or opts.kmer_result != KmerSketchResultType.ONE_PERM \
+            or opts.count_threshold > 1:
+        return None
+    paths: List[str] = []
+    item_of: List[int] = []
+    for i, g in enumerate(groups):
+        for p in g.split():
+            if p.endswith((".xz", ".bz2")):
+                return None     # gz/plain only in the native reader
+            paths.append(p)
+            item_of.append(i)
+    if not paths:
+        return None
+    hkw = _hash_kwargs(opts, 1 << 15)
+    fs = _filterset_array(opts)
+    use_fs = fs is not None
+    if not _native_oph_supported(hkw, use_fs):
+        return None
+    if env not in ("1", "force"):
+        engine = SK.oph_rows_engine()
+        if engine != "native" and not (
+                engine == "auto" and jax.default_backend() != "cpu"
+                and jax.device_count() == 1):
+            return None
+    from .. import native as _nat
+    try:
+        lib = _nat.load_oph_lib()
+    except Exception:
+        lib = None
+    if lib is None or not hasattr(lib, "oph_sketch_files"):
+        return None
+    import ctypes
+
+    from ..io import mmvec
+    from ..timing import span
+    n, m = len(groups), opts.sketchsize
+    want_counts = bool(opts.save_kmercounts)
+    regs = mmvec.alloc((n, m), np.uint64, opts.sig_ram_limit,
+                       fill=U64MAX)
+    counts = mmvec.alloc((n, m), np.uint32, opts.sig_ram_limit, fill=0)
+    ds = hkw["downsample_threshold"] < (1 << 64) - 1
+    oph_xor = int(H.mt19937_64_first(H.OPH_DEFAULT_SEED)) ^ H.CEIXOR_OPH
+    mode, base, bits, offsets, roll_table, canon = _native_mode(hkw)
+    span_len = hkw.get("span") or hkw["k"]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    off_p, noff = i32p(), 0
+    if offsets is not None:
+        offsets = np.ascontiguousarray(offsets, np.int32)
+        off_p, noff = offsets.ctypes.data_as(i32p), len(offsets)
+    roll_p = u64p()
+    if roll_table is not None:
+        roll_table = np.ascontiguousarray(roll_table, np.uint64)
+        roll_p = roll_table.ctypes.data_as(u64p)
+    fs_p, fs_len = u64p(), 0
+    if use_fs and len(fs):
+        fs = np.ascontiguousarray(fs, np.uint64)
+        fs_p, fs_len = fs.ctypes.data_as(u64p), len(fs)
+    cpaths = (ctypes.c_char_p * len(paths))(
+        *[p.encode() for p in paths])
+    items32 = np.ascontiguousarray(item_of, np.int32)
+    lut = K.alphabet_lut(opts.alphabet).tobytes()
+    nthreads = int(os.environ.get("DASHING2_TPU_NATIVE_THREADS", 0)) \
+        or (opts.nthreads if opts.nthreads > 0 else 0)
+    with span("sketch/native-files"):
+        rc = lib.oph_sketch_files(
+            cpaths, items32.ctypes.data_as(i32p), len(paths), n, lut,
+            hkw["k"], hkw["w"], int(canon), int(hkw["seed_is_zero"]),
+            hkw["xormask"], oph_xor & 0xFFFFFFFFFFFFFFFF,
+            int(ds), hkw["downsample_threshold"] & 0xFFFFFFFFFFFFFFFF,
+            DOWNSAMPLE_SALT, m, nthreads,
+            mode, base, bits, off_p, noff, roll_p, fs_p, fs_len,
+            span_len,
+            regs.ctypes.data_as(u64p),
+            counts.ctypes.data_as(u32p) if want_counts else u32p())
+    if rc < 0:
+        raise OSError(f"failed to read {paths[-int(rc) - 1]}")
+    res = SketchingResult(names=list(groups))
+    return _finalize_one_perm(opts, res, regs, counts, n, m)
+
+
 def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                        chunk_len: int = 0, rows_per_batch: int = 0
                        ) -> SketchingResult:
+    res = _try_native_files(opts, groups)
+    if res is not None:
+        return res
     stream = (_should_stream(opts, groups)
               and opts.sspace != SketchSpace.SPACE_EDIT_DISTANCE)
     if stream:
@@ -852,20 +982,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                                     np.asarray(c))
                 regs[:] = mr
                 counts[:] = mc
-        res.cardinalities = SK.oph_cardinality(regs)
-        # log-transform in row blocks into a RAM-or-memmap matrix so peak
-        # temp memory stays bounded for huge N (mm::vector semantics)
-        sigs = mmvec.alloc((n, m), np.float64, opts.sig_ram_limit)
-        for s in range(0, n, 4096):
-            sigs[s:s + 4096] = SK.oph_to_sigs(regs[s:s + 4096])
-        res.signatures = sigs
-        if opts.save_kmers:
-            ids64 = H.oph_hash_inverse(regs)
-            ids64[regs == U64MAX] = 0
-            res.kmers = ids64
-        if opts.save_kmercounts:
-            res.kmercounts = counts.astype(np.float32)
-        return res
+        return _finalize_one_perm(opts, res, regs, counts, n, m)
 
     # streaming paths. Batches arrive in item order, so an item is
     # complete the moment the stream advances past it: its raw hash

@@ -304,15 +304,79 @@ def test_dense_path_mixed_shape_drain(tmp_path, monkeypatch):
 def test_native_engine_e2e_matches_default(tmp_path, monkeypatch, extra):
     """DASHING2_TPU_OPH_ENGINE=native through the CLI produces
     byte-identical output to the default engine across the full
-    supported config surface."""
+    supported config surface — via BOTH native routes: the file-driver
+    engine (reads + sketches path groups wholly in C++) and the
+    chunk-batched row engine (DASHING2_TPU_NATIVE_FILES=0)."""
     from dashing2_tpu.cli import main
     paths = make(str(tmp_path / "fa"), n_genomes=4, length=6000)
-    out_d, out_n = str(tmp_path / "d.bin"), str(tmp_path / "n.bin")
+    out_d = str(tmp_path / "d.bin")
     args = ["sketch", "-S", "128", "--binary-output"] + extra \
         + ["--cmpout"]
     monkeypatch.delenv("DASHING2_TPU_OPH_ENGINE", raising=False)
+    monkeypatch.delenv("DASHING2_TPU_NATIVE_FILES", raising=False)
     assert main(args + [out_d] + paths) == 0
     monkeypatch.setenv("DASHING2_TPU_OPH_ENGINE", "native")
-    assert main(args + [out_n] + paths) == 0
-    with open(out_d, "rb") as f1, open(out_n, "rb") as f2:
-        assert f1.read() == f2.read()
+    for files_mode in ("force", "0"):
+        out_n = str(tmp_path / f"n{files_mode}.bin")
+        monkeypatch.setenv("DASHING2_TPU_NATIVE_FILES", files_mode)
+        assert main(args + [out_n] + paths) == 0
+        with open(out_d, "rb") as f1, open(out_n, "rb") as f2:
+            assert f1.read() == f2.read()
+
+
+def test_native_files_driver_input_shapes(tmp_path, monkeypatch):
+    """The file-driver engine handles gzip inputs, FASTQ, multi-path
+    groups, records shorter than k, and N runs — bit-identically to
+    the chunk-batched engines."""
+    import gzip
+    import random
+
+    from dashing2_tpu.config import Dashing2Options
+    from dashing2_tpu.sketch.core import sketch_fastx
+    random.seed(5)
+
+    def seq(n, abc="ACGT"):
+        return "".join(random.choice(abc) for _ in range(n))
+
+    fa = str(tmp_path / "a.fa")
+    with open(fa, "w") as f:
+        f.write(f">r0 descr\n{seq(800)}\n>short\nACG\n"
+                f">ns\n{seq(300, 'ACGTN')}\n>multi\n"
+                + "\n".join(seq(60) for _ in range(10)) + "\n")
+    fz = str(tmp_path / "b.fa.gz")
+    with gzip.open(fz, "wt") as f:
+        f.write(f">z0\n{seq(700)}\n>z1\n{seq(50)}\n")
+    fq = str(tmp_path / "c.fq")
+    with open(fq, "w") as f:
+        for i in range(4):
+            s = seq(250)
+            f.write(f"@q{i}\n{s}\n+\n{'I' * len(s)}\n")
+    groups = [fa, f"{fz} {fq}"]    # multi-path group merges sketches
+
+    def run(files_mode):
+        monkeypatch.setenv("DASHING2_TPU_NATIVE_FILES", files_mode)
+        if files_mode == "0":
+            monkeypatch.setenv("DASHING2_TPU_OPH_ENGINE", "native")
+        else:
+            monkeypatch.delenv("DASHING2_TPU_OPH_ENGINE", raising=False)
+        return sketch_fastx(Dashing2Options(
+            k=21, w=31, sketchsize=128, save_kmercounts=True,
+            cache_sketches=False), groups)
+
+    a, b = run("force"), run("0")
+    assert np.array_equal(np.asarray(a.signatures),
+                          np.asarray(b.signatures))
+    assert np.array_equal(a.cardinalities, b.cardinalities)
+    assert np.array_equal(a.kmercounts, b.kmercounts)
+
+
+def test_native_files_driver_missing_path(tmp_path, monkeypatch):
+    """A missing input file raises OSError naming the path (the same
+    failure class as the Python reader path)."""
+    from dashing2_tpu.config import Dashing2Options
+    from dashing2_tpu.sketch.core import sketch_fastx
+    monkeypatch.setenv("DASHING2_TPU_NATIVE_FILES", "force")
+    missing = str(tmp_path / "nope.fa")
+    with pytest.raises(OSError, match="nope.fa"):
+        sketch_fastx(Dashing2Options(k=21, sketchsize=64,
+                                     cache_sketches=False), [missing])
