@@ -841,6 +841,10 @@ def _swar_fused_matrix(kind: str, data, m: int, fd: float, msr: Measure,
 # ---------------------------------------------------------------------------
 
 _COUNTS_PULL_KINDS = ("full", "eqfull", "bbit", "nibble-bbit")
+# packed-pull trapezoid slicing granularity (rows): finer slices trim
+# the block over-pull toward the condensed n^2/2 floor at no extra
+# pulls; 1024 leaves ~(pb/n)/2 overhead
+_PACK_PULL_ROWS = 1024
 
 
 def _counts_pull_on(kind: str, msr: Measure, m: int) -> bool:
@@ -911,6 +915,55 @@ def _host_counts_epilogue(kind: str, m: int, msr: Measure, k: int,
     from ..timing import span
     with span("cmp/epilogue"):
         return _sim_table(kind, m, k, fd)[eqc]
+
+
+@functools.lru_cache(maxsize=16)
+def _pack_tri_counts_fn(n: int, block: int, bits: int):
+    """Jitted (n, n) u16 counts -> 1-D u8: the CONDENSED upper
+    trapezoid (block-row slices [s:s+b, s:], no lower-left bytes at
+    all) with two `bits`-wide counts packed into 3 bytes. The
+    device->host tunnel is the symmetric job's wall (~14-37 MB/s
+    depending on server state, ~1-2 s fixed per pull —
+    experiments/r5 pull probe): one pull of 1.5 B/count beats three
+    block pulls of 2 B/count with ~35% block over-pull (measured
+    8.7-10.2 s -> ~5 s at n=10240). Exact round-trip: counts <= m <
+    2^bits, 2*bits <= 24."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(cmat):
+        segs = [cmat[s:min(s + block, n), s:].reshape(-1)
+                for s in range(0, n, block)]
+        flat = jnp.concatenate(segs)
+        if flat.shape[0] % 2:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(1, flat.dtype)])
+        # 1-D strided slices + byte-PLANE concat only: any (T, 2) or
+        # (T, 3) minor-dim intermediate gets lane-padded to 128 on TPU
+        # (64x HBM blowup — the same trap as the nibble operand
+        # encodings, see ops/pallas_cmp.py)
+        v0 = flat[0::2].astype(jnp.uint32)
+        v1 = flat[1::2].astype(jnp.uint32)
+        x = v0 | (v1 << jnp.uint32(bits))
+        return jnp.concatenate([
+            (x & jnp.uint32(0xFF)).astype(jnp.uint8),
+            ((x >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.uint8),
+            ((x >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.uint8)])
+    return jax.jit(f)
+
+
+def _unpack_tri_counts(buf: np.ndarray, bits: int,
+                       total: int) -> np.ndarray:
+    """Host inverse of _pack_tri_counts_fn: three concatenated byte
+    planes (3T/2,) u8 -> (total,) u16."""
+    t2 = buf.shape[0] // 3
+    x = buf[:t2].astype(np.uint32) \
+        | (buf[t2:2 * t2].astype(np.uint32) << np.uint32(8)) \
+        | (buf[2 * t2:].astype(np.uint32) << np.uint32(16))
+    out = np.empty(t2 * 2, np.uint16)
+    out[0::2] = (x & np.uint32((1 << bits) - 1)).astype(np.uint16)
+    out[1::2] = (x >> np.uint32(bits)).astype(np.uint16)
+    return out[:total]
 
 
 @functools.lru_cache(maxsize=64)
@@ -2093,6 +2146,20 @@ def warm_pairwise_cache(opts: Dashing2DistOptions, n: int,
         # matrix over the tunnel (400 MB = ~13 s at n=10240). Warm the
         # route production will take: counts-pull when eligible.
         out = _self_counts_matrix_dev(opts, fake, creps)
+        if out is not None:
+            # the packed-trapezoid pull program too (result stays on
+            # device and is dropped)
+            import jax
+            bits = int(opts.sketchsize).bit_length()
+            if 2 * bits <= 24 \
+                    and os.environ.get("DASHING2_TPU_PACK_PULL",
+                                       "1") != "0" \
+                    and (jax.default_backend() != "cpu"
+                         or os.environ.get("DASHING2_TPU_UPPER")
+                         == "force"):
+                _pack_tri_counts_fn(
+                    n, min(_block_size(opts), _PACK_PULL_ROWS),
+                    bits)(out[0])
         if out is None:
             out = _self_pairs_matrix_dev(opts, fake, creps)
     return out is not None
@@ -2198,6 +2265,28 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
             if upper_only and (jax.default_backend() != "cpu"
                                or os.environ.get("DASHING2_TPU_UPPER")
                                == "force"):
+                bits = int(opts.sketchsize).bit_length()
+                if 2 * bits <= 24 and os.environ.get(
+                        "DASHING2_TPU_PACK_PULL", "1") != "0":
+                    # condensed trapezoid, 2 counts per 3 bytes, ONE
+                    # pull (see _pack_tri_counts_fn). Packing (and
+                    # yielding) at <=1024-row granularity trims the
+                    # block-trapezoid over-pull from ~35% to ~9% of
+                    # n^2/2 with no extra pulls (one _pull_block
+                    # whatever the slicing)
+                    pb = min(block, _PACK_PULL_ROWS)
+                    sizes = [(s, min(pb, n - s), n - s)
+                             for s in range(0, n, pb)]
+                    total = sum(b * w for _, b, w in sizes)
+                    buf = _pull_block(
+                        _pack_tri_counts_fn(n, pb, bits)(devc))
+                    vals = _unpack_tri_counts(buf, bits, total)
+                    off = 0
+                    for s, b, w in sizes:
+                        eqc = vals[off:off + b * w].reshape(b, w)
+                        off += b * w
+                        yield s, _expand_upper(epi(eqc, s, s), s, n)
+                    return
                 pending = None
                 for start in range(0, n, block):
                     b = min(block, n - start)

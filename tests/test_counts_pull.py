@@ -76,6 +76,49 @@ def test_self_route_upper_only(monkeypatch):
     _byte_equal(got, ref)
 
 
+@pytest.mark.parametrize("n,m", [(300, 64), (301, 64), (257, 2048)])
+def test_self_route_packed_pull(monkeypatch, n, m):
+    """The packed-trapezoid pull (2 counts per 3 bytes, one pull —
+    _pack_tri_counts_fn) is byte-identical to the unpacked block route
+    and the f32 route, including odd condensed totals (n=301 forces the
+    pad element) and wider count bits (m=2048 -> 12 bits, the 2*bits=24
+    ceiling)."""
+    opts = Dashing2DistOptions(k=31, sketchsize=m)
+    res = _result(n, m, seed=n + m)
+    monkeypatch.setenv("DASHING2_TPU_UPPER", "force")
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "0")
+    ref = _collect(opts, res, upper_only=True)
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "force")
+    monkeypatch.setenv("DASHING2_TPU_PACK_PULL", "0")
+    unpacked = _collect(opts, res, upper_only=True)
+    monkeypatch.setenv("DASHING2_TPU_PACK_PULL", "1")
+    packed = _collect(opts, res, upper_only=True)
+    _byte_equal(unpacked, ref)
+    _byte_equal(packed, ref)
+
+
+def test_pack_unpack_roundtrip_exact():
+    """Device pack / host unpack round-trips every count value 0..m."""
+    import jax.numpy as jnp
+    m = 1024
+    bits = int(m).bit_length()
+    n = 64
+    rng = np.random.default_rng(0)
+    cmat = rng.integers(0, m + 1, size=(n, n)).astype(np.uint16)
+    cmat.ravel()[:m + 1] = np.arange(m + 1)    # cover the full range
+    block = 24                                 # multiple partial blocks
+    buf = np.asarray(C._pack_tri_counts_fn(n, block, bits)(
+        jnp.asarray(cmat)))
+    sizes = [(s, min(block, n - s), n - s) for s in range(0, n, block)]
+    total = sum(b * w for _, b, w in sizes)
+    vals = C._unpack_tri_counts(buf, bits, total)
+    off = 0
+    for s, b, w in sizes:
+        got = vals[off:off + b * w].reshape(b, w)
+        off += b * w
+        assert np.array_equal(got, cmat[s:s + b, s:])
+
+
 @pytest.mark.parametrize("upper", [False, True])
 def test_block_route_byte_identical(monkeypatch, upper):
     opts = Dashing2DistOptions(k=31, sketchsize=64)
