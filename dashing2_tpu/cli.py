@@ -400,13 +400,17 @@ def _load_presketched(opts: Dashing2DistOptions,
                 cards_all.append(np.array([float(len(ds))]))
                 items_per_path.append(1)
                 continue
-            kmers = np.fromfile(path, dtype=np.uint64)
             if path.endswith(".kmerset128"):
-                # u128 entries (little-endian lo, hi); the 64-bit set
-                # machinery keys on the masked low word — the same
-                # truncation the reference's register sketches apply
-                # (enums.h:144-148), with 2^-64 collision probability
-                kmers = kmers.reshape(-1, 2)[:, 0].copy()
+                # u128 entries (little-endian lo, hi): FULL 128-bit
+                # keys, compared by 2-limb lexicographic order exactly
+                # like the reference's __uint128_t sorted merges
+                # (wcompare.cpp:28-51,111; round-5 closes the former
+                # low-word truncation deviation)
+                from . import u128 as _U
+                kmers = _U.read_file(path)
+                opts.use128 = True
+            else:
+                kmers = np.fromfile(path, dtype=np.uint64)
             result.names.append(path)
             kmer_sets.append(np.sort(kmers))
             cards_all.append(np.array([float(len(kmers))]))

@@ -144,7 +144,15 @@ class LSHIndex:
         if bottomk is not None:
             idx = cls(m=0, nperhashes=[], nperrows=[], group_indices=[],
                       keys=[], bottomk_mode=True)
-            idx._bottomk = list(bottomk)
+            # u128 exact sets: bucket on the LOW word of the (already
+            # full-128-bit-ordered) bottom-k keys. Candidate generation
+            # only — items sharing a full key share its low word (no
+            # false negatives); a low-word collision adds a spurious
+            # candidate with 2^-64 probability, removed by the exact
+            # refinement that follows every candidate stage.
+            from .. import u128 as _U
+            idx._bottomk = [h["lo"] if _U.is_u128(h) else h
+                            for h in bottomk]
             return idx
         regs64 = registers_as_u64(registers)
         m = regs64.shape[1]

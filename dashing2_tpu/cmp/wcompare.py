@@ -198,6 +198,13 @@ def _device_sets_cache(result: SketchingResult):
         # >RAM corpora never materialize padded device tables
         result._dev_sets_cache = False
         return False
+    from .. import u128 as U
+    if any(U.is_u128(s) for s in result.kmer_sets):
+        # u128 exact sets ride the host vectorized posting joins (a
+        # 3-key device sort variant is possible but the u128 corpus
+        # sizes seen in practice are host-bound anyway)
+        result._dev_sets_cache = False
+        return False
     import jax.numpy as jnp
     sets = result.kmer_sets
     counts = result.kmer_set_counts

@@ -97,6 +97,51 @@ def _hash_chunk_batch(chunks: jnp.ndarray, filterset: jnp.ndarray, *,
     return hashed, valid
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "k", "w", "canon", "xormask", "xormask2_hi", "seed_is_zero",
+    "downsample_threshold", "use_filterset", "chunk_len"))
+def _hash_chunk_batch128(chunks: jnp.ndarray, filterset: jnp.ndarray, *,
+                         k: int, w: int, canon: bool, xormask: int,
+                         xormask2_hi: int, seed_is_zero: bool,
+                         downsample_threshold: int, use_filterset: bool,
+                         chunk_len: int):
+    """Full-width 128-bit exact k-mer keys for EXACT-SET sketching
+    (--set/--countdict with --long-kmers): (hi', lo', valid) per
+    position, where (hi', lo') is the reference's u128 maskfn — XOR
+    with the 128-bit seed mask, then per-word WangHash (enums.h:
+    144-148) — applied to the canonical 128-bit code. Register
+    sketches keep the documented low-word truncation
+    (_hash_chunk_batch); exact sets compare full keys like the
+    reference's __uint128_t sorted merges (wcompare.cpp:28-51,111).
+    Minimizer selection, ownership, downsampling and the filterset
+    probe are IDENTICAL to the 64-bit path (selection scores the
+    canonical code's (hi >> 1) ^ lo; downsample/filterset key on the
+    masked LOW word — the same key the register path uses, so the
+    same k-mers survive; a filterset low-word collision excludes with
+    2^-64 probability, documented in README deviations)."""
+    hi, lo, valid = K.dna_kmer_codes128(chunks, k, canon)
+    if seed_is_zero:
+        mhi, mlo = hi, lo
+    else:
+        mlo = DH.maskfn(lo, xormask)
+        mhi = DH.maskfn(hi, xormask2_hi)
+    if w > k:
+        sel = K.minimizer_mask((hi >> jnp.uint64(1)) ^ lo, valid, k, w)
+        valid = sel
+    lo_, hi_ = K.owned_kmer_range(k, w, chunk_len)
+    pos = jnp.arange(mlo.shape[-1])
+    valid = valid & (pos >= lo_) & (pos < hi_)
+    if downsample_threshold < (1 << 64) - 1:
+        keep = DH.wanghash(mlo ^ jnp.uint64(DOWNSAMPLE_SALT)) < \
+            jnp.uint64(downsample_threshold)
+        valid = valid & keep
+    if use_filterset:
+        fpos = jnp.searchsorted(filterset, mlo)
+        fpos = jnp.minimum(fpos, filterset.shape[0] - 1)
+        valid = valid & (filterset[fpos] != mlo)
+    return mhi, mlo, valid
+
+
 @functools.lru_cache(maxsize=32)
 def _fused_oph_fn(hkw_items: tuple, m: int, seed: int, want_counts: bool,
                   use_fs: bool, oph_engine: str = "dense"):
@@ -529,23 +574,25 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                             continue
                 loaded[i] = ("sig", card, (regs, kk, cc))
             elif kres == KR.FULL_MMER_SET:
-                if _exact_stream_wanted(opts, dest):
+                if _exact_stream_wanted(opts, dest) \
+                        and not _exact128_keys(opts):
                     from ..io.diskset import DiskSortedSet
                     ds = DiskSortedSet(dest)
                     loaded[i] = ("set", float(len(ds)), ds)
                 else:
-                    kmers = np.fromfile(dest, dtype=np.uint64)
+                    kmers = _read_kmer_set(opts, dest)
                     loaded[i] = ("set", float(len(kmers)), kmers)
             elif kres == KR.FULL_MMER_COUNTDICT:
                 kpath = makedest(opts, groups[i], iskmer=True)
-                if _exact_stream_wanted(opts, dest, kpath):
+                if _exact_stream_wanted(opts, dest, kpath) \
+                        and not _exact128_keys(opts):
                     from ..io.diskset import DiskSortedSet
                     ds = DiskSortedSet(kpath, counts_path=dest)
                     if os.path.getsize(dest) != 8 * len(ds):
                         continue
                     loaded[i] = ("dict", ds.counts_sum(), (ds, None))
                 else:
-                    kmers = np.fromfile(kpath, dtype=np.uint64)
+                    kmers = _read_kmer_set(opts, kpath)
                     counts = np.fromfile(dest, dtype=np.float64)
                     if len(kmers) != len(counts):
                         continue
@@ -620,10 +667,10 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                     if want_kmers and opts.save_kmercounts:
                         res.kmercounts[i].tofile(dest + ".kmercounts.f32")
                 elif kres == KR.FULL_MMER_SET:
-                    res.kmer_sets[i].tofile(dest)
+                    _write_kmer_set(res.kmer_sets[i], dest)
                 elif kres == KR.FULL_MMER_COUNTDICT:
-                    res.kmer_sets[i].tofile(
-                        makedest(opts, groups[i], iskmer=True))
+                    _write_kmer_set(res.kmer_sets[i],
+                                    makedest(opts, groups[i], iskmer=True))
                     res.kmer_set_counts[i].astype(np.float64).tofile(dest)
                 else:
                     res.mmer_sequences[i].tofile(dest)
@@ -632,6 +679,31 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                 pass
             si += 1
     return res
+
+
+def _exact128_keys(opts: Dashing2Options) -> bool:
+    """True when exact-set keys are full 128-bit (--long-kmers with a
+    DNA alphabet — the same gate as hkw['use128']); the .kmerset128
+    cache/emit layout then holds little-endian u128 entries."""
+    return bool(opts.use128 and opts.alphabet in (Alphabet.DNA,
+                                                  Alphabet.DNAC))
+
+
+def _write_kmer_set(arr: np.ndarray, path: str) -> None:
+    """Exact-set cache write: u64 keys raw, u128 keys little-endian
+    (lo, hi) — the reference's raw __uint128_t buffer layout."""
+    from .. import u128 as U
+    if U.is_u128(arr):
+        U.write_file(arr, path)
+    else:
+        arr.tofile(path)
+
+
+def _read_kmer_set(opts: Dashing2Options, path: str) -> np.ndarray:
+    from .. import u128 as U
+    if _exact128_keys(opts):
+        return U.read_file(path)
+    return np.fromfile(path, dtype=np.uint64)
 
 
 def _finalize_one_perm(opts: Dashing2Options, res: SketchingResult,
@@ -1020,13 +1092,35 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
     use_countsketch = (opts.cssize > 0
                        and opts.sspace in (SketchSpace.SPACE_MULTISET,
                                            SketchSpace.SPACE_PSET))
+    # --long-kmers exact sets keep FULL 128-bit keys (structured
+    # ('hi','lo') arrays, dashing2_tpu/u128.py) like the reference's
+    # __uint128_t sorted sets (wcompare.cpp:28-51,111); register
+    # sketches keep the documented low-word truncation
+    exact128 = (hkw["use128"]
+                and kres in (KmerSketchResultType.FULL_MMER_SET,
+                             KmerSketchResultType.FULL_MMER_COUNTDICT))
+    from .. import u128 as U
 
     def _count_one(hv):
         if use_countsketch:
             # CountSketch with fixed memory (enums.h:44-57, counter.h):
             # bucket[h % cssize] += (h & 1) ? 1 : -1; weights = |bucket|,
             # items = bucket indices (bedsketch.cpp:77-86 semantics).
-            if jax.default_backend() != "cpu" and len(hv) > 4096 \
+            if U.is_u128(hv):
+                # u128 keys: exact (hi*2^64+lo) % cssize buckets, sign
+                # from the low bit (x & 1 on a u128 is lo & 1); bucket
+                # indices keep the u128 representation so downstream
+                # emit/compare see one key dtype per corpus
+                buckets = np.zeros(opts.cssize, np.float64)
+                idx = U.mod_u128(hv, opts.cssize).astype(np.int64)
+                sign = np.where((hv["lo"] & np.uint64(1)).astype(bool),
+                                1.0, -1.0)
+                np.add.at(buckets, idx, sign)
+                nz = np.nonzero(buckets)[0]
+                u = U.from_words(np.zeros(len(nz), np.uint64),
+                                 nz.astype(np.uint64))
+                c = np.abs(buckets[nz])
+            elif jax.default_backend() != "cpu" and len(hv) > 4096 \
                     and opts.cssize < (1 << 31):
                 # device sort+cumsum engine (TPU scatters are
                 # scalar-unit bound; the host np.add.at was a
@@ -1046,7 +1140,9 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         if opts.count_threshold > 1:
             keep = c >= opts.count_threshold
             u, c = u[keep], c[keep]
-        return u.astype(np.uint64), c.astype(np.float64)
+        if not U.is_u128(u):
+            u = u.astype(np.uint64)
+        return u, c.astype(np.float64)
 
     # -p threads overlap per-item host counting with the device stream
     # (numpy releases the GIL in sort/unique; OMP analogue, SURVEY P1)
@@ -1060,7 +1156,8 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
     cur = -1
 
     def _finalize(i: int):
-        hv = (np.concatenate(raws) if raws else np.zeros(0, np.uint64))
+        hv = (np.concatenate(raws) if raws
+              else np.zeros(0, U.U128 if exact128 else np.uint64))
         raws.clear()
         if pool is not None:
             pending.append((i, pool.submit(_count_one, hv)))
@@ -1073,9 +1170,21 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
 
     for chunks, ids in prefetch(_iter_chunk_batches(
             opts, items_iter(), chunk_len, rows_per_batch)):
-        hashed, valid = _hash_chunk_batch(
-            jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
-        hashed, valid = jax.device_get((hashed, valid))
+        if exact128:
+            mhi, mlo, valid = _hash_chunk_batch128(
+                jnp.asarray(chunks), fs_dev,
+                k=hkw["k"], w=hkw["w"], canon=hkw["canon"],
+                xormask=hkw["xormask"], xormask2_hi=opts.xormask2_hi,
+                seed_is_zero=hkw["seed_is_zero"],
+                downsample_threshold=hkw["downsample_threshold"],
+                use_filterset=use_fs, chunk_len=hkw["chunk_len"])
+            mhi, mlo, valid = jax.device_get((mhi, mlo, valid))
+            hashed = None
+        else:
+            hashed, valid = _hash_chunk_batch(
+                jnp.asarray(chunks), fs_dev, use_filterset=use_fs,
+                **hkw)
+            hashed, valid = jax.device_get((hashed, valid))
         for row, item_id in enumerate(ids):
             if item_id < 0:
                 continue
@@ -1083,14 +1192,19 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
                 if cur >= 0:
                     _finalize(cur)
                 cur = item_id
-            raws.append(hashed[row][valid[row]])
+            if exact128:
+                v = valid[row]
+                raws.append(U.from_words(mhi[row][v], mlo[row][v]))
+            else:
+                raws.append(hashed[row][valid[row]])
     if cur >= 0:
         _finalize(cur)
     for j, fut in pending:
         results[j] = fut.result()
     if pool is not None:
         pool.shutdown()
-    empty = (np.zeros(0, np.uint64), np.zeros(0, np.float64))
+    empty = (np.zeros(0, U.U128 if exact128 else np.uint64),
+             np.zeros(0, np.float64))
     uniq_list: List[np.ndarray] = [(r or empty)[0] for r in results]
     cnt_list: List[np.ndarray] = [(r or empty)[1] for r in results]
 
