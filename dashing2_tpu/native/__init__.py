@@ -152,6 +152,10 @@ def load_oph_lib() -> Optional[ctypes.CDLL]:
             c.POINTER(c.c_uint64),
             c.POINTER(c.c_uint64), c.c_int64, c.c_int64,
             c.POINTER(c.c_uint64), c.POINTER(c.c_uint32)]
+        lib.oph_update_hashed.restype = None
+        lib.oph_update_hashed.argtypes = [
+            c.POINTER(c.c_uint64), c.c_int64, c.c_uint64, c.c_int64,
+            c.POINTER(c.c_uint64), c.POINTER(c.c_uint32)]
         lib.oph_sketch_files.restype = c.c_int64
         lib.oph_sketch_files.argtypes = [
             c.POINTER(c.c_char_p), c.POINTER(c.c_int32),

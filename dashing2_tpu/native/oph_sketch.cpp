@@ -812,6 +812,34 @@ void oph_rows_native(const uint8_t* codes, int64_t R, int64_t L,
     for (auto& t : ts) t.join();
 }
 
+// Streamed OPH update over PRE-HASHED u64 items (interval sketching:
+// BED/BigWig/LeafCutter items are chrhash^position values, no k-mer
+// encode needed). Same id chain and bucket-min/multiplicity semantics
+// as the row engines: id = WangHash(item ^ oph_xor), register = min.
+// regs/cnts accumulate across calls (caller initializes once per
+// item). Replaces the per-slab device segment engine whose CPU-backend
+// walls measured 97 s / 7 GB RSS at 7.6M intervals.
+void oph_update_hashed(const uint64_t* items, int64_t n,
+                       uint64_t oph_xor, int64_t m,
+                       uint64_t* regs, uint32_t* cnts) {
+    const bool pow2 = (m & (m - 1)) == 0;
+    const uint64_t mmask = (uint64_t)m - 1;
+    if (cnts) {
+        for (int64_t i = 0; i < n; ++i) {
+            const uint64_t id = wanghash(items[i] ^ oph_xor);
+            const uint64_t b = pow2 ? (id & mmask) : (id % (uint64_t)m);
+            if (id < regs[b]) { regs[b] = id; cnts[b] = 1; }
+            else if (id == regs[b]) ++cnts[b];
+        }
+    } else {
+        for (int64_t i = 0; i < n; ++i) {
+            const uint64_t id = wanghash(items[i] ^ oph_xor);
+            const uint64_t b = pow2 ? (id & mmask) : (id % (uint64_t)m);
+            if (id < regs[b]) regs[b] = id;
+        }
+    }
+}
+
 // File-driver entry: sketch `nitems` path groups straight from disk.
 // paths: npaths C strings; item_of: ascending item id per path;
 // lut: 256-byte alphabet encoding table (0xFF = invalid). All hash /

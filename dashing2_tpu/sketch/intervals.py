@@ -39,19 +39,13 @@ def string_hash64(s: str) -> int:
     return int(H.wanghash(np.uint64(h)))
 
 
-def _expand_intervals(intervals: List[Tuple[int, int, int, float]],
-                      slab: int = 1 << 22
-                      ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """(chrhash, start, stop, weight) list -> slabs of
-    (items u64, weights f64): item = chrhash ^ position per base."""
-    if not intervals:
-        return
-    arr = np.array([(c, s, e, w) for (c, s, e, w) in intervals],
-                   dtype=np.float64)
-    chrh = np.array([c for (c, s, e, w) in intervals], dtype=np.uint64)
-    starts = arr[:, 1].astype(np.int64)
-    stops = arr[:, 2].astype(np.int64)
-    weights = arr[:, 3]
+def _expand_interval_arrays(chrh: np.ndarray, starts: np.ndarray,
+                            stops: np.ndarray, weights: np.ndarray,
+                            slab: int = 1 << 22
+                            ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Array form of _expand_intervals: (chrhash u64, start i64,
+    stop i64, weight f64) arrays -> slabs of (items u64, weights f64),
+    item = chrhash ^ position per base."""
     lens = np.maximum(stops - starts, 0)
     ends = np.cumsum(lens)
     total = int(ends[-1]) if len(ends) else 0
@@ -63,6 +57,21 @@ def _expand_intervals(intervals: List[Tuple[int, int, int, float]],
         base = starts[iid] + (pos - begins[iid])
         items = chrh[iid] ^ base.astype(np.uint64)
         yield items, weights[iid]
+
+
+def _expand_intervals(intervals: List[Tuple[int, int, int, float]],
+                      slab: int = 1 << 22
+                      ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """(chrhash, start, stop, weight) list -> slabs of
+    (items u64, weights f64): item = chrhash ^ position per base."""
+    if not intervals:
+        return
+    arr = np.array([(c, s, e, w) for (c, s, e, w) in intervals],
+                   dtype=np.float64)
+    chrh = np.array([c for (c, s, e, w) in intervals], dtype=np.uint64)
+    yield from _expand_interval_arrays(
+        chrh, arr[:, 1].astype(np.int64), arr[:, 2].astype(np.int64),
+        arr[:, 3], slab)
 
 
 def _aggregate_key(items: np.ndarray, ws: np.ndarray
@@ -125,15 +134,40 @@ def _sketch_item_stream(opts: Dashing2Options,
             uniq = uniq[cnt >= ct]
             slabs = iter([(uniq, np.ones(len(uniq)))])
         if opts.one_perm:
-            regs = np.full((1, m), SK.U64MAX, np.uint64)
-            counts = np.zeros((1, m), np.uint32)
-            from .core import _merge_oph
-            for items, _w in slabs:
-                r, c = SK.oph_sketch_segments(
-                    jnp.asarray(items), jnp.ones(len(items), bool),
-                    jnp.zeros(len(items), jnp.int32), nseqs=1, m=m)
-                regs, counts = _merge_oph(regs, counts, np.asarray(r),
-                                          np.asarray(c))
+            # native streamed bucket-min when the toolchain is up
+            # (bit-identical; the per-slab device segment engine
+            # measured 97 s / 7 GB RSS at 7.6M intervals on the CPU
+            # backend vs ~3 ns/item here), device segments otherwise
+            from .. import hashing as H
+            from ..native import load_oph_lib
+            try:
+                lib = load_oph_lib()
+            except Exception:
+                lib = None
+            if lib is not None:
+                import ctypes
+                u64p = ctypes.POINTER(ctypes.c_uint64)
+                oph_xor = (int(H.mt19937_64_first(H.OPH_DEFAULT_SEED))
+                           ^ H.CEIXOR_OPH) & 0xFFFFFFFFFFFFFFFF
+                regs1 = np.full(m, SK.U64MAX, np.uint64)
+                for items, _w in slabs:
+                    items = np.ascontiguousarray(items, np.uint64)
+                    lib.oph_update_hashed(
+                        items.ctypes.data_as(u64p), len(items),
+                        oph_xor, m, regs1.ctypes.data_as(u64p),
+                        ctypes.POINTER(ctypes.c_uint32)())
+                regs = regs1[None, :]
+            else:
+                regs = np.full((1, m), SK.U64MAX, np.uint64)
+                counts = np.zeros((1, m), np.uint32)
+                from .core import _merge_oph
+                for items, _w in slabs:
+                    r, c = SK.oph_sketch_segments(
+                        jnp.asarray(items), jnp.ones(len(items), bool),
+                        jnp.zeros(len(items), jnp.int32), nseqs=1, m=m)
+                    regs, counts = _merge_oph(regs, counts,
+                                              np.asarray(r),
+                                              np.asarray(c))
             card = float(SK.oph_cardinality(regs)[0])
             return SK.oph_to_sigs(regs)[0], card
         allitems = [i for i, _ in slabs]
@@ -199,48 +233,90 @@ def sketch_bed(opts: Dashing2Options, groups: Sequence[str]
     return res
 
 
+def _bw_block_slabs(opts: Dashing2Options, readers,
+                    chrom_ids=None) -> "Iterator[Tuple[np.ndarray, np.ndarray]]":
+    """Stream (items, weights) slabs from BigWig readers, one data
+    block at a time — memory stays O(block + slab), never
+    O(intervals). chrom_ids: optional per-reader chrom-id filter sets
+    (the by-chrom path). Zero-valued intervals only drop out of the
+    WEIGHTED spaces; the reference's set-space path updates every base
+    unconditionally (DO_FOR_UNWEIGHTED_SKETCH ignores the value,
+    bwsketch.cpp:116-123)."""
+    keep_zero = opts.sspace == SketchSpace.SPACE_SET
+    for ri, r in enumerate(readers):
+        want = None if chrom_ids is None else chrom_ids[ri]
+        # per-chrom queries iterate R-tree leaves per id (libBigWig
+        # overlap-query shape); whole-file iterates once in file order
+        block_iter = (r.iter_blocks() if want is None else
+                      (blk for cid in sorted(want)
+                       for blk in r.iter_blocks(chrom_id=cid)))
+        hash_cache: Dict[int, int] = {}
+        for cid, starts, ends, vals in block_iter:
+            chrom = r.chroms.get(cid)
+            if chrom is None:
+                continue
+            ch = hash_cache.get(cid)
+            if ch is None:
+                cname = chrom[3:] if (opts.trim_chr
+                                      and chrom.lower().startswith(
+                                          "chr")) else chrom
+                ch = int(string_hash64(cname))
+                hash_cache[cid] = ch
+            w = vals.astype(np.float64)
+            if not keep_zero:
+                nz = w != 0
+                if not nz.all():
+                    starts, ends, w = starts[nz], ends[nz], w[nz]
+            if not len(starts):
+                continue
+            chrh = np.full(len(starts), ch, np.uint64)
+            yield from _expand_interval_arrays(
+                chrh, starts.astype(np.int64), ends.astype(np.int64), w)
+
+
 def sketch_bigwig(opts: Dashing2Options, groups: Sequence[str]
                   ) -> SketchingResult:
     """BigWig coverage tracks: items chrhash^pos weighted by track value
     (bwsketch.cpp:112-119). With --by-chrom, one entry per chromosome is
-    appended per file (sketch_core.cpp:65-94)."""
-    from ..io.bigwig import read_bigwig
+    appended per file (sketch_core.cpp:65-94). Streaming + vectorized
+    (round 5): blocks decode straight to numpy arrays and feed the
+    sketcher one slab at a time — multi-GB tracks run under an
+    O(block + slab) memory envelope (measured in
+    experiments/r5_bigwig_stream.py)."""
+    from ..io.bigwig import BigWigReader
     names: List[str] = []
     rows: List[np.ndarray] = []
     cards: List[float] = []
     for group in groups:
-        per_chrom: Dict[str, Tuple[str, List[Tuple[int, int, int, float]]]] = {}
-        for path in group.split():
-            bw = read_bigwig(path)
-            for chrom, ivs in bw.intervals.items():
-                cname = chrom[3:] if (opts.trim_chr
-                                      and chrom.lower().startswith("chr")) \
-                    else chrom
-                ch = string_hash64(cname)
-                # key on the TRIMMED name so --trim-chr merges 'chr1'
-                # and '1' spellings into one per-chromosome sketch; the
-                # first-seen spelling stays the display name
-                disp, dst = per_chrom.setdefault(cname, (chrom, []))
-                for (s, e, v) in ivs:
-                    # the reference's set-space path updates every base
-                    # unconditionally (DO_FOR_UNWEIGHTED_SKETCH ignores
-                    # the value, bwsketch.cpp:116-123); zero-valued
-                    # intervals only drop out of the WEIGHTED spaces
-                    if v != 0 or opts.sspace == SketchSpace.SPACE_SET:
-                        dst.append((ch, s, e, float(v)))
-        if opts.by_chrom:
-            for _key, (disp, ivs) in sorted(per_chrom.items()):
+        readers = [BigWigReader(p) for p in group.split()]
+        try:
+            if opts.by_chrom:
+                # trimmed name -> (display name, per-reader chrom ids)
+                per: Dict[str, Tuple[str, List[set]]] = {}
+                for ri, r in enumerate(readers):
+                    for cid, chrom in r.chroms.items():
+                        cname = chrom[3:] if (
+                            opts.trim_chr
+                            and chrom.lower().startswith("chr")) \
+                            else chrom
+                        disp, sets = per.setdefault(
+                            cname, (chrom, [set() for _ in readers]))
+                        sets[ri].add(cid)
+                for _key, (disp, sets) in sorted(per.items()):
+                    sigs, card = _sketch_item_stream(
+                        opts, _bw_block_slabs(opts, readers, sets))
+                    names.append(f"{group}:{disp}")
+                    rows.append(sigs)
+                    cards.append(card)
+            else:
                 sigs, card = _sketch_item_stream(
-                    opts, _expand_intervals(ivs))
-                names.append(f"{group}:{disp}")
+                    opts, _bw_block_slabs(opts, readers))
+                names.append(group)
                 rows.append(sigs)
                 cards.append(card)
-        else:
-            allivs = [iv for _d, ivs in per_chrom.values() for iv in ivs]
-            sigs, card = _sketch_item_stream(opts, _expand_intervals(allivs))
-            names.append(group)
-            rows.append(sigs)
-            cards.append(card)
+        finally:
+            for r in readers:
+                r.close()
     res = SketchingResult(names=names)
     res.signatures = np.vstack(rows) if rows else np.zeros((0, opts.sketchsize))
     res.cardinalities = np.asarray(cards)

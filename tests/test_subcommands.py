@@ -265,6 +265,50 @@ def test_bed_multiset_normalized(tmp_path):
 # BigWig (construct a minimal valid file, then sketch it)
 # ----------------------------------------------------------------------
 
+def _write_bigwig_multi(path, chrom_intervals, chrom_size=1000000):
+    """Minimal valid multi-chromosome BigWig: one bedGraph block per
+    chromosome, flat chrom B+ tree and R-tree leaf nodes."""
+    names = list(chrom_intervals)
+    key_size = max(len(n.encode()) for n in names)
+    chrom_tree = struct.pack("<IIIIQQ", 0x78CA8C91, len(names), key_size,
+                             8, len(names), 0)
+    chrom_tree += struct.pack("<BBH", 1, 0, len(names))
+    for cid, n in enumerate(names):
+        chrom_tree += n.encode().ljust(key_size, b"\0") + \
+            struct.pack("<II", cid, chrom_size)
+    header_size = 64
+    chrom_off = header_size
+    data_off = chrom_off + len(chrom_tree)
+    blocks = []
+    for cid, n in enumerate(names):
+        ivs = chrom_intervals[n]
+        items = b"".join(struct.pack("<IIf", s, e, v)
+                         for (s, e, v) in ivs)
+        block = struct.pack("<IIIIIBBH", cid, ivs[0][0], ivs[-1][1],
+                            0, 0, 1, 0, len(ivs)) + items
+        blocks.append((cid, ivs[0][0], ivs[-1][1], zlib.compress(block)))
+    data = struct.pack("<Q", len(blocks))
+    leaf_meta = []
+    for cid, s0, e0, comp in blocks:
+        leaf_meta.append((cid, s0, e0, data_off + len(data), len(comp)))
+        data += comp
+    index_off = data_off + len(data)
+    rtree = struct.pack("<IIQIIIIQIi", 0x2468ACE0, 256, len(blocks),
+                        0, leaf_meta[0][1], len(names) - 1,
+                        leaf_meta[-1][2], index_off, 512, 0)
+    rtree += struct.pack("<BBH", 1, 0, len(blocks))
+    for cid, s0, e0, off, size in leaf_meta:
+        rtree += struct.pack("<IIIIQQ", cid, s0, cid, e0, off, size)
+    hdr = struct.pack("<IHHQQQHHQQIQ", 0x888FFC26, 4, 0, chrom_off,
+                      data_off, index_off, 0, 0, 0, 0, 1 << 15, 0)
+    assert len(hdr) == 64
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(chrom_tree)
+        f.write(data)
+        f.write(rtree)
+
+
 def _write_minimal_bigwig(path, chrom="chr1", intervals=((0, 100, 2.0),)):
     # header(64) + chromtree + data + rtree
     chrom_b = chrom.encode()
@@ -339,29 +383,57 @@ def test_leafcutter_sketch(tmp_path):
     assert 0.0 < vals[0] < 1.0
 
 
-def test_bigwig_by_chrom(tmp_path, monkeypatch):
+def test_bigwig_by_chrom(tmp_path):
     """--by-chrom: one sketch entry per chromosome (sketch_core.cpp:65-94)."""
-    from dashing2_tpu.io import bigwig as bwmod
     from dashing2_tpu.sketch import intervals as I
     from dashing2_tpu.config import Dashing2Options
     from dashing2_tpu.enums import DataType
 
-    fake = bwmod.BigWigFile(
-        chroms={0: "chr1", 1: "chr2"},
-        chrom_sizes={"chr1": 1000, "chr2": 1000},
-        intervals={"chr1": [(0, 50, 2.0), (100, 150, 1.0)],
-                   "chr2": [(10, 60, 3.0)]})
-    monkeypatch.setattr(bwmod, "read_bigwig", lambda p: fake)
+    p = str(tmp_path / "x.bw")
+    _write_bigwig_multi(p, {"chr1": [(0, 50, 2.0), (100, 150, 1.0)],
+                            "chr2": [(10, 60, 3.0)]})
     opts = Dashing2Options(sketchsize=64, dtype=DataType.BIGWIG,
                            sspace=1, kmer_result=1, by_chrom=True)
-    res = I.sketch_bigwig(opts, ["x.bw"])
+    res = I.sketch_bigwig(opts, [p])
     assert res.n == 2
     assert res.names[0].endswith(":chr1") and res.names[1].endswith(":chr2")
     assert (res.cardinalities > 0).all()
     opts2 = Dashing2Options(sketchsize=64, dtype=DataType.BIGWIG,
                             sspace=1, kmer_result=1, by_chrom=False)
-    res2 = I.sketch_bigwig(opts2, ["x.bw"])
+    res2 = I.sketch_bigwig(opts2, [p])
     assert res2.n == 1
+
+
+def test_bigwig_streaming_reader_matches_eager(tmp_path):
+    """BigWigReader block iteration (whole-file and per-chrom) agrees
+    with the eager read_bigwig view; per-chrom iteration touches only
+    that chromosome's blocks."""
+    from dashing2_tpu.io.bigwig import BigWigReader, read_bigwig
+
+    p = str(tmp_path / "m.bw")
+    ivs = {"chr1": [(0, 10, 1.0), (20, 30, 2.5)],
+           "chr2": [(5, 9, 4.0)],
+           "chrX": [(100, 200, 0.5), (300, 301, 7.0)]}
+    _write_bigwig_multi(p, ivs)
+    eager = read_bigwig(p)
+    assert {k: v for k, v in eager.intervals.items()} == ivs
+    with BigWigReader(p) as r:
+        got = {}
+        for cid, starts, ends, vals in r.iter_blocks():
+            got.setdefault(r.chroms[cid], []).extend(
+                zip(starts.tolist(), ends.tolist(),
+                    vals.astype(np.float64).tolist()))
+        assert got == ivs
+        # per-chrom query returns exactly that chromosome's intervals
+        cid2 = {v: k for k, v in r.chroms.items()}
+        for name, want in ivs.items():
+            only = []
+            for cid, starts, ends, vals in r.iter_blocks(
+                    chrom_id=cid2[name]):
+                assert cid == cid2[name]
+                only.extend(zip(starts.tolist(), ends.tolist(),
+                                vals.astype(np.float64).tolist()))
+            assert only == want
 
 
 def test_hp_compress_mmer_seq(fixtures, tmp_path):
