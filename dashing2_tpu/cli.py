@@ -120,6 +120,15 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--by-chrom", dest="by_chrom", action="store_true")
     p.add_argument("--sig-ram-limit", dest="sig_ram_limit", type=int)
     p.add_argument("--maxcand", type=int, default=-1)
+    p.add_argument("--index-save", default="", metavar="PATH",
+                   help="write the KNN/dedup LSH index after building "
+                        "it; a .ssi suffix selects the reference's gz "
+                        "layout (sketch::lsh::SetSketchIndex::write, "
+                        "ssi.h:454-484), anything else the native "
+                        "format")
+    p.add_argument("--index-load", default="", metavar="PATH",
+                   help="load a previously saved LSH index instead of "
+                        "building one (.ssi = reference layout)")
     p.add_argument("--setsketch-ab", dest="setsketch_ab")
     p.add_argument("--pairlist")
     p.add_argument("--seqs-in-ram", dest="seqs_in_ram", action="store_true")
@@ -262,6 +271,7 @@ def _build_opts(a: argparse.Namespace, presketched: bool = False
         measure=measure, outfile_path=a.cmpout or "",
         exact_kmer_dist=a.exact_kmer_dist, refine_exact=a.refine_exact,
         cmp_batch_size=a.batch_size, nLSH=a.nlsh, maxcand=a.maxcand,
+        index_save=a.index_save, index_load=a.index_load,
         sig_ram_limit=(a.sig_ram_limit if a.sig_ram_limit is not None
                        else 20 << 30),
         regt32=a.regt32, seqs_in_ram=a.seqs_in_ram,

@@ -157,6 +157,27 @@ def build_exact_lists(opts: Dashing2DistOptions, result: SketchingResult,
     return _refine_lists(opts, result, creps, ia, ib)
 
 
+def _load_or_build_index(opts: Dashing2DistOptions,
+                         result: SketchingResult,
+                         creps: C.CompressedReps) -> LSHIndex:
+    """--index-load/--index-save plumbing around _index_source: a .ssi
+    suffix selects the reference's gz layout (ssi.h:454-532), anything
+    else the native format. Loaded .ssi indexes carry bucket maps only
+    and serve candidates straight from them."""
+    if getattr(opts, "index_load", ""):
+        p = opts.index_load
+        return (LSHIndex.load_ssi(p) if p.endswith(".ssi")
+                else LSHIndex.load(p))
+    idx = _index_source(opts, result, creps)
+    if getattr(opts, "index_save", ""):
+        p = opts.index_save
+        if p.endswith(".ssi"):
+            idx.save_ssi(p)
+        else:
+            idx.save(p)
+    return idx
+
+
 def neighbor_graph_main(opts: Dashing2DistOptions,
                         result: SketchingResult) -> None:
     from ..timing import phase
@@ -194,7 +215,7 @@ def neighbor_graph_main(opts: Dashing2DistOptions,
                         if opts.num_neighbors > 0
                         else (opts.maxcand if opts.maxcand > 0 else n - 1))
             with phase("lsh-index-build", opts.verbosity):
-                idx = _index_source(opts, result, creps)
+                idx = _load_or_build_index(opts, result, creps)
             with phase("lsh-candidates", opts.verbosity):
                 ia, ib, _counts = idx.candidate_pairs(
                     max_per_item=ntoquery)

@@ -182,6 +182,11 @@ class LSHIndex:
         merged with merge_candidate_shards, equals a single unsaturated
         run exactly.
         """
+        if getattr(self, "_loaded_total", None) is not None:
+            # load_ssi index: only the bucket maps exist (the file
+            # stores no key matrices) — candidates walk them directly
+            return self._candidate_pairs_from_buckets(max_per_item,
+                                                      bucket_cap)
         if self.bottomk_mode:
             return self._candidate_pairs_bottomk(max_per_item, bucket_cap,
                                                  column_shard)
@@ -437,6 +442,148 @@ class LSHIndex:
                     self.group_indices[t], dtype=np.int64).tobytes())
                 f.write(np.ascontiguousarray(
                     self.keys[t], dtype=np.uint64).tobytes())
+
+    def save_ssi(self, path: str, key_bits: int = 32,
+                 id_bits: int = 32) -> None:
+        """Write the index in the REFERENCE's gz layout
+        (sketch::lsh::SetSketchIndex::write, ssi.h:454-484):
+        total_ids u64, n_subtables u64, per-subtable map count u64,
+        regs_per_reg u64 each, is_bottomk u8, is_locked u8, then per
+        (subtable, map): bucket count u64 and per bucket
+        (ids_count u64, key, ids...). The reference's default build
+        instantiates SetSketchIndex<LSHIDType=u32, LSHIDType> —
+        key_bits/id_bits=32 match it (its -DLSHIDTYPE=uint64_t build
+        is 64/64). Our u64 bucket keys truncate to key_bits for the
+        file: key collisions merge buckets, which only ADDS candidate
+        co-membership — the same semantics the reference's 32-bit key
+        space has natively. Buckets are written key-sorted (the
+        reference's flat_hash_map order is arbitrary; readers don't
+        depend on it)."""
+        import gzip
+        import struct
+        kd = np.dtype(f"<u{key_bits // 8}")
+        idd = np.dtype(f"<u{id_bits // 8}")
+        with gzip.open(path, "wb") as f:
+            if self.bottomk_mode:
+                n = len(self._bottomk)
+                f.write(struct.pack("<QQQQ", n, 1, 1, 1))
+                f.write(bytes([1, 0]))
+                sizes = np.array([len(h) for h in self._bottomk])
+                keys = np.concatenate(
+                    [np.asarray(h, np.uint64) for h in self._bottomk]
+                    if n else [np.zeros(0, np.uint64)]).astype(kd)
+                owner = np.repeat(np.arange(n), sizes)
+                self._write_ssi_map(f, keys, owner, kd, idd)
+                return
+            nt = len(self.keys)
+            n = self.keys[0].shape[0] if nt else 0
+            f.write(struct.pack("<QQ", n, nt))
+            for t in range(nt):
+                f.write(struct.pack("<Q", self.keys[t].shape[1]))
+            for t in range(nt):
+                f.write(struct.pack("<Q", self.nperhashes[t]))
+            f.write(bytes([0, 0]))
+            owner = np.arange(n)
+            for t in range(nt):
+                for j in range(self.keys[t].shape[1]):
+                    self._write_ssi_map(
+                        f, self.keys[t][:, j].astype(kd), owner, kd,
+                        idd)
+
+    @staticmethod
+    def _write_ssi_map(f, keys: np.ndarray, owner: np.ndarray, kd, idd):
+        import struct
+        order = np.argsort(keys, kind="stable")
+        sk, so = keys[order], owner[order]
+        starts = np.nonzero(np.concatenate([[True],
+                                            sk[1:] != sk[:-1]]))[0] \
+            if len(sk) else np.zeros(0, np.int64)
+        lens = np.diff(np.concatenate([starts, [len(sk)]])).astype(
+            np.int64)
+        f.write(struct.pack("<Q", len(starts)))
+        for s, ln in zip(starts, lens):
+            f.write(struct.pack("<Q", int(ln)))
+            f.write(sk[s:s + 1].astype(kd).tobytes())
+            f.write(so[s:s + ln].astype(idd).tobytes())
+
+    @classmethod
+    def load_ssi(cls, path: str, key_bits: int = 32,
+                 id_bits: int = 32) -> "LSHIndex":
+        """Read the reference gz layout (SetSketchIndex(gzFile),
+        ssi.h:485-532) into a buckets-backed index: candidate
+        generation walks the loaded maps directly
+        (_candidate_pairs_from_buckets); the dense key matrices cannot
+        be reconstructed (the file stores only buckets), so the
+        key-matrix self-join path is unavailable on a loaded index."""
+        import gzip
+        import struct
+        kd = np.dtype(f"<u{key_bits // 8}")
+        idd = np.dtype(f"<u{id_bits // 8}")
+        ksz, isz = kd.itemsize, idd.itemsize
+        with gzip.open(path, "rb") as f:
+            total_ids, nms = struct.unpack("<QQ", f.read(16))
+            map_counts = [struct.unpack("<Q", f.read(8))[0]
+                          for _ in range(nms)]
+            rpr = [struct.unpack("<Q", f.read(8))[0]
+                   for _ in range(nms)]
+            ibk, _locked = f.read(1)[0], f.read(1)[0]
+            buckets = []
+            for t in range(nms):
+                tmaps = []
+                for _j in range(map_counts[t]):
+                    sz = struct.unpack("<Q", f.read(8))[0]
+                    mp = {}
+                    for _k in range(sz):
+                        psz = struct.unpack("<Q", f.read(8))[0]
+                        key = int(np.frombuffer(f.read(ksz), kd)[0])
+                        ids = np.frombuffer(f.read(isz * psz), idd
+                                            ).astype(np.int64)
+                        mp[key] = ids.tolist()
+                    tmaps.append(mp)
+                buckets.append(tmaps)
+        idx = cls(m=0, nperhashes=list(rpr),
+                  nperrows=list(map_counts), group_indices=[],
+                  keys=[], bottomk_mode=bool(ibk))
+        idx.buckets = buckets
+        idx._loaded_total = total_ids
+        if ibk:
+            idx._bottomk = []
+        return idx
+
+    def _candidate_pairs_from_buckets(self, max_per_item: int,
+                                      bucket_cap: int = 256):
+        """Candidate generation over loaded bucket maps (load_ssi):
+        same (ids_a, ids_b, shared_count) contract and ranking as
+        candidate_pairs — co-membership counted over every (subtable,
+        map) bucket, runs capped at bucket_cap."""
+        n = int(getattr(self, "_loaded_total", 0))
+        members = []
+        starts = []
+        lens = []
+        off = 0
+        for tmaps in self.buckets or []:
+            for mp in tmaps:
+                for ids in mp.values():
+                    if len(ids) >= 2:
+                        members.append(np.asarray(ids, np.int64))
+                        starts.append(off)
+                        lens.append(len(ids))
+                        off += len(ids)
+        if not members:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        payload = np.concatenate(members)
+        allp = _expand_runs(payload, np.asarray(starts, np.int64),
+                            np.asarray(lens, np.int64), bucket_cap)
+        allp = allp[allp[:, 0] != allp[:, 1]]
+        if not len(allp):
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        n = max(n, int(allp.max()) + 1)
+        codes, counts = np.unique(allp[:, 0] * n + allp[:, 1],
+                                  return_counts=True)
+        ia, ib = codes // n, codes % n
+        return cap_per_item(ia, ib, counts, max_per_item)
 
     @classmethod
     def load(cls, path: str) -> "LSHIndex":

@@ -181,6 +181,8 @@ class Dashing2DistOptions(Dashing2Options):
     cmp_batch_size: int = 0
     nLSH: int = 2
     maxcand: int = -1
+    index_save: str = ""      # write the LSH index after build (.ssi =
+    index_load: str = ""      # reference gz layout, else native)
 
     def __post_init__(self):
         super().__post_init__()

@@ -1,5 +1,7 @@
 """Tests for the parse.py reader facade and LSH index (de)serialization."""
 
+import os
+
 import numpy as np
 
 from dashing2_tpu import parse
@@ -174,3 +176,86 @@ def test_pairwise_equality_compare_matches_numpy_loop():
         np.testing.assert_array_equal(got.astype(np.int64), want)
         # dtype contract: counts fit the per-row register count
         assert got.dtype in (np.uint8, np.uint16, np.uint32)
+
+
+def test_lsh_ssi_format_roundtrip(tmp_path):
+    """Reference gz layout (ssi.h:454-532): save_ssi -> load_ssi gives
+    the same candidate sets (counts included) as the native index, and
+    the bytes parse as the reference struct sequence."""
+    import gzip
+    import struct
+    rng = np.random.default_rng(7)
+    regs = rng.random((60, 64))
+    idx = LSHIndex.build(regs, nLSH=3)
+    p = str(tmp_path / "index.ssi")
+    idx.save_ssi(p)
+    # independent structural parse per ssi.h:459-484
+    with gzip.open(p, "rb") as f:
+        total_ids, nms = struct.unpack("<QQ", f.read(16))
+        assert total_ids == 60 and nms == len(idx.keys)
+        map_counts = [struct.unpack("<Q", f.read(8))[0]
+                      for _ in range(nms)]
+        assert map_counts == [k.shape[1] for k in idx.keys]
+        rpr = [struct.unpack("<Q", f.read(8))[0] for _ in range(nms)]
+        assert rpr == list(idx.nperhashes)
+        ibk, locked = f.read(1)[0], f.read(1)[0]
+        assert ibk == 0 and locked == 0
+        for t in range(nms):
+            for _j in range(map_counts[t]):
+                sz = struct.unpack("<Q", f.read(8))[0]
+                for _k in range(sz):
+                    psz = struct.unpack("<Q", f.read(8))[0]
+                    f.read(4)                      # u32 key
+                    ids = np.frombuffer(f.read(4 * psz), "<u4")
+                    assert (np.diff(ids) > 0).all()
+        assert f.read() == b""
+    idx2 = LSHIndex.load_ssi(p)
+    ia, ib, c = idx.candidate_pairs(max_per_item=-1)
+    ia2, ib2, c2 = idx2.candidate_pairs(max_per_item=-1)
+    np.testing.assert_array_equal(ia, ia2)
+    np.testing.assert_array_equal(ib, ib2)
+    np.testing.assert_array_equal(c, c2)
+
+
+def test_lsh_ssi_bottomk_roundtrip(tmp_path):
+    rng = np.random.default_rng(8)
+    bk = [np.unique(rng.integers(0, 400, size=rng.integers(3, 25))
+                    .astype(np.uint64)) for _ in range(20)]
+    idx = LSHIndex.build(np.zeros((0, 0)), nLSH=3, bottomk=bk)
+    p = str(tmp_path / "bk.ssi")
+    idx.save_ssi(p)
+    idx2 = LSHIndex.load_ssi(p)
+    ia, ib, c = idx.candidate_pairs(max_per_item=-1)
+    ia2, ib2, c2 = idx2.candidate_pairs(max_per_item=-1)
+    np.testing.assert_array_equal(ia, ia2)
+    np.testing.assert_array_equal(ib, ib2)
+    np.testing.assert_array_equal(c, c2)
+
+
+def test_cli_index_save_load(tmp_path):
+    """--index-save then --index-load through the CLI: identical KNN
+    output, for both the native and the reference (.ssi) layouts."""
+    import random
+
+    from dashing2_tpu.cli import main
+    random.seed(21)
+    paths = []
+    base = "".join(random.choice("ACGT") for _ in range(2500))
+    for i in range(8):
+        p = str(tmp_path / f"g{i}.fa")
+        s = list(base)
+        for _ in range(i * 60):
+            s[random.randrange(len(s))] = random.choice("ACGT")
+        with open(p, "w") as f:
+            f.write(f">g{i}\n{''.join(s)}\n")
+        paths.append(p)
+    for suffix in ("idx.gz", "idx.ssi"):
+        ipath = str(tmp_path / f"knn.{suffix}")
+        o1 = str(tmp_path / f"a_{suffix}.knn")
+        o2 = str(tmp_path / f"b_{suffix}.knn")
+        assert main(["cmp", "-k", "21", "-S", "128", "--topk", "3",
+                     "--index-save", ipath, "--cmpout", o1] + paths) == 0
+        assert os.path.getsize(ipath) > 0
+        assert main(["cmp", "-k", "21", "-S", "128", "--topk", "3",
+                     "--index-load", ipath, "--cmpout", o2] + paths) == 0
+        assert open(o1, "rb").read() == open(o2, "rb").read()
