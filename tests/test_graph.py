@@ -266,6 +266,46 @@ def test_dedup_batched_rounds_match_serial(fixtures, tmp_path):
         assert cons1 == cons2, exhaustive
 
 
+def test_dedup_chunk_size_invariance_uncapped(tmp_path, monkeypatch):
+    """VERDICT r4 item 8: in the UNCAPPED regime (per-item candidate
+    cap not binding) the clustering is invariant across
+    DASHING2_TPU_DEDUP_CHUNK — a clustered 64-item corpus (8 families
+    x 8 mutated copies) produces the identical (ids, constituents)
+    for chunks 1, 3, 17, 64 and 1024. The capped-regime envelope is
+    documented with a measured example in README ('dedup batching')."""
+    import random
+
+    import dashing2_tpu.cmp.graph as G
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.sketch.core import sketch_fastx
+
+    random.seed(13)
+    paths = []
+    for fam in range(8):
+        base = "".join(random.choice("ACGT") for _ in range(4000))
+        for rep in range(8):
+            s = list(base)
+            for _ in range(rep * 15):
+                s[random.randrange(len(s))] = random.choice("ACGT")
+            p = str(tmp_path / f"f{fam}r{rep}.fa")
+            with open(p, "w") as f:
+                f.write(f">f{fam}r{rep}\n{''.join(s)}\n")
+            paths.append(p)
+    opts = Dashing2DistOptions(k=21, sketchsize=256,
+                               min_similarity=0.85, maxcand=10_000)
+    result = sketch_fastx(opts, paths)
+    creps, result = C._prep(opts, result)
+    ref = None
+    for chunk in (1, 3, 17, 64, 1024):
+        monkeypatch.setenv("DASHING2_TPU_DEDUP_CHUNK", str(chunk))
+        got = G.dedup_core(opts, result, creps)
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, f"chunk={chunk} diverged"
+
+
 def test_lsh_intra_candidates_match_insert_query():
     """intra_candidates must find exactly the pairs that incremental
     insert-then-query would connect (same buckets)."""
