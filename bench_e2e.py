@@ -346,6 +346,63 @@ def bench_knn10k(d):
                  identical_outputs=True)
 
 
+def bench_knnquality(d):
+    """VERDICT r4 item 9: recall@10 + wall vs --nlsh and candidate
+    budget at the north-star width. Clustered synthetic signatures
+    (family centers with graded register mutation — random uniform
+    sigs have no neighbor structure to recall) against the exact
+    top-10 oracle from the full similarity matrix. Wall covers index
+    build + candidates + refine."""
+    from dashing2_tpu.cmp import core as C
+    from dashing2_tpu.cmp.graph import _index_source, _refine_lists
+    from dashing2_tpu.config import Dashing2DistOptions
+    from dashing2_tpu.result import SketchingResult
+
+    n = int(os.environ.get("DASHING2_TPU_BENCH_KNN_N", 10240))
+    m, k10 = 1024, 10
+    rng = np.random.default_rng(0xBEAD)
+    nf = max(16, n // 64)
+    centers = rng.random((nf, m)) + 0.5
+    fam = rng.integers(0, nf, n)
+    rate = rng.uniform(0.02, 0.6, n)
+    sigs = centers[fam].copy()
+    mut = rng.random((n, m)) < rate[:, None]
+    sigs[mut] = rng.random(int(mut.sum())) + 0.5
+    res = SketchingResult(names=[f"g{i}" for i in range(n)])
+    res.signatures = sigs
+    res.cardinalities = rng.random(n) * 1e6 + 10.0
+    opts = Dashing2DistOptions(k=31, sketchsize=m, num_neighbors=k10)
+    creps, res = C._prep(opts, res)
+    exact = np.zeros((n, k10), np.int64)
+    t0 = time.perf_counter()
+    for start, blk in C.pairwise_matrix(opts, res):
+        blk = np.asarray(blk, np.float32).copy()
+        b = blk.shape[0]
+        blk[np.arange(b), np.arange(start, start + b)] = -np.inf
+        exact[start:start + b] = np.argpartition(
+            -blk, k10, axis=1)[:, :k10]
+    t_exact = time.perf_counter() - t0
+    exact_sets = [set(r.tolist()) for r in exact]
+    table = {}
+    for nlsh in (1, 2, 3):
+        qopts = Dashing2DistOptions(k=31, sketchsize=m,
+                                    num_neighbors=k10, nLSH=nlsh)
+        for ncand in (11, 35, 70, 140):
+            t0 = time.perf_counter()
+            idx = _index_source(qopts, res, creps)
+            ia, ib, _c = idx.candidate_pairs(max_per_item=ncand)
+            lists = _refine_lists(qopts, res, creps, ia, ib)
+            wall = time.perf_counter() - t0
+            rec = np.mean([
+                len(set(nb for _v, nb in lst[:k10]) & exact_sets[i])
+                / k10 for i, lst in enumerate(lists)])
+            table[f"nlsh{nlsh}_cand{ncand}"] = {
+                "recall_at_10": round(float(rec), 4),
+                "seconds": round(wall, 3)}
+    return _emit("knn-quality-curve", n=n,
+                 seconds_exact_oracle=round(t_exact, 3), **table)
+
+
 def bench_dist2(d):
     """N>=2 hosts line (BASELINE.md north-star: "pairs/sec measured at
     1 chip, 1 host, and N>=2 hosts"): TWO real jax.distributed
@@ -408,7 +465,8 @@ ALL = {
     "refine": bench_refine_exact,
 }
 EXTRA = {"northstar": bench_northstar, "dist2": bench_dist2,
-         "blockpath": bench_blockpath, "knn10k": bench_knn10k}
+         "blockpath": bench_blockpath, "knn10k": bench_knn10k,
+         "knnquality": bench_knnquality}
 
 
 def main():
