@@ -116,10 +116,12 @@ class _RequestContext:
                 self.saved_cwd = None
         env = self.payload.get("env") or {}
         for k in list(os.environ):
-            if k.startswith(_ENV_PREFIXES) and k not in env:
+            if k.startswith(_ENV_PREFIXES) and k not in env \
+                    and k != "DASHING2_TPU_RESIDENT":
                 self.saved_env[k] = os.environ.pop(k)
         for k, v in env.items():
-            if k.startswith(_ENV_PREFIXES) and k != "DASHING2_TPU_DAEMON":
+            if k.startswith(_ENV_PREFIXES) and k not in (
+                    "DASHING2_TPU_DAEMON", "DASHING2_TPU_RESIDENT"):
                 self.saved_env.setdefault(k, os.environ.get(k))
                 os.environ[k] = v
         return self
@@ -156,6 +158,10 @@ def serve_main(socket_path: str, max_requests: int = 0,
     import shlex
     from .cli import main as cli_main
     os.environ.pop("DASHING2_TPU_DAEMON", None)   # no self-dispatch
+    # resident marker: engine routing picks compile-heavier/faster-run
+    # variants (e.g. the 'rot' OPH engine) since compiles amortize
+    # across jobs here (sketch/core._auto_device_engine)
+    os.environ["DASHING2_TPU_RESIDENT"] = "1"
     for spec in warm or ():
         argv = shlex.split(spec)
         if verbose:

@@ -681,6 +681,22 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
     return res
 
 
+def _auto_device_engine() -> str:
+    """Device OPH engine for 'auto' dispatch on an accelerator backend.
+
+    'sort' for one-shot CLI processes: it ties dense at runtime with
+    ~5x less compile (15 s vs 77-150 s on the remote v5e). Inside a
+    RESIDENT worker (`serve`, DASHING2_TPU_RESIDENT — compiles
+    amortize across jobs) the 'rot' engine wins instead: measured
+    18.0 ms vs sort's 28.3 per (256, 32768) batch (r4s3_rot_issue.py,
+    4 independent accumulator trees), it just loses on cold compile
+    (449 s cold / 66 s when the server compile cache is warm).
+    VERDICT r4 item 10."""
+    if os.environ.get("DASHING2_TPU_RESIDENT") == "1":
+        return "rot"
+    return "sort"
+
+
 def _exact128_keys(opts: Dashing2Options) -> bool:
     """True when exact-set keys are full 128-bit (--long-kmers with a
     DNA alphabet — the same gate as hkw['use128']); the .kmerset128
@@ -934,7 +950,8 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
             except Exception:
                 native_lib = None  # no toolchain: device dispatch below
         if engine == "auto" or (engine == "native" and native_lib is None):
-            engine = "sort" if jax.default_backend() != "cpu" else ""
+            engine = (_auto_device_engine()
+                      if jax.default_backend() != "cpu" else "")
         # an EXPLICIT engine request routes through the device-dispatch
         # path even on the CPU backend (tests drive the multichip
         # sharded dispatch this way; unset means backend default)

