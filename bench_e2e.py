@@ -346,6 +346,73 @@ def bench_knn10k(d):
                  identical_outputs=True)
 
 
+def bench_northstar_daemon(d):
+    """VERDICT r4 item 3 validation: the north-star job through a
+    `serve --warm` resident worker. The worker precompiles the compare
+    program set at startup (cmp --warm-only 10240 under the job's
+    flags); the client is the zero-import dashing2_tpu/client.py (no
+    jax import), so the measured client wall IS the job wall. Done
+    criterion: process-cold-through-daemon ~= in-process warm."""
+    import subprocess
+
+    import dashing2_tpu
+    n = int(os.environ.get("DASHING2_TPU_BENCH_NS_N", 10240))
+    length = 50000
+    fas = _gen_fastas(os.path.join(d, "ns"), n, length, seed=11)
+    lst = os.path.join(d, "ns.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(fas) + "\n")
+    pkg = os.path.dirname(os.path.abspath(dashing2_tpu.__file__))
+    sock = os.path.join(d, "d2.sock")
+    jobflags = ["-S", "1024", "-k", "31", "--fastcmp", "0.5",
+                "--bbit-sigs"]
+    t0 = time.perf_counter()
+    worker = subprocess.Popen(
+        [sys.executable, "-m", "dashing2_tpu.cli", "serve", "--socket",
+         sock, "-v", "--warm",
+         f"cmp --warm-only {n} " + " ".join(jobflags)])
+    try:
+        import socket as _socket
+        import struct as _struct
+        for _ in range(2400):      # warm compile can take minutes cold
+            if os.path.exists(sock):
+                try:
+                    s = _socket.socket(_socket.AF_UNIX,
+                                       _socket.SOCK_STREAM)
+                    s.connect(sock)
+                    msg = b'{"op": "ping"}'
+                    s.sendall(_struct.pack("!I", len(msg)) + msg)
+                    s.recv(4)
+                    s.close()
+                    break
+                except OSError:
+                    pass
+            time.sleep(0.5)
+        else:
+            raise RuntimeError("worker did not come up")
+        warmup_wall = time.perf_counter() - t0
+        walls = {}
+        for tag in ("daemon_cold_client", "daemon_second_job"):
+            out = os.path.join(d, f"{tag}.bin")
+            env = dict(os.environ)
+            env["DASHING2_TPU_DAEMON"] = sock
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [sys.executable, os.path.join(pkg, "client.py"),
+                 "sketch"] + jobflags
+                + ["--binary-output", "--cmpout", out, "-F", lst],
+                env=env)
+            walls[tag] = time.perf_counter() - t0
+            assert r.returncode == 0
+            assert os.path.getsize(out) == 4 * n * (n - 1) // 2
+    finally:
+        worker.terminate()
+        worker.wait(timeout=60)
+    return _emit("northstar-daemon", n=n,
+                 worker_warmup_s=round(warmup_wall, 3),
+                 **{k: round(v, 3) for k, v in walls.items()})
+
+
 def bench_knnquality(d):
     """VERDICT r4 item 9: recall@10 + wall vs --nlsh and candidate
     budget at the north-star width. Clustered synthetic signatures
@@ -466,7 +533,8 @@ ALL = {
 }
 EXTRA = {"northstar": bench_northstar, "dist2": bench_dist2,
          "blockpath": bench_blockpath, "knn10k": bench_knn10k,
-         "knnquality": bench_knnquality}
+         "knnquality": bench_knnquality,
+         "nsdaemon": bench_northstar_daemon}
 
 
 def main():
