@@ -346,6 +346,33 @@ def bench_knn10k(d):
                  identical_outputs=True)
 
 
+def bench_contain(d):
+    """contain screening throughput (mash-screen role,
+    contain_main.cpp:76-114): build a --save-kmers db over BENCH_N
+    references, then screen a multi-hundred-MB query stream; reports
+    screened Mbases/s (round-5 producer/consumer native-reader
+    pipeline)."""
+    from dashing2_tpu.cli import main
+    nref = min(N, 64)
+    fas = _gen_fastas(os.path.join(d, "cdb"), nref, LEN)
+    db = os.path.join(d, "screen")
+    rc = main(["sketch", "-k", "31", "-S", "1024", "--save-kmers",
+               "-o", db] + fas)
+    assert rc == 0
+    qn = max(4, min(N // 8, 32))
+    qfas = _gen_fastas(os.path.join(d, "cq"), qn, LEN, seed=5)
+    out = os.path.join(d, "contain.bin")
+    t0 = time.perf_counter()
+    rc = main(["contain", "--binary-output", "--cmpout", out,
+               db + ".kmer64"] + qfas)
+    dt = time.perf_counter() - t0
+    assert rc == 0
+    qbases = qn * LEN
+    return _emit("contain-screen", nref=nref, nquery=qn,
+                 seconds=round(dt, 3),
+                 screened_mbases_per_s=round(qbases / dt / 1e6, 2))
+
+
 def bench_northstar_daemon(d):
     """VERDICT r4 item 3 validation: the north-star job through a
     `serve --warm` resident worker. The worker precompiles the compare
@@ -534,7 +561,8 @@ ALL = {
 EXTRA = {"northstar": bench_northstar, "dist2": bench_dist2,
          "blockpath": bench_blockpath, "knn10k": bench_knn10k,
          "knnquality": bench_knnquality,
-         "nsdaemon": bench_northstar_daemon}
+         "nsdaemon": bench_northstar_daemon,
+         "contain": bench_contain}
 
 
 def main():

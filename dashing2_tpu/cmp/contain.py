@@ -67,63 +67,77 @@ def contain_main(a) -> int:
     nq = len(queries)
     coverage = np.zeros((nq, nitems), np.float32)
     depth = np.zeros((nq, nitems), np.float32)
-    for qi, q in enumerate(queries):
-        # stream reads in bounded code batches (the reference's
-        # FastxParser thread pipeline bounds memory the same way,
-        # contain_main.cpp:76-114)
-        hv_parts: List[np.ndarray] = []
-        codes = []
-        pending = 0
 
-        def flush_codes():
-            nonlocal codes, pending
-            if not codes:
-                return
-            chunks, _ = K.chunk_codes(codes, db.k, chunk_len=1 << 15,
-                                      w=db.w if db.w > db.k else 0)
-            h, v = _hash_chunk_batch(jnp.asarray(chunks),
-                                     jnp.zeros(1, jnp.uint64),
-                                     use_filterset=False, **hkw)
-            h, v = jax.device_get((h, v))
-            hv_parts.append(h[v])
-            codes, pending = [], 0
+    # producer/consumer screening (round 5, the reference's threaded
+    # FastxParser pipeline at contain_main.cpp:76-114): the NATIVE
+    # reader encodes record batches in a prefetch thread while this
+    # thread chunk-packs, hashes (device work on an accelerator
+    # backend), and accumulates — bounded at ~32 MB of codes in flight
+    # per side.
+    from ..io.prefetch import prefetch
 
-        for path in q.split():
-            for _, seq in fastx.read_fastx(path):
-                c = K.encode_ascii(seq, db.alphabet)
-                codes.append(c)
-                pending += len(c)
-                if pending >= (64 << 20):
-                    flush_codes()
-        flush_codes()
-        if hv_parts:
-            hv = np.concatenate(hv_parts)
-            # distinct query k-mers + multiplicities that hit the db
-            uniq, counts = np.unique(hv, return_counts=True)
-            pos = np.searchsorted(sorted_kmers, uniq)
-            pos = np.minimum(pos, len(sorted_kmers) - 1)
-            hit = sorted_kmers[pos] == uniq
-            uniq, counts, pos = uniq[hit], counts[hit], pos[hit]
-            # expand each hit k-mer to all its owners (vectorized ragged
-            # range expansion instead of a per-hit loop)
-            hi = np.searchsorted(sorted_kmers, uniq, side="right")
-            lens = hi - pos
-            total = int(lens.sum())
-            if total:
-                starts = np.repeat(pos, lens)
-                within = np.arange(total) - np.repeat(
-                    np.cumsum(lens) - lens, lens)
-                owners_u = sorted_owners[starts + within]
-                matches = np.bincount(owners_u, minlength=nitems)
-                matchsums = np.bincount(
-                    owners_u, weights=np.repeat(counts, lens).astype(
-                        np.float64), minlength=nitems)
-            else:
-                matches = np.zeros(nitems, np.int64)
-                matchsums = np.zeros(nitems, np.float64)
-            nz = matches > 0
-            coverage[qi, nz] = matches[nz] / sketchsize
-            depth[qi, nz] = matchsums[nz] / matches[nz]
+    def _code_batches():
+        for qi, q in enumerate(queries):
+            codes: List[np.ndarray] = []
+            pending = 0
+            for path in q.split():
+                for _name, c in fastx.read_encoded(path, db.alphabet):
+                    codes.append(c)
+                    pending += len(c)
+                    if pending >= (32 << 20):
+                        yield qi, codes
+                        codes, pending = [], 0
+            yield qi, codes     # possibly empty: marks the query seen
+
+    def _finalize(qi: int, hv_parts: List[np.ndarray]):
+        if not hv_parts:
+            return
+        hv = np.concatenate(hv_parts)
+        # distinct query k-mers + multiplicities that hit the db
+        uniq, counts = np.unique(hv, return_counts=True)
+        pos = np.searchsorted(sorted_kmers, uniq)
+        pos = np.minimum(pos, len(sorted_kmers) - 1)
+        hit = sorted_kmers[pos] == uniq
+        uniq, counts, pos = uniq[hit], counts[hit], pos[hit]
+        # expand each hit k-mer to all its owners (vectorized ragged
+        # range expansion instead of a per-hit loop)
+        hi = np.searchsorted(sorted_kmers, uniq, side="right")
+        lens = hi - pos
+        total = int(lens.sum())
+        if total:
+            starts = np.repeat(pos, lens)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(lens) - lens, lens)
+            owners_u = sorted_owners[starts + within]
+            matches = np.bincount(owners_u, minlength=nitems)
+            matchsums = np.bincount(
+                owners_u, weights=np.repeat(counts, lens).astype(
+                    np.float64), minlength=nitems)
+        else:
+            matches = np.zeros(nitems, np.int64)
+            matchsums = np.zeros(nitems, np.float64)
+        nz = matches > 0
+        coverage[qi, nz] = matches[nz] / sketchsize
+        depth[qi, nz] = matchsums[nz] / matches[nz]
+
+    cur = -1
+    hv_parts: List[np.ndarray] = []
+    for qi, codes in prefetch(_code_batches(), depth=2):
+        if qi != cur:
+            if cur >= 0:
+                _finalize(cur, hv_parts)
+            cur, hv_parts = qi, []
+        if not codes:
+            continue
+        chunks, _ = K.chunk_codes(codes, db.k, chunk_len=1 << 15,
+                                  w=db.w if db.w > db.k else 0)
+        h, v = _hash_chunk_batch(jnp.asarray(chunks),
+                                 jnp.zeros(1, jnp.uint64),
+                                 use_filterset=False, **hkw)
+        h, v = jax.device_get((h, v))
+        hv_parts.append(h[v])
+    if cur >= 0:
+        _finalize(cur, hv_parts)
     # the reference's contain writes its matrix to -o (contain_main.cpp
     # "-o" handling); accept --cmpout as an alias
     outpath = a.cmpout or getattr(a, "outfile", None) or ""
