@@ -890,13 +890,13 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
     kres = opts.kmer_result
 
     if opts.sspace == SketchSpace.SPACE_EDIT_DISTANCE:
-        # OrderMinHash signatures over raw sequences
-        from .omh import omh_sketch
-        sigs = np.zeros((n, m), dtype=np.uint64)
-        for i, it in enumerate(items):
-            allcodes = (np.concatenate(it.codes) if it.codes
-                        else np.zeros(0, np.uint8))
-            sigs[i] = omh_sketch(allcodes, opts.k, m)
+        # OrderMinHash signatures over raw sequences, batched by length
+        # bucket (one vmapped dispatch per bucket — a by-seq corpus of
+        # short reads previously paid one device call per sequence)
+        from .omh import omh_sketch_many
+        allcodes = [(np.concatenate(it.codes) if it.codes
+                     else np.zeros(0, np.uint8)) for it in items]
+        sigs = omh_sketch_many(allcodes, opts.k, m)
         res.signatures = sigs.view(np.float64)
         res.cardinalities = np.array(
             [sum(len(c) for c in it.codes) for it in items], np.float64)
