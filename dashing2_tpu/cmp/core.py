@@ -99,6 +99,26 @@ def make_compressed(opts: Dashing2DistOptions, sigs: np.ndarray,
                     0, int(q) + 1).astype(np.int64)
         return CompressedReps(v.astype(dt), a=a, b=b, truncation=0)
     # b-bit truncation (cmp_core.cpp:293-320)
+    if fd == 0.5:
+        # fused native reg2sig+nibble-pack when the toolchain is up
+        # (bit-identical; the numpy chain cost 0.85 s of the
+        # north-star's 11 s warm wall), numpy otherwise
+        src = (kmers.astype(np.uint64)
+               if kmers is not None and kmers.size == nsigs
+               else sigs.view(np.uint64).reshape(sigs.shape))
+        xorv = (0 if kmers is not None and kmers.size == nsigs
+                else H.REG2SIG_XOR)
+        nat = _native_helper()
+        if nat is not None:
+            import ctypes
+            flat = np.ascontiguousarray(src).reshape(-1)
+            packed = np.empty((flat.size + 1) // 2, np.uint8)
+            nat.reg2sig_nibble(
+                flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                flat.size, xorv & 0xFFFFFFFFFFFFFFFF,
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            return CompressedReps(packed.reshape(sigs.shape[0], -1),
+                                  truncation=1, nibble_packed=True)
     if kmers is not None and kmers.size == nsigs:
         sig64 = H.wanghash(kmers.astype(np.uint64))
     else:
@@ -952,11 +972,36 @@ def _pack_tri_counts_fn(n: int, block: int, bits: int):
     return jax.jit(f)
 
 
+def _native_helper():
+    """The native perf-helper lib (oph_sketch.cpp's reg2sig_nibble /
+    unpack_counts24 entries); None when the toolchain is unavailable
+    (numpy fallbacks stay bit-identical)."""
+    from .. import native as _nat
+    try:
+        lib = _nat.load_oph_lib()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "unpack_counts24"):
+        return None
+    return lib
+
+
 def _unpack_tri_counts(buf: np.ndarray, bits: int,
                        total: int) -> np.ndarray:
     """Host inverse of _pack_tri_counts_fn: three concatenated byte
-    planes (3T/2,) u8 -> (total,) u16."""
+    planes (3T/2,) u8 -> (total,) u16. Native single pass when the
+    toolchain is up (the numpy strided-store form measured 1.3 s for
+    57M counts on the north-star wall)."""
     t2 = buf.shape[0] // 3
+    nat = _native_helper()
+    if nat is not None:
+        import ctypes
+        buf = np.ascontiguousarray(buf)
+        out = np.empty(t2 * 2, np.uint16)
+        nat.unpack_counts24(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t2,
+            bits, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        return out[:total]
     x = buf[:t2].astype(np.uint32) \
         | (buf[t2:2 * t2].astype(np.uint32) << np.uint32(8)) \
         | (buf[2 * t2:].astype(np.uint32) << np.uint32(16))

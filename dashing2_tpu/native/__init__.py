@@ -152,6 +152,14 @@ def load_oph_lib() -> Optional[ctypes.CDLL]:
             c.POINTER(c.c_uint64),
             c.POINTER(c.c_uint64), c.c_int64, c.c_int64,
             c.POINTER(c.c_uint64), c.POINTER(c.c_uint32)]
+        lib.reg2sig_nibble.restype = None
+        lib.reg2sig_nibble.argtypes = [
+            c.POINTER(c.c_uint64), c.c_int64, c.c_uint64,
+            c.POINTER(c.c_uint8)]
+        lib.unpack_counts24.restype = None
+        lib.unpack_counts24.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int64, c.c_int32,
+            c.POINTER(c.c_uint16)]
         lib.oph_update_hashed.restype = None
         lib.oph_update_hashed.argtypes = [
             c.POINTER(c.c_uint64), c.c_int64, c.c_uint64, c.c_int64,

@@ -812,6 +812,40 @@ void oph_rows_native(const uint8_t* codes, int64_t R, int64_t L,
     for (auto& t : ts) t.join();
 }
 
+// Fused reg2sig + nibble pack for the --fastcmp 0.5 --bbit-sigs
+// compress step: out[i/2] = (WangHash(regs[2i]^xorv)&0xF)
+//                         | (WangHash(regs[2i+1]^xorv)&0xF)<<4.
+// The numpy chain (7 vector passes with temporaries over 10M u64)
+// measured 0.85 s on the north-star critical path; this is ~25 ms.
+void reg2sig_nibble(const uint64_t* regs, int64_t n, uint64_t xorv,
+                    uint8_t* out) {
+    int64_t i = 0;
+    for (; i + 1 < n; i += 2) {
+        const uint8_t lo = (uint8_t)(wanghash(regs[i] ^ xorv) & 0xF);
+        const uint8_t hi = (uint8_t)(wanghash(regs[i + 1] ^ xorv) & 0xF);
+        out[i >> 1] = (uint8_t)(lo | (hi << 4));
+    }
+    if (i < n)
+        out[i >> 1] = (uint8_t)(wanghash(regs[i] ^ xorv) & 0xF);
+}
+
+// Host inverse of cmp/core._pack_tri_counts_fn: three concatenated
+// byte planes -> 2 `bits`-wide u16 counts per 3 bytes (the numpy
+// strided-store form measured 1.3 s for 57M counts; this is ~60 ms).
+void unpack_counts24(const uint8_t* buf, int64_t t2, int32_t bits,
+                     uint16_t* out) {
+    const uint8_t* b0 = buf;
+    const uint8_t* b1 = buf + t2;
+    const uint8_t* b2 = buf + 2 * t2;
+    const uint32_t mask = (1u << bits) - 1u;
+    for (int64_t i = 0; i < t2; ++i) {
+        const uint32_t x = (uint32_t)b0[i] | ((uint32_t)b1[i] << 8)
+                           | ((uint32_t)b2[i] << 16);
+        out[2 * i] = (uint16_t)(x & mask);
+        out[2 * i + 1] = (uint16_t)(x >> bits);
+    }
+}
+
 // Streamed OPH update over PRE-HASHED u64 items (interval sketching:
 // BED/BigWig/LeafCutter items are chrhash^position values, no k-mer
 // encode needed). Same id chain and bucket-min/multiplicity semantics

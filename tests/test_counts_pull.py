@@ -200,3 +200,38 @@ def test_cli_fastcmp_routes_byte_identical(monkeypatch, tmp_path):
             assert rc == 0
             outs[mode] = open(out, "rb").read()
         assert outs["0"] == outs["force"], extra
+
+
+def test_native_helpers_match_numpy():
+    """reg2sig_nibble / unpack_counts24 native helpers are bit-identical
+    to the numpy forms they replace."""
+    from dashing2_tpu import hashing as H
+    from dashing2_tpu.cmp.core import _native_helper
+    nat = _native_helper()
+    if nat is None:
+        pytest.skip("native toolchain unavailable")
+    import ctypes
+    rng = np.random.default_rng(3)
+    # reg2sig + nibble pack
+    regs = rng.integers(0, 1 << 63, size=4096, dtype=np.uint64)
+    sig64 = H.reg2sig(regs)
+    want = ((sig64[0::2] & np.uint64(0xF))
+            | ((sig64[1::2] & np.uint64(0xF)) << np.uint64(4))
+            ).astype(np.uint8)
+    got = np.empty(2048, np.uint8)
+    nat.reg2sig_nibble(
+        regs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), 4096,
+        H.REG2SIG_XOR, got.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert np.array_equal(got, want)
+    # 24-bit pair unpack
+    bits = 11
+    t2 = 5000
+    vals = rng.integers(0, 1 << bits, size=2 * t2, dtype=np.uint32)
+    x = vals[0::2] | (vals[1::2] << np.uint32(bits))
+    buf = np.concatenate([(x & 0xFF), ((x >> 8) & 0xFF),
+                          ((x >> 16) & 0xFF)]).astype(np.uint8)
+    out = np.empty(2 * t2, np.uint16)
+    nat.unpack_counts24(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t2, bits,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    assert np.array_equal(out, vals.astype(np.uint16))
