@@ -532,8 +532,15 @@ static void sketch_row_generic(const Params& p, const uint8_t* row,
         std::fill(keep, keep + nown, 1);
     }
     const uint64_t* ids = s.vals.data();
+    // admission cutoff (same trick as the DNA fast path): an id
+    // strictly above max(regs) can't update or tie any register, so
+    // it skips the whole liveness/filterset chain. Refreshed per
+    // kBlock positions; stale values only admit extra candidates.
+    uint64_t cutoff = *std::max_element(regs, regs + p.m);
     for (int64_t t = 0; t < nown; ++t) {
-        if (!keep[t]) continue;
+        if ((t & (kBlock - 1)) == kBlock - 1)
+            cutoff = *std::max_element(regs, regs + p.m);
+        if (ids[t] > cutoff || !keep[t]) continue;
         const int64_t i = lo + t;
         if (!clean && s.run[i + vspan - 1] < vspan) continue;
         if (use_sel && !s.sel[i]) continue;
@@ -572,6 +579,15 @@ static void sketch_row_dna(const Params& p, const uint8_t* row,
         const bool use_sel = p.w > p.k;
         if (use_sel) minimizer_select(p, s, clean);
         const int64_t Lk = p.L - k;
+        // bucket-min admission cutoff: an id STRICTLY above max(regs)
+        // can neither lower any register nor tie one (counts), so it
+        // folds into the vector liveness mask and never reaches the
+        // scalar phase. The cutoff is refreshed per kBlock (m loads
+        // per 1024 positions); staleness is safe — max(regs) only
+        // decreases, so a stale cutoff only admits extra candidates.
+        // After ~m*ln(npos/m) updates almost every position skips:
+        // measured 10 -> ~6 ns/base on the north-star shape.
+        uint64_t cutoff = *std::max_element(regs, regs + p.m);
         for (int64_t b0 = lo; b0 < hi; b0 += kBlock) {
             const int n = (int)std::min<int64_t>(kBlock, hi - b0);
 #ifdef D2_OPH_AVX512
@@ -619,6 +635,9 @@ static void sketch_row_dna(const Params& p, const uint8_t* row,
                 if (p.downsample)
                     mk &= _mm512_cmplt_epu64_mask(
                         wanghash8(_mm512_xor_si512(hashed, vsalt)), vthr);
+                // admission cutoff: id > max(regs) can't update or tie
+                mk &= _mm512_cmple_epu64_mask(
+                    id, _mm512_set1_epi64((long long)cutoff));
                 s.live[t >> 3] = (uint8_t)mk;
             }
 #else
@@ -643,6 +662,7 @@ static void sketch_row_dna(const Params& p, const uint8_t* row,
                     if (p.downsample)
                         ok &= (uint8_t)(wanghash(hashed ^ p.ds_salt)
                                         < p.ds_threshold);
+                    ok &= (uint8_t)(s.ids[t + i] <= cutoff);
                     mk |= (uint8_t)(ok << i);
                 }
                 s.live[t >> 3] = mk;
@@ -654,25 +674,38 @@ static void sketch_row_dna(const Params& p, const uint8_t* row,
                     if (!s.sel[b0 + t])
                         s.live[t >> 3] &= (uint8_t)~(1u << (t & 7));
             }
-            // scalar phase: bucket-min (+ multiplicity) updates
+            // scalar phase: bucket-min (+ multiplicity) updates,
+            // iterating only the admitted candidates (ctz walk over
+            // the liveness bytes — after warm-up nearly every group
+            // byte is zero and the loop touches nothing)
+            const int ng = (n + 7) >> 3;
             if (cnts) {
-                for (int t = 0; t < n; ++t) {
-                    if (!(s.live[t >> 3] >> (t & 7) & 1)) continue;
-                    const uint64_t id = s.ids[t];
-                    const uint64_t b = pow2 ? (id & mmask)
-                                            : (id % (uint64_t)p.m);
-                    if (id < regs[b]) { regs[b] = id; cnts[b] = 1; }
-                    else if (id == regs[b]) ++cnts[b];
+                for (int g = 0; g < ng; ++g) {
+                    uint8_t mb = s.live[g];
+                    while (mb) {
+                        const int t = g * 8 + __builtin_ctz(mb);
+                        mb = (uint8_t)(mb & (mb - 1));
+                        const uint64_t id = s.ids[t];
+                        const uint64_t b = pow2 ? (id & mmask)
+                                                : (id % (uint64_t)p.m);
+                        if (id < regs[b]) { regs[b] = id; cnts[b] = 1; }
+                        else if (id == regs[b]) ++cnts[b];
+                    }
                 }
             } else {
-                for (int t = 0; t < n; ++t) {
-                    if (!(s.live[t >> 3] >> (t & 7) & 1)) continue;
-                    const uint64_t id = s.ids[t];
-                    const uint64_t b = pow2 ? (id & mmask)
-                                            : (id % (uint64_t)p.m);
-                    if (id < regs[b]) regs[b] = id;
+                for (int g = 0; g < ng; ++g) {
+                    uint8_t mb = s.live[g];
+                    while (mb) {
+                        const int t = g * 8 + __builtin_ctz(mb);
+                        mb = (uint8_t)(mb & (mb - 1));
+                        const uint64_t id = s.ids[t];
+                        const uint64_t b = pow2 ? (id & mmask)
+                                                : (id % (uint64_t)p.m);
+                        if (id < regs[b]) regs[b] = id;
+                    }
                 }
             }
+            cutoff = *std::max_element(regs, regs + p.m);
         }
     }
 }
