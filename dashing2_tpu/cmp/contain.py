@@ -25,7 +25,9 @@ from .. import hashing as H
 from ..config import Dashing2Options
 from ..io import fastx, formats
 from ..ops import kmers as K
-from ..sketch.core import _hash_chunk_batch, _hash_kwargs
+from ..sketch.core import (_hash_chunk_batch, _hash_kwargs,
+                           _native_hash_codes_list,
+                           _native_oph_supported)
 
 
 def contain_main(a) -> int:
@@ -120,6 +122,24 @@ def contain_main(a) -> int:
         coverage[qi, nz] = matches[nz] / sketchsize
         depth[qi, nz] = matchsums[nz] / matches[nz]
 
+    # host hashing via the native engine where supported: a remote
+    # accelerator round-trips the FULL (R, npos) u64 hash matrix per
+    # flush otherwise (measured 475 s to screen 32 MB of queries over
+    # the tunnel vs ~0.1 s native); the device path remains the
+    # fallback (and the CPU-backend jit is local anyway)
+    import os as _os
+    natlib = None
+    if _os.environ.get("DASHING2_TPU_CONTAIN_NATIVE", "1") != "0" \
+            and _native_oph_supported(hkw, use_fs=False):
+        from .. import native as _nat
+        try:
+            natlib = _nat.load_oph_lib()
+        except Exception:
+            natlib = None
+        if natlib is not None and not hasattr(natlib,
+                                              "hash_rows_native"):
+            natlib = None
+
     cur = -1
     hv_parts: List[np.ndarray] = []
     for qi, codes in prefetch(_code_batches(), depth=2):
@@ -128,6 +148,9 @@ def contain_main(a) -> int:
                 _finalize(cur, hv_parts)
             cur, hv_parts = qi, []
         if not codes:
+            continue
+        if natlib is not None:
+            hv_parts.append(_native_hash_codes_list(natlib, codes, hkw))
             continue
         chunks, _ = K.chunk_codes(codes, db.k, chunk_len=1 << 15,
                                   w=db.w if db.w > db.k else 0)

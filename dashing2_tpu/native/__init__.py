@@ -152,6 +152,16 @@ def load_oph_lib() -> Optional[ctypes.CDLL]:
             c.POINTER(c.c_uint64),
             c.POINTER(c.c_uint64), c.c_int64, c.c_int64,
             c.POINTER(c.c_uint64), c.POINTER(c.c_uint32)]
+        lib.hash_rows_native.restype = c.c_int64
+        lib.hash_rows_native.argtypes = [
+            c.POINTER(c.c_ubyte), c.c_int64, c.c_int64,
+            c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+            c.c_uint64, c.c_int32, c.c_uint64, c.c_uint64,
+            c.c_int32, c.c_int32, c.c_int32,
+            c.POINTER(c.c_int32), c.c_int32,
+            c.POINTER(c.c_uint64),
+            c.POINTER(c.c_uint64), c.c_int64, c.c_int64,
+            c.POINTER(c.c_uint64)]
         lib.reg2sig_nibble.restype = None
         lib.reg2sig_nibble.argtypes = [
             c.POINTER(c.c_uint64), c.c_int64, c.c_uint64,

@@ -845,6 +845,52 @@ void oph_rows_native(const uint8_t* codes, int64_t R, int64_t L,
     for (auto& t : ts) t.join();
 }
 
+// Compacted host k-mer hashing for screening (contain subcommand):
+// (R, L) code rows -> the valid scrambled k-mer hashes, concatenated.
+// Same encode/mask/minimizer/filterset/downsample semantics as the
+// sketch engines (whole rows owned outright — callers pass one record
+// per row). Replaces a device round trip that pulled the full
+// (R, npos) u64 hash matrix back over the ~15-37 MB/s tunnel
+// (measured 475 s to screen 32 MB of queries; this path is ~0.1 s).
+// out capacity must be >= R * (L - vspan + 1); returns the count.
+static int64_t hash_row_compact(const Params& p, const uint8_t* row,
+                                RowScratch& s, uint64_t* out) {
+    const int64_t vspan = p.vspan > 0 ? p.vspan : p.k;
+    const bool clean = memchr(row, kInvalid, (size_t)p.L) == nullptr;
+    if (!clean) {
+        s.run.assign(p.L + 8, 0);
+        int32_t run = 0;
+        for (int64_t i = 0; i < p.L; ++i) {
+            run = (row[i] == kInvalid) ? 0 : run + 1;
+            s.run[i] = run;
+        }
+    }
+    if (p.mode == MODE_DNA128 || p.mode == MODE_DNA)
+        pack_row(p, row, s);
+    const int64_t npos = compute_values(p, row, s, clean);
+    const bool use_sel = p.w > p.k;
+    if (use_sel) {
+        s.score.resize(npos);
+        for (int64_t i = 0; i < npos; ++i)
+            s.score[i] = (!clean && s.run[i + vspan - 1] < vspan)
+                ? kU64Max : s.vals[i];
+        select_from_scores(p, s, clean, npos);
+    }
+    int64_t nout = 0;
+    for (int64_t i = 0; i < npos; ++i) {
+        if (!clean && s.run[i + vspan - 1] < vspan) continue;
+        if (use_sel && !s.sel[i]) continue;
+        const uint64_t h = s.hashed[i];
+        if (p.downsample
+            && wanghash(h ^ p.ds_salt) >= p.ds_threshold) continue;
+        if (p.fs_len && std::binary_search(
+                p.filterset, p.filterset + p.fs_len, h))
+            continue;
+        out[nout++] = h;
+    }
+    return nout;
+}
+
 // Fused reg2sig + nibble pack for the --fastcmp 0.5 --bbit-sigs
 // compress step: out[i/2] = (WangHash(regs[2i]^xorv)&0xF)
 //                         | (WangHash(regs[2i+1]^xorv)&0xF)<<4.
@@ -905,6 +951,30 @@ void oph_update_hashed(const uint64_t* items, int64_t n,
             if (id < regs[b]) regs[b] = id;
         }
     }
+}
+
+// Screening hash entry (see hash_row_compact): returns the number of
+// hashes written to out (capacity R * (L - vspan + 1)).
+int64_t hash_rows_native(const uint8_t* codes, int64_t R, int64_t L,
+                         int32_t k, int32_t w, int32_t canon,
+                         int32_t seed_is_zero,
+                         uint64_t xormask, int32_t downsample,
+                         uint64_t ds_threshold, uint64_t ds_salt,
+                         int32_t mode, int32_t base, int32_t bits,
+                         const int32_t* offsets, int32_t noffsets,
+                         const uint64_t* roll_table,
+                         const uint64_t* filterset, int64_t fs_len,
+                         int64_t vspan, uint64_t* out) {
+    Params p{codes, R, L, k, w, canon != 0, seed_is_zero != 0,
+             downsample != 0, xormask, 0, ds_threshold, ds_salt,
+             0, L, 0, nullptr, nullptr,
+             mode, base, bits, offsets, noffsets, roll_table,
+             filterset, fs_len, vspan};
+    RowScratch s;
+    int64_t total = 0;
+    for (int64_t r = 0; r < R; ++r)
+        total += hash_row_compact(p, codes + r * L, s, out + total);
+    return total;
 }
 
 // File-driver entry: sketch `nitems` path groups straight from disk.

@@ -472,3 +472,21 @@ def test_presketched_panel_stacked(fixtures, tmp_path):
     mat = np.fromfile(out, np.float32).reshape(3, 2)  # 3 refs x 2 queries
     # second query IS fixtures[0] == first reference -> similarity 1
     assert mat[0, 1] == 1.0
+
+
+def test_contain_native_hash_matches_device(fixtures, tmp_path,
+                                            monkeypatch):
+    """The native host screening hash path (hash_rows_native) produces
+    byte-identical contain output to the device hashing path."""
+    sk = tmp_path / "cdb"
+    assert run_cli(["sketch", "-k", "21", "-S", "128", "--save-kmers",
+                    "-o", str(sk)] + fixtures) == 0
+    outs = []
+    for knob in ("1", "0"):
+        monkeypatch.setenv("DASHING2_TPU_CONTAIN_NATIVE", knob)
+        out = tmp_path / f"c{knob}.bin"
+        assert run_cli(["contain", "--binary-output", "--cmpout",
+                        str(out), str(sk) + ".kmer64", fixtures[0],
+                        fixtures[2]]) == 0
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1]
