@@ -500,6 +500,38 @@ def main():
             print("# native per-config Mbase/s/core: "
                   + ", ".join(f"{k}={v}" for k, v in rates.items()),
                   file=sys.stderr)
+            # round 5: the FILE-DRIVER engine (read + encode + sketch
+            # wholly in C++ — the production single-accelerator route)
+            # end-to-end from disk, 256 x 50 kb fixtures
+            import tempfile
+
+            from dashing2_tpu.config import Dashing2Options
+            from dashing2_tpu.sketch.core import sketch_fastx
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tests"))
+            from make_fixtures import make as _mkfix
+            fd_dir = tempfile.mkdtemp(prefix="d2fd")
+            fas = _mkfix(fd_dir, n_genomes=256, length=50000, seed=13)
+            fopts = Dashing2Options(k=31, sketchsize=m,
+                                    cache_sketches=False)
+            os.environ["DASHING2_TPU_NATIVE_FILES"] = "force"
+            try:
+                sketch_fastx(fopts, fas)     # page-cache warm
+                tfd = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    sketch_fastx(fopts, fas)
+                    tfd.append(time.perf_counter() - t0)
+                fr = 256 * 50000 / min(tfd)
+                extra["sketch_filedriver_mbase_per_sec"] = round(
+                    fr / 1e6, 1)
+                print(f"# file-driver sketch (read+encode+OPH from "
+                      f"disk): {min(tfd)*1e3:.0f} ms = {fr/1e6:.0f} "
+                      f"Mbase/s per core", file=sys.stderr)
+            finally:
+                os.environ.pop("DASHING2_TPU_NATIVE_FILES", None)
+                import shutil as _sh
+                _sh.rmtree(fd_dir, ignore_errors=True)
     except Exception as e:  # pragma: no cover
         print(f"# native sketch engine failed: {e}", file=sys.stderr)
 

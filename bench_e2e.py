@@ -168,14 +168,16 @@ def bench_northstar(d):
     `--fastcmp 0.5 --bbit-sigs` condensed f32 all-pairs, plus a greedy
     dedup of the same corpus. NOT in the default set (fixture
     generation alone writes ~520 MB); run with
-    `python bench_e2e.py northstar`. Measured 2026-08-19 on the remote
-    v5e (round 4): WARM repeat 18.3 s with trapezoid + 4-stream pulls;
-    process-cold 24.0-94.0 s depending on server-side compile-cache
-    state (the axon server reuses compiles across processes when its
-    cache is warm). Round 3: 108 s cold / 30.6 s warm pre-streams;
-    round 2: 380 s. One degraded-server episode measured 911 s cold
-    with warm still 28.2 s — the cold wall is server-side compile +
-    tunnel state, not this code path. Dedup timing in README.md."""
+    `python bench_e2e.py northstar`. Measured 2026-08-20 (round 5):
+    WARM repeat 10.3-11.4 s (file-driver native sketch 3.8-5.0 s +
+    packed-trapezoid counts pull 3.1-3.8 s + epilogue/emit ~1 s;
+    host-state variance +-30% on the shared 1-core VM), process-cold
+    43 s with a warm server compile cache; degraded compile-queue
+    episodes measured 676-1849 s cold with warm unaffected — absorb
+    them with `serve --warm` (bench nsdaemon: worker warmup 60 s,
+    then client jobs 16-27 s). History: round 4 18.3 s warm /
+    24-94 s cold; round 3 108 s; round 2 380 s. Dedup timing in
+    README.md."""
     import resource
 
     from dashing2_tpu import timing as T
