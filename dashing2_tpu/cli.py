@@ -379,6 +379,7 @@ def _load_presketched(opts: Dashing2DistOptions,
     result = SketchingResult()
     cards_all, sig_rows = [], []
     kmer_sets, kmer_counts = [], []
+    mmer_seqs = []
     items_per_path = []
     for path in groups:
         if path.endswith((".opss", ".ss", ".bmh", ".pmh")):
@@ -425,6 +426,41 @@ def _load_presketched(opts: Dashing2DistOptions,
             kmer_sets.append(np.sort(kmers))
             cards_all.append(np.array([float(len(kmers))]))
             items_per_path.append(1)
+        elif path.endswith((".mmerseq64", ".mmerseq128")):
+            # per-item cache artifact: the raw ordered token stream; a
+            # sibling <stem>kmercounts.f64 upgrades the load to a
+            # COUNTDICT over the same keys (cmp_main.cpp:335-351).
+            # .mmerseq128 tokens are little-endian u128 (full keys,
+            # like the exact sets)
+            import os as _os
+            if path.endswith(".mmerseq128"):
+                from . import u128 as _U
+                tokens = _U.read_file(path)
+                opts.use128 = True
+            else:
+                tokens = np.fromfile(path, dtype=np.uint64)
+            countg = path[:path.rfind(".")] + "kmercounts.f64"
+            if _os.path.isfile(countg):
+                counts = np.fromfile(countg, dtype=np.float64)
+                if len(counts) == len(tokens):
+                    # dict keys must be unique+sorted for the posting
+                    # joins; positional streams may repeat a token
+                    u, inv = np.unique(tokens, return_inverse=True)
+                    csum = np.zeros(len(u), np.float64)
+                    np.add.at(csum, inv, counts)
+                    opts.kmer_result = \
+                        KmerSketchResultType.FULL_MMER_COUNTDICT
+                    result.names.append(path)
+                    kmer_sets.append(u)
+                    kmer_counts.append(csum)
+                    cards_all.append(np.array([float(csum.sum())]))
+                    items_per_path.append(1)
+                    continue
+            opts.kmer_result = KmerSketchResultType.FULL_MMER_SEQUENCE
+            result.names.append(path)
+            mmer_seqs.append(tokens)
+            cards_all.append(np.array([float(len(tokens))]))
+            items_per_path.append(1)
         else:
             cards, sigs = formats.read_stacked_signatures(path)
             try:
@@ -442,6 +478,15 @@ def _load_presketched(opts: Dashing2DistOptions,
             opts.sketchsize = result.signatures.shape[1]
     if kmer_sets:
         result.kmer_sets = kmer_sets
+        if kmer_counts and len(kmer_counts) == len(kmer_sets):
+            result.kmer_set_counts = kmer_counts
+        opts.exact_kmer_dist = True
+    if mmer_seqs:
+        result.mmer_sequences = mmer_seqs
+        # the config coupling (__post_init__: kres >= FULL_MMER_SET =>
+        # exact span distances) ran before the suffix sniff flipped
+        # kmer_result — re-apply it so presketched streams compare
+        # exactly like the fresh-sketch path
         opts.exact_kmer_dist = True
     if nq_files:
         result.nq = int(sum(items_per_path[-nq_files:]))

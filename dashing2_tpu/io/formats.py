@@ -165,25 +165,43 @@ def read_kmer_db(path: str) -> KmerDB:
 
 def write_mmer_sequences(path: str, seqs: Sequence[np.ndarray], k: int,
                          w: int, alphabet: Alphabet, canon: bool) -> None:
+    """Stacked minimizer sequences. u128 token streams (--long-kmers
+    structured arrays) set header bit 9 and store little-endian u128
+    tokens (lo, hi words) — the same layout as .kmerset128."""
+    from .. import u128 as U
+    use128 = any(U.is_u128(s) for s in seqs)
     with open(path, "wb") as f:
         np.array([len(seqs)], dtype=np.uint64).tofile(f)
-        np.array([k, w, int(alphabet) | (int(canon) << 8)],
+        np.array([k, w,
+                  int(alphabet) | (int(canon) << 8)
+                  | (int(use128) << 9)],
                  dtype=np.uint32).tofile(f)
         np.array([len(s) for s in seqs], dtype=np.float64).tofile(f)
         for s in seqs:
-            np.ascontiguousarray(s, dtype=np.uint64).tofile(f)
+            if use128:
+                U.tofile_bytes(np.asarray(s, U.U128)).tofile(f)
+            else:
+                np.ascontiguousarray(s, dtype=np.uint64).tofile(f)
 
 
 def read_mmer_sequences(path: str):
+    from .. import u128 as U
     dat = np.memmap(path, np.uint8, mode="r")
     nseqs = int(dat[:8].view(np.uint64)[0])
     k, w, dt = (int(x) for x in dat[8:20].view(np.uint32))
+    use128 = bool(dt & 512)
     cards = dat[20:20 + 8 * nseqs].view(np.float64)
-    flat = np.array(dat[20 + 8 * nseqs:].view(np.uint64))
+    flat64 = np.array(dat[20 + 8 * nseqs:].view(np.uint64))
+    if use128:
+        pairs = flat64.reshape(-1, 2)       # (lo, hi) little-endian
+        flat = U.from_words(pairs[:, 1], pairs[:, 0])
+    else:
+        flat = flat64
     indptr = np.concatenate([[0], np.cumsum(cards.astype(np.uint64))])
     seqs = [flat[int(indptr[i]):int(indptr[i + 1])] for i in range(nseqs)]
     return {"k": k, "w": w, "canon": bool(dt & 256),
-            "alphabet": Alphabet(dt & 0xFF), "nseqs": nseqs, "seqs": seqs}
+            "alphabet": Alphabet(dt & 0xFF), "nseqs": nseqs,
+            "use128": use128, "seqs": seqs}
 
 
 # ----------------------------------------------------------------------

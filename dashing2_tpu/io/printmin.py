@@ -25,6 +25,24 @@ def printmin_main(path: str, out=None) -> int:
     out = out or sys.stdout
     data = formats.read_mmer_sequences(path)
     k, w = data["k"], data["w"]
+    if data.get("use128"):
+        # u128 tokens: per-word inverse maskfn (invmaskfn(u128),
+        # enums.h:149-153), exact DNA decode up to k=62
+        exact_dna = data["alphabet"] in (Alphabet.DNA, Alphabet.DNAC) \
+            and k <= 62
+        for seq in data["seqs"]:
+            hi = H.invmaskfn(np.asarray(seq["hi"], np.uint64),
+                             H.XORMASK2_HI)
+            lo = H.invmaskfn(np.asarray(seq["lo"], np.uint64))
+            if exact_dna:
+                out.write("\t".join(
+                    decode_kmer_dna((int(h) << 64) | int(x), k)
+                    for h, x in zip(hi, lo)))
+            else:
+                out.write("\t".join("%016x%016x" % (int(h), int(x))
+                                    for h, x in zip(hi, lo)))
+            out.write("\n")
+        return 0
     exact_dna = data["alphabet"] in (Alphabet.DNA, Alphabet.DNAC) and k <= 31
     for seq in data["seqs"]:
         vals = H.invmaskfn(np.asarray(seq, dtype=np.uint64))

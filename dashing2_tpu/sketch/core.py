@@ -599,7 +599,7 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                     loaded[i] = ("dict", float(counts.sum()),
                                  (kmers, counts))
             elif kres == KR.FULL_MMER_SEQUENCE:
-                seq = np.fromfile(dest, dtype=np.uint64)
+                seq = _read_kmer_set(opts, dest)
                 loaded[i] = ("seq", float(len(seq)), seq)
         except (OSError, ValueError):
             continue
@@ -673,7 +673,7 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                                     makedest(opts, groups[i], iskmer=True))
                     res.kmer_set_counts[i].astype(np.float64).tofile(dest)
                 else:
-                    res.mmer_sequences[i].tofile(dest)
+                    _write_kmer_set(res.mmer_sequences[i], dest)
                 res.destination_files.append(dest)
             except OSError:
                 pass
@@ -1142,21 +1142,44 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
     if kres == KmerSketchResultType.FULL_MMER_SEQUENCE:
         # ordered minimizer streams: the representation itself is the
         # full stream (kept per item; homopolymer compression applied
-        # at finalize)
+        # at finalize). --long-kmers keeps FULL 128-bit tokens
+        # (structured arrays, like the exact sets — the reference's
+        # mmer_edit_distance_f<u128_t>, wcompare.cpp:85)
+        from .. import u128 as U
+        seq128 = hkw["use128"]
         acc: List[List[np.ndarray]] = [[] for _ in range(n)]
         for chunks, ids in prefetch(_iter_chunk_batches(
                 opts, items_iter(), chunk_len, rows_per_batch)):
-            hashed, valid = _hash_chunk_batch(
-                jnp.asarray(chunks), fs_dev, use_filterset=use_fs, **hkw)
-            hashed, valid = jax.device_get((hashed, valid))
+            if seq128:
+                mhi, mlo, valid = _hash_chunk_batch128(
+                    jnp.asarray(chunks), fs_dev,
+                    k=hkw["k"], w=hkw["w"], canon=hkw["canon"],
+                    xormask=hkw["xormask"],
+                    xormask2_hi=opts.xormask2_hi,
+                    seed_is_zero=hkw["seed_is_zero"],
+                    downsample_threshold=hkw["downsample_threshold"],
+                    use_filterset=use_fs, chunk_len=hkw["chunk_len"])
+                mhi, mlo, valid = jax.device_get((mhi, mlo, valid))
+                hashed = None
+            else:
+                hashed, valid = _hash_chunk_batch(
+                    jnp.asarray(chunks), fs_dev, use_filterset=use_fs,
+                    **hkw)
+                hashed, valid = jax.device_get((hashed, valid))
             for row, item_id in enumerate(ids):
                 if item_id < 0:
                     continue
-                acc[item_id].append(hashed[row][valid[row]])
+                if seq128:
+                    v = valid[row]
+                    acc[item_id].append(
+                        U.from_words(mhi[row][v], mlo[row][v]))
+                else:
+                    acc[item_id].append(hashed[row][valid[row]])
         seqs = []
+        empty_dt = U.U128 if seq128 else np.uint64
         for parts in acc:
             hv = (np.concatenate(parts) if parts
-                  else np.zeros(0, dtype=np.uint64))
+                  else np.zeros(0, dtype=empty_dt))
             if opts.homopolymer_compress_minimizers and len(hv):
                 keep = np.concatenate([[True], hv[1:] != hv[:-1]])
                 hv = hv[keep]

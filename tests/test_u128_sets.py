@@ -179,3 +179,76 @@ def test_mod_u128_exact():
         got = U.mod_u128(arr, d)
         exp = [((int(h) << 64) | int(x)) % d for h, x in zip(hi, lo)]
         assert got.tolist() == exp
+
+
+def test_u128_mmer_sequences_end_to_end(tmp_path):
+    """--seq --long-kmers: full 128-bit minimizer tokens through
+    sketching, caches, presketched reload, stacked emit, and printmin
+    decode (the reference's mmer_edit_distance_f<u128_t> +
+    printminmain u128 path)."""
+    import io
+
+    paths = _write_corpus(tmp_path, n=3, length=2500, seed=7)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        args = ["cmp", "-k", "40", "-w", "60", "--seq", "--long-kmers",
+                "-W", "--cmpout"]
+        assert main(args + ["a.tsv"] + paths) == 0
+        caches = sorted(glob.glob("*.mmerseq128"))
+        assert len(caches) == 3
+        # tokens on disk are little-endian u128 (even u64 word count)
+        raw = np.fromfile(caches[0], np.uint64)
+        assert len(raw) % 2 == 0 and len(raw) > 0
+        tail = lambda p: [l.split("\t")[1:] for l          # noqa: E731
+                          in open(p).read().strip().split("\n")[3:]]
+        # cache-hit rerun and presketched reload both match
+        assert main(args + ["b.tsv"] + paths) == 0
+        assert tail("b.tsv") == tail("a.tsv")
+        assert main(["cmp", "--presketched", "--cmpout", "c.tsv"]
+                    + caches) == 0
+        assert tail("c.tsv") == tail("a.tsv")
+        # edit-distance measure over u128 tokens
+        assert main(["cmp", "-k", "40", "-w", "60", "--seq",
+                     "--long-kmers", "-W", "--compute-edit-distance",
+                     "--exact-kmer-dist", "--cmpout", "d.tsv"]
+                    + paths) == 0
+        assert len(tail("d.tsv")) == 3
+        # stacked emit + printmin: decoded 40-mers are real k-mers of
+        # the input (canonical: fwd or RC)
+        assert main(["sketch", "-k", "40", "-w", "60", "--seq",
+                     "--long-kmers", "-o", "stack.mseq"] + paths) == 0
+        from dashing2_tpu.io.printmin import printmin_main
+        buf = io.StringIO()
+        printmin_main("stack.mseq", out=buf)
+        lines = buf.getvalue().strip().split("\n")
+        assert len(lines) == 3
+        tok = lines[0].split("\t")[0]
+        assert len(tok) == 40 and set(tok) <= set("ACGT")
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rc = "".join(comp[c] for c in reversed(tok))
+        g0 = open(paths[0]).read().split("\n")[1]
+        assert tok in g0 or rc in g0
+    finally:
+        os.chdir(cwd)
+
+
+def test_presketched_mmerseq64_loader(tmp_path):
+    """.mmerseq64 cache artifacts load through --presketched with the
+    exact-span-distance coupling applied (cmp_main.cpp:335-342)."""
+    paths = _write_corpus(tmp_path, n=3, length=2500, seed=15)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        args = ["cmp", "-k", "21", "-w", "31", "--seq", "-W",
+                "--cmpout"]
+        assert main(args + ["a.tsv"] + paths) == 0
+        caches = sorted(glob.glob("*.mmerseq64"))
+        assert len(caches) == 3
+        assert main(["cmp", "--presketched", "--cmpout", "b.tsv"]
+                    + caches) == 0
+        tail = lambda p: [l.split("\t")[1:] for l          # noqa: E731
+                          in open(p).read().strip().split("\n")[3:]]
+        assert tail("b.tsv") == tail("a.tsv")
+    finally:
+        os.chdir(cwd)
