@@ -972,6 +972,47 @@ def _pack_tri_counts_fn(n: int, block: int, bits: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=64)
+def _pack_counts2d_fn(b: int, w: int, bits: int):
+    """Jitted (b, w) u16 counts -> 1-D u8 byte planes (2 counts per 3
+    bytes) — the generic-block form of _pack_tri_counts_fn, used by
+    the N>SELF_MAX row-block and panel counts routes. Same layout
+    contract as _unpack_tri_counts."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(cmat):
+        flat = cmat.reshape(-1)
+        if flat.shape[0] % 2:
+            flat = jnp.concatenate([flat, jnp.zeros(1, flat.dtype)])
+        v0 = flat[0::2].astype(jnp.uint32)
+        v1 = flat[1::2].astype(jnp.uint32)
+        x = v0 | (v1 << jnp.uint32(bits))
+        return jnp.concatenate([
+            (x & jnp.uint32(0xFF)).astype(jnp.uint8),
+            ((x >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.uint8),
+            ((x >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.uint8)])
+    return jax.jit(f)
+
+
+def _pack_block_counts(dev, post, m: int):
+    """Wrap a pending (device u16 counts block, host epilogue) pair so
+    only 1.5 B/count cross the tunnel: pack on device, unpack in the
+    wrapped epilogue. No-op (returns inputs) when count bits exceed
+    the 2x12-bit budget or DASHING2_TPU_PACK_PULL=0."""
+    import os
+    bits = int(m).bit_length()
+    if 2 * bits > 24 or os.environ.get("DASHING2_TPU_PACK_PULL",
+                                       "1") == "0":
+        return dev, post
+    b, w = int(dev.shape[0]), int(dev.shape[1])
+
+    def post2(buf, cs_off):
+        eqc = _unpack_tri_counts(buf, bits, b * w).reshape(b, w)
+        return post(eqc, cs_off)
+    return _pack_counts2d_fn(b, w, bits)(dev), post2
+
+
 def _native_helper():
     """The native perf-helper lib (oph_sketch.cpp's reg2sig_nibble /
     unpack_counts24 entries); None when the toolchain is unavailable
@@ -2176,9 +2217,11 @@ def warm_pairwise_cache(opts: Dashing2DistOptions, n: int,
         rows = np.arange(min(block, nf if nq else n))
         cols = np.arange(nf, n) if nq else np.arange(n)
         # warm whichever route production will take (counts-pull wins
-        # when eligible — see pairwise_matrix)
-        if _device_block_counts_pull(opts, fake, creps, rows,
-                                     cols) is not None:
+        # when eligible — see pairwise_matrix); the byte-pack program
+        # for the first (full-width) block compiles here too
+        cp = _device_block_counts_pull(opts, fake, creps, rows, cols)
+        if cp is not None:
+            _pack_block_counts(cp[0], cp[1], opts.sketchsize)
             return True
         return _device_block_measures(opts, fake, creps, rows,
                                       cols) is not None
@@ -2379,7 +2422,16 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
         pc = _panel_counts_matrix_dev(opts, result, creps, nf)
         if pc is not None:
             devp, epi = pc
-            cmat = _pull_block(devp)
+            bits = int(opts.sketchsize).bit_length()
+            if 2 * bits <= 24 and os.environ.get(
+                    "DASHING2_TPU_PACK_PULL", "1") != "0":
+                pr, pcn = int(devp.shape[0]), int(devp.shape[1])
+                buf = _pull_block(
+                    _pack_counts2d_fn(pr, pcn, bits)(devp))
+                cmat = _unpack_tri_counts(buf, bits,
+                                          pr * pcn).reshape(pr, pcn)
+            else:
+                cmat = _pull_block(devp)
             for start in range(0, nf, block):
                 yield start, epi(cmat[start:start + block], start)
             return
@@ -2420,6 +2472,10 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
         else:
             if upper_only:
                 dev = dev[:, start:]
+            if post is not None:
+                # counts block: 2 counts per 3 bytes across the tunnel
+                dev, post = _pack_block_counts(dev, post,
+                                               opts.sketchsize)
             pending = (start, dev, post)
     if pending is not None:
         yield _drain(pending)
