@@ -49,7 +49,27 @@ def _index_source(opts: Dashing2DistOptions, result: SketchingResult,
         return LSHIndex.build(np.zeros((0, 0)), opts.nLSH, bottomk=bk)
     if opts.kmer_result >= KmerSketchResultType.FULL_MMER_SET:
         k = max(opts.sketchsize, 1)
-        bk = [s[:k] for s in result.kmer_sets]
+        counts = getattr(result, "kmer_set_counts", None)
+        if (opts.kmer_result == KmerSketchResultType.FULL_MMER_COUNTDICT
+                and counts is not None):
+            # WEIGHTED bottom-k (fastxsketch.cpp:24-47,451-459): the k
+            # items with the smallest item/count ratio index the LSH
+            # table, biasing candidates toward high-multiplicity
+            # k-mers. u64 uses the reference's integer-division key;
+            # u128 ranks by the f64 ratio (retrieval heuristic only —
+            # candidates are exactly refined afterwards)
+            from .. import u128 as U
+            bk = []
+            for s, c in zip(result.kmer_sets, counts):
+                c = np.maximum(np.asarray(c, np.float64), 1.0)
+                if U.is_u128(s):
+                    ratio = (s["hi"].astype(np.float64) * 2.0 ** 64
+                             + s["lo"].astype(np.float64)) / c
+                else:
+                    ratio = s // c.astype(np.uint64)
+                bk.append(s[np.argsort(ratio, kind="stable")[:k]])
+        else:
+            bk = [s[:k] for s in result.kmer_sets]
         return LSHIndex.build(np.zeros((0, 0)), opts.nLSH, bottomk=bk)
     if (creps.data is not None and not creps.nibble_packed
             and opts.sketch_compressed_set):
