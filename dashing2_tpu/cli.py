@@ -396,6 +396,9 @@ def _load_presketched(opts: Dashing2DistOptions,
             sig_rows.append(regs[None, :])
             items_per_path.append(1)
         elif path.endswith((".kmerset64", ".kmerset128")):
+            # cache artifact: leading f64 cardinality then the sorted
+            # keys (fastxsketch.cpp:467-489; load_results subtracts
+            # the 8-byte header, cmp_main.cpp:107)
             opts.kmer_result = KmerSketchResultType.FULL_MMER_SET
             import os as _os
             stream = path.endswith(".kmerset64") and (
@@ -405,12 +408,14 @@ def _load_presketched(opts: Dashing2DistOptions,
                 # >RAM exact corpus: file-backed sorted set, compared by
                 # the chunked streaming merge (cmp_core.cpp:518-572)
                 from .io.diskset import DiskSortedSet
-                ds = DiskSortedSet(path)
+                ds = DiskSortedSet(path, offset=8)
                 result.names.append(path)
                 kmer_sets.append(ds)
                 cards_all.append(np.array([float(len(ds))]))
                 items_per_path.append(1)
                 continue
+            card = float(np.fromfile(path, np.float64, count=1)[0])
+            raw = np.fromfile(path, dtype=np.uint64, offset=8)
             if path.endswith(".kmerset128"):
                 # u128 entries (little-endian lo, hi): FULL 128-bit
                 # keys, compared by 2-limb lexicographic order exactly
@@ -418,13 +423,15 @@ def _load_presketched(opts: Dashing2DistOptions,
                 # (wcompare.cpp:28-51,111; round-5 closes the former
                 # low-word truncation deviation)
                 from . import u128 as _U
-                kmers = _U.read_file(path)
+                pairs = raw.reshape(-1, 2)
+                kmers = _U.from_words(pairs[:, 1], pairs[:, 0])
                 opts.use128 = True
             else:
-                kmers = np.fromfile(path, dtype=np.uint64)
+                kmers = raw
             result.names.append(path)
             kmer_sets.append(np.sort(kmers))
-            cards_all.append(np.array([float(len(kmers))]))
+            cards_all.append(np.array([card if card > 0
+                                       else float(len(kmers))]))
             items_per_path.append(1)
         elif path.endswith((".mmerseq64", ".mmerseq128")):
             # per-item cache artifact: the raw ordered token stream; a

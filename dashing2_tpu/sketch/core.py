@@ -553,7 +553,15 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
     dests = [makedest(opts, g) for g in groups]
     loaded: dict = {}
     for i, dest in enumerate(dests):
-        if not os.path.isfile(dest):
+        if kres == KR.FULL_MMER_COUNTDICT:
+            # countdict artifacts live at the iskmer keys path + its
+            # .kmercounts.f64 sibling (reference naming,
+            # fastxsketch.cpp:313-318); `dest` itself is never written
+            kp = makedest(opts, groups[i], iskmer=True)
+            if not (os.path.isfile(kp)
+                    and os.path.isfile(_counts_dest(kp))):
+                continue
+        elif not os.path.isfile(dest):
             continue
         try:
             if kres in (KR.ONE_PERM, KR.FULL_SETSKETCH):
@@ -577,27 +585,30 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                 if _exact_stream_wanted(opts, dest) \
                         and not _exact128_keys(opts):
                     from ..io.diskset import DiskSortedSet
-                    ds = DiskSortedSet(dest)
+                    ds = DiskSortedSet(dest, offset=8)
                     loaded[i] = ("set", float(len(ds)), ds)
                 else:
-                    kmers = _read_kmer_set(opts, dest)
-                    loaded[i] = ("set", float(len(kmers)), kmers)
+                    card, kmers = _read_kmer_set(opts, dest,
+                                                 with_card=True)
+                    loaded[i] = ("set", card, kmers)
             elif kres == KR.FULL_MMER_COUNTDICT:
                 kpath = makedest(opts, groups[i], iskmer=True)
-                if _exact_stream_wanted(opts, dest, kpath) \
+                cpath = _counts_dest(kpath)
+                if _exact_stream_wanted(opts, cpath, kpath) \
                         and not _exact128_keys(opts):
                     from ..io.diskset import DiskSortedSet
-                    ds = DiskSortedSet(kpath, counts_path=dest)
-                    if os.path.getsize(dest) != 8 * len(ds):
+                    ds = DiskSortedSet(kpath, offset=8,
+                                       counts_path=cpath)
+                    if os.path.getsize(cpath) != 8 * len(ds):
                         continue
                     loaded[i] = ("dict", ds.counts_sum(), (ds, None))
                 else:
-                    kmers = _read_kmer_set(opts, kpath)
-                    counts = np.fromfile(dest, dtype=np.float64)
+                    card, kmers = _read_kmer_set(opts, kpath,
+                                                 with_card=True)
+                    counts = np.fromfile(cpath, dtype=np.float64)
                     if len(kmers) != len(counts):
                         continue
-                    loaded[i] = ("dict", float(counts.sum()),
-                                 (kmers, counts))
+                    loaded[i] = ("dict", card, (kmers, counts))
             elif kres == KR.FULL_MMER_SEQUENCE:
                 seq = _read_kmer_set(opts, dest)
                 loaded[i] = ("seq", float(len(seq)), seq)
@@ -667,11 +678,17 @@ def _sketch_fastx_cached(opts: Dashing2Options, groups: Sequence[str],
                     if want_kmers and opts.save_kmercounts:
                         res.kmercounts[i].tofile(dest + ".kmercounts.f32")
                 elif kres == KR.FULL_MMER_SET:
-                    _write_kmer_set(res.kmer_sets[i], dest)
+                    _write_kmer_set(res.kmer_sets[i], dest,
+                                    card=res.cardinalities[i])
                 elif kres == KR.FULL_MMER_COUNTDICT:
-                    _write_kmer_set(res.kmer_sets[i],
-                                    makedest(opts, groups[i], iskmer=True))
-                    res.kmer_set_counts[i].astype(np.float64).tofile(dest)
+                    # reference layout (fastxsketch.cpp:313-318,467):
+                    # card + keys at the iskmer destination, raw f64
+                    # counts at <keys stem>.kmercounts.f64
+                    kdest = makedest(opts, groups[i], iskmer=True)
+                    _write_kmer_set(res.kmer_sets[i], kdest,
+                                    card=res.cardinalities[i])
+                    res.kmer_set_counts[i].astype(np.float64).tofile(
+                        _counts_dest(kdest))
                 else:
                     _write_kmer_set(res.mmer_sequences[i], dest)
                 res.destination_files.append(dest)
@@ -765,21 +782,46 @@ def _exact128_keys(opts: Dashing2Options) -> bool:
                                                   Alphabet.DNAC))
 
 
-def _write_kmer_set(arr: np.ndarray, path: str) -> None:
-    """Exact-set cache write: u64 keys raw, u128 keys little-endian
-    (lo, hi) — the reference's raw __uint128_t buffer layout."""
-    from .. import u128 as U
-    if U.is_u128(arr):
-        U.write_file(arr, path)
-    else:
-        arr.tofile(path)
+def _counts_dest(keys_dest: str) -> str:
+    """<keys path minus its suffix>.kmercounts.f64 — the reference's
+    destkmercounts naming (fastxsketch.cpp:314-318)."""
+    stem = keys_dest[:keys_dest.rfind(".")]
+    return stem + ".kmercounts.f64"
 
 
-def _read_kmer_set(opts: Dashing2Options, path: str) -> np.ndarray:
+def _write_kmer_set(arr: np.ndarray, path: str,
+                    card: Optional[float] = None) -> None:
+    """Exact-set cache write. Layout matches the reference cache
+    artifact (fastxsketch.cpp:467-489 + cmp_main.cpp:107 'st_size - 8'):
+    a leading f64 cardinality (when `card` is given — k-mer sets and
+    countdict keys; minimizer-sequence caches are headerless like the
+    reference's FULL_MMER_SEQUENCE write at :526-553), then u64 keys
+    raw or u128 keys little-endian (lo, hi)."""
     from .. import u128 as U
+    with open(path, "wb") as f:
+        if card is not None:
+            np.float64(card).tofile(f)
+        if U.is_u128(arr):
+            U.tofile_bytes(np.asarray(arr, U.U128)).tofile(f)
+        else:
+            np.ascontiguousarray(arr, np.uint64).tofile(f)
+
+
+def _read_kmer_set(opts: Dashing2Options, path: str,
+                   with_card: bool = False):
+    """Inverse of _write_kmer_set. with_card=True skips and returns
+    the leading f64 cardinality header."""
+    from .. import u128 as U
+    off = 8 if with_card else 0
+    raw = np.fromfile(path, dtype=np.uint64, offset=off)
+    card = (float(np.fromfile(path, np.float64, count=1)[0])
+            if with_card else None)
     if _exact128_keys(opts):
-        return U.read_file(path)
-    return np.fromfile(path, dtype=np.uint64)
+        pairs = raw.reshape(-1, 2)
+        keys = U.from_words(pairs[:, 1], pairs[:, 0])
+    else:
+        keys = raw
+    return (card, keys) if with_card else keys
 
 
 def _finalize_one_perm(opts: Dashing2Options, res: SketchingResult,

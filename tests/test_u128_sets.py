@@ -84,7 +84,8 @@ def test_u128_sketch_oracle(tmp_path):
         assert len(caches) == len(paths)
         sets = []
         for c in caches:
-            raw = np.fromfile(c, np.uint64).reshape(-1, 2)
+            # skip the reference-layout 8-byte f64 cardinality header
+            raw = np.fromfile(c, np.uint64, offset=8).reshape(-1, 2)
             sets.append({(int(h), int(x))
                          for x, h in zip(raw[:, 0], raw[:, 1])})
         body = open("out.tsv").read().strip().split("\n")[3:]
@@ -118,8 +119,11 @@ def test_u128_cache_roundtrip_and_presketched(tmp_path):
         va = [l.split("\t")[1:] for l in tail("a.tsv") if l]
         vc = [l.split("\t")[1:] for l in tail("c.tsv") if l]
         assert va == vc
-        # on-disk layout: little-endian (lo, hi), ascending as u128
-        raw = np.fromfile(caches[0], np.uint64).reshape(-1, 2)
+        # on-disk layout: f64 cardinality header, then little-endian
+        # (lo, hi) entries ascending as u128 (fastxsketch.cpp:467-489)
+        card = float(np.fromfile(caches[0], np.float64, count=1)[0])
+        raw = np.fromfile(caches[0], np.uint64, offset=8).reshape(-1, 2)
+        assert card == float(len(raw))
         keys = [(int(h), int(x)) for x, h in zip(raw[:, 0], raw[:, 1])]
         assert keys == sorted(keys)
     finally:
@@ -133,7 +137,9 @@ def test_u128_presketched_low_word_collision(tmp_path):
     lo = (np.arange(64, dtype=np.uint64) + 7) * np.uint64(0x9E3779B9)
     for name, hi in (("x", 1), ("y", 2)):
         arr = np.sort(U.from_words(np.full(64, hi, np.uint64), lo))
-        U.write_file(arr, str(tmp_path / f"{name}.kmerset128"))
+        with open(str(tmp_path / f"{name}.kmerset128"), "wb") as f:
+            np.float64(len(arr)).tofile(f)     # reference card header
+            U.tofile_bytes(arr).tofile(f)
     out = str(tmp_path / "o.tsv")
     assert main(["cmp", "--presketched", "--cmpout", out,
                  str(tmp_path / "x.kmerset128"),
