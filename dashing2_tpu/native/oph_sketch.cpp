@@ -111,7 +111,10 @@ struct RowScratch {
     std::vector<uint64_t> wmin;         // per-window minima (w > k)
     std::vector<uint8_t> sel;           // minimizer-selected mask (w > k)
     std::vector<int32_t> winv;          // invalid-position prefix counts
-    std::vector<int32_t> deque;         // monotonic-deque index ring
+    std::vector<int32_t> deque;         // (unused; kept for layout)
+    std::vector<uint64_t> vhg1, vhg2;   // vH-GW prefix/suffix scratch
+    std::vector<uint64_t> wvpad, lvpad; // padded window value/liveness
+    std::vector<uint64_t> wvmax, lvmax; // per-position sliding maxima
     std::vector<uint64_t> vals;         // generic modes: per-pos codes
     std::vector<uint64_t> hashed;       // generic modes: scrambled keys
     std::vector<uint8_t> cln;           // invalid-substituted codes
@@ -136,6 +139,41 @@ struct RowScratch {
 // k-mers, the seed span for spaced seeds); the minimizer WINDOW count
 // stays nwin = w - k + 1 for every mode (device minimizer_mask is
 // always called with (k, w), kmers.py:459-462).
+// Sliding-window extremum, van Herk–Gil-Werman: out[j] =
+// min/max(in[j .. j+W-1]) for j in [0, n-W+1). Two straight-line
+// passes (per-block prefix + suffix chains) + one combine — replaces
+// the monotonic deque whose branchy pops serialized the minimizer
+// selection at ~10 ns/pos (measured: the deque form capped w>k
+// configs at ~35 Mbase/s).
+static void slide_ext_u64(const uint64_t* in, int64_t n, int64_t W,
+                          bool take_min, uint64_t* out,
+                          std::vector<uint64_t>& pre,
+                          std::vector<uint64_t>& suf) {
+    const int64_t nout = n - W + 1;
+    if (nout <= 0) return;
+    pre.resize(n);
+    suf.resize(n);
+    for (int64_t b = 0; b < n; b += W) {
+        const int64_t e = std::min(b + W, n);
+        uint64_t acc = in[b];
+        pre[b] = acc;
+        for (int64_t i = b + 1; i < e; ++i) {
+            acc = take_min ? std::min(acc, in[i]) : std::max(acc, in[i]);
+            pre[i] = acc;
+        }
+        acc = in[e - 1];
+        suf[e - 1] = acc;
+        for (int64_t i = e - 2; i >= b; --i) {
+            acc = take_min ? std::min(acc, in[i]) : std::max(acc, in[i]);
+            suf[i] = acc;
+        }
+    }
+    for (int64_t j = 0; j < nout; ++j) {
+        const uint64_t a = suf[j], b2 = pre[j + W - 1];
+        out[j] = take_min ? std::min(a, b2) : std::max(a, b2);
+    }
+}
+
 static void select_from_scores(const Params& p, RowScratch& s, bool clean,
                                int64_t npos) {
     const int32_t k = p.k;
@@ -143,10 +181,11 @@ static void select_from_scores(const Params& p, RowScratch& s, bool clean,
     const int64_t nwin = (int64_t)p.w - k + 1;
     const int64_t nw = npos - nwin + 1;          // window count (may be <=0)
     s.sel.assign(npos, 0);
+    if (nw <= 0) return;   // no full window: nothing can be selected
     // window liveness: invalid-position prefix counts (clean rows: all
     // windows live, skip the scratch)
     s.winv.clear();
-    if (!clean && nw > 0) {
+    if (!clean) {
         s.winv.resize(npos + 1);
         s.winv[0] = 0;
         for (int64_t i = 0; i < npos; ++i)
@@ -155,36 +194,36 @@ static void select_from_scores(const Params& p, RowScratch& s, bool clean,
     auto win_live = [&](int64_t j) -> bool {
         return clean || s.winv[j + nwin] == s.winv[j];
     };
-    if (nw > 0) {
-        // sliding min over scores, window nwin (monotonic deque)
-        s.wmin.resize(nw);
-        s.deque.clear();
-        size_t head = 0;
-        for (int64_t i = 0; i < npos; ++i) {
-            while (s.deque.size() > head &&
-                   s.score[s.deque.back()] > s.score[i])
-                s.deque.pop_back();
-            s.deque.push_back((int32_t)i);
-            if (s.deque[head] <= i - nwin) ++head;
-            if (i >= nwin - 1) s.wmin[i - nwin + 1] = s.score[s.deque[head]];
+    // wmin[j] = min score over window j (vH-GW pass 1)
+    s.wmin.resize(nw);
+    slide_ext_u64(s.score.data(), npos, nwin, true, s.wmin.data(),
+                  s.vhg1, s.vhg2);
+    // per-position max of wmin over the LIVE windows containing i
+    // (windows [i-nwin+1, i] clamped at the edges, via nwin-1 zero
+    // left-padding): dead/out-of-range windows carry value 0, which
+    // can only LOWER a max over the (non-negative) live wmins, never
+    // fake a hit — and the hit additionally requires a live window in
+    // range, tracked by a parallel sliding max over a 0/1 liveness
+    // plane. Exactly the deque's semantics: max over live wmin == sc
+    // with at least one live window present.
+    const int64_t n2 = npos + nwin - 1;
+    s.wvpad.assign(n2, 0);
+    s.lvpad.assign(n2, 0);
+    for (int64_t j = 0; j < nw; ++j) {
+        if (win_live(j)) {
+            s.wvpad[j + nwin - 1] = s.wmin[j];
+            s.lvpad[j + nwin - 1] = 1;
         }
     }
-    // hit = (sliding max of wmin over LIVE windows containing i)
-    // == score[i]; dead/out-of-range windows contribute nothing; then
-    // leftmost tie break.
-    s.deque.clear();
-    size_t head = 0;
+    s.wvmax.resize(npos);
+    s.lvmax.resize(npos);
+    slide_ext_u64(s.wvpad.data(), n2, nwin, false, s.wvmax.data(),
+                  s.vhg1, s.vhg2);
+    slide_ext_u64(s.lvpad.data(), n2, nwin, false, s.lvmax.data(),
+                  s.vhg1, s.vhg2);
     for (int64_t i = 0; i < npos; ++i) {
-        if (i < nw && win_live(i)) {
-            while (s.deque.size() > head &&
-                   s.wmin[s.deque.back()] <= s.wmin[i])
-                s.deque.pop_back();
-            s.deque.push_back((int32_t)i);
-        }
-        while (s.deque.size() > head && s.deque[head] < i - nwin + 1)
-            ++head;
         const uint64_t sc = s.score[i];
-        if (s.deque.size() <= head || s.wmin[s.deque[head]] != sc) continue;
+        if (!s.lvmax[i] || s.wvmax[i] != sc) continue;
         if (!clean && s.run[i + vspan - 1] < vspan) continue;  // invalid
         bool prev_eq = (i < nwin - 1) && sc == kU64Max;
         const int64_t dmax = std::min<int64_t>(i, nwin - 1);
