@@ -1027,6 +1027,27 @@ def _native_helper():
     return lib
 
 
+def _unpack_tri_f32(buf: np.ndarray, bits: int, total: int,
+                    table: np.ndarray):
+    """Fused native unpack + similarity-table lookup: byte planes ->
+    (total,) f32 measure values (identical to gathering `table` at the
+    unpacked counts — the table IS the epilogue for the counts route's
+    SIMILARITY-only measures). None -> caller uses the u16 path."""
+    nat = _native_helper()
+    if nat is None or table is None:
+        return None
+    import ctypes
+    table = np.ascontiguousarray(table, np.float32)
+    buf = np.ascontiguousarray(buf)
+    t2 = buf.shape[0] // 3
+    out = np.empty(t2 * 2, np.float32)
+    nat.unpack_counts24_f32(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t2, bits,
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out[:total]
+
+
 def _unpack_tri_counts(buf: np.ndarray, bits: int,
                        total: int) -> np.ndarray:
     """Host inverse of _pack_tri_counts_fn: three concatenated byte
@@ -1116,7 +1137,7 @@ def _self_counts_matrix_dev(opts: Dashing2DistOptions,
     # build the host sim table NOW so the warm pass pre-pays its tiny
     # jit compile too (on the remote chip every compile is a server
     # round trip; lazy build would land on the first emitted block)
-    _sim_table(kind, m, opts.k, opts.fd_level)
+    table = _sim_table(kind, m, opts.k, opts.fd_level)
     from ..timing import span
     with span("cmp/dispatch"):
         dev = _self_counts_fn_m(kind, m, opts.fd_level,
@@ -1128,7 +1149,7 @@ def _self_counts_matrix_dev(opts: Dashing2DistOptions,
         lh = cards[rs:rs + eqc.shape[0], None]
         rh = cards[None, cs:cs + eqc.shape[1]]
         return _host_counts_epilogue(kind, m, msr, k, fd, eqc, lh, rh, m)
-    return dev, epi
+    return dev, epi, table
 
 
 def _self_matrix_fn(kind: str, m: int, msr: Measure, k: int, fd: float):
@@ -2349,7 +2370,7 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
             # the pulled block (overlapped with the next block's pull by
             # the emitters' prefetch thread)
             import jax
-            devc, epi = cnt
+            devc, epi, sim_tab = cnt
             if upper_only and (jax.default_backend() != "cpu"
                                or os.environ.get("DASHING2_TPU_UPPER")
                                == "force"):
@@ -2368,12 +2389,22 @@ def pairwise_matrix(opts: Dashing2DistOptions, result: SketchingResult,
                     total = sum(b * w for _, b, w in sizes)
                     buf = _pull_block(
                         _pack_tri_counts_fn(n, pb, bits)(devc))
-                    vals = _unpack_tri_counts(buf, bits, total)
+                    # fused native unpack+table-lookup -> f32 measures
+                    # in one pass (same table values the epilogue
+                    # gathers; SIMILARITY is count-pure so cards are
+                    # unused)
+                    fv = _unpack_tri_f32(buf, bits, total, sim_tab)
+                    vals = (None if fv is not None
+                            else _unpack_tri_counts(buf, bits, total))
                     off = 0
                     for s, b, w in sizes:
-                        eqc = vals[off:off + b * w].reshape(b, w)
+                        if fv is not None:
+                            blk = fv[off:off + b * w].reshape(b, w)
+                        else:
+                            blk = epi(vals[off:off + b * w]
+                                      .reshape(b, w), s, s)
                         off += b * w
-                        yield s, _expand_upper(epi(eqc, s, s), s, n)
+                        yield s, _expand_upper(blk, s, n)
                     return
                 pending = None
                 for start in range(0, n, block):

@@ -170,6 +170,10 @@ def load_oph_lib() -> Optional[ctypes.CDLL]:
         lib.unpack_counts24.argtypes = [
             c.POINTER(c.c_uint8), c.c_int64, c.c_int32,
             c.POINTER(c.c_uint16)]
+        lib.unpack_counts24_f32.restype = None
+        lib.unpack_counts24_f32.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int64, c.c_int32,
+            c.POINTER(c.c_float), c.POINTER(c.c_float)]
         lib.oph_update_hashed.restype = None
         lib.oph_update_hashed.argtypes = [
             c.POINTER(c.c_uint64), c.c_int64, c.c_uint64, c.c_int64,

@@ -964,6 +964,23 @@ void unpack_counts24(const uint8_t* buf, int64_t t2, int32_t bits,
     }
 }
 
+// unpack_counts24 fused with the (m+1)-entry similarity table lookup:
+// byte planes -> f32 measure values in one pass (the numpy route
+// materialized a u16 matrix then gathered the table per block).
+void unpack_counts24_f32(const uint8_t* buf, int64_t t2, int32_t bits,
+                         const float* table, float* out) {
+    const uint8_t* b0 = buf;
+    const uint8_t* b1 = buf + t2;
+    const uint8_t* b2 = buf + 2 * t2;
+    const uint32_t mask = (1u << bits) - 1u;
+    for (int64_t i = 0; i < t2; ++i) {
+        const uint32_t x = (uint32_t)b0[i] | ((uint32_t)b1[i] << 8)
+                           | ((uint32_t)b2[i] << 16);
+        out[2 * i] = table[x & mask];
+        out[2 * i + 1] = table[x >> bits];
+    }
+}
+
 // Streamed OPH update over PRE-HASHED u64 items (interval sketching:
 // BED/BigWig/LeafCutter items are chrhash^position values, no k-mer
 // encode needed). Same id chain and bucket-min/multiplicity semantics
