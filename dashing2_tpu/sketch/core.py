@@ -1310,8 +1310,42 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         else:
             results[i] = _count_one(hv)
 
-    for chunks, ids in prefetch(_iter_chunk_batches(
-            opts, items_iter(), chunk_len, rows_per_batch)):
+    # native host hashing for the counting stream where supported: the
+    # device path round-trips the FULL (R, npos) u64 hash matrix per
+    # batch — ~320 MB pulled for a 40 MB corpus over the 15-37 MB/s
+    # tunnel (the same disease the contain screen had). exact128 keeps
+    # the device path (the native hasher emits the masked low word
+    # only). DASHING2_TPU_NATIVE_HASH=0 pins the device route (tests).
+    natlib = None
+    if not exact128 \
+            and os.environ.get("DASHING2_TPU_NATIVE_HASH", "1") != "0" \
+            and _native_oph_supported(hkw, use_fs):
+        from .. import native as _nat
+        try:
+            natlib = _nat.load_oph_lib()
+        except Exception:
+            natlib = None
+        if natlib is not None and not hasattr(natlib,
+                                              "hash_rows_native"):
+            natlib = None
+    if natlib is not None:
+        for i, item in enumerate(items_iter()):
+            hv = _native_hash_codes_list(
+                natlib, item.codes, hkw,
+                filterset=fs if use_fs else None)
+            if pool is not None:
+                pending.append((i, pool.submit(_count_one, hv)))
+                while len(pending) > 2 * opts.nthreads:
+                    j, fut = pending.pop(0)
+                    results[j] = fut.result()
+            else:
+                results[i] = _count_one(hv)
+        cur = -1   # nothing buffered; skip the device loop entirely
+    else:
+        cur = -2   # device loop runs below
+    for chunks, ids in (() if cur == -1 else prefetch(
+            _iter_chunk_batches(
+                opts, items_iter(), chunk_len, rows_per_batch))):
         if exact128:
             mhi, mlo, valid = _hash_chunk_batch128(
                 jnp.asarray(chunks), fs_dev,

@@ -392,3 +392,23 @@ def test_auto_device_engine_resident_routing(monkeypatch):
     assert _auto_device_engine() == "sort"
     monkeypatch.setenv("DASHING2_TPU_RESIDENT", "1")
     assert _auto_device_engine() == "rot"
+
+
+def test_native_hash_counting_path_matches_device(tmp_path, monkeypatch):
+    """The counting stream (exact sets / countdicts / weighted spaces)
+    hashed by the native host engine is byte-identical to the device
+    hash path (DASHING2_TPU_NATIVE_HASH=0)."""
+    from dashing2_tpu.cli import main
+    paths = make(str(tmp_path / "fa"), n_genomes=4, length=6000)
+    for args in (["--set", "-k", "21"],
+                 ["--countdict", "-k", "21"],
+                 ["--multiset", "-k", "21", "-S", "64"],
+                 ["--set", "-k", "21", "-w", "31"]):
+        outs = []
+        for knob in ("1", "0"):
+            monkeypatch.setenv("DASHING2_TPU_NATIVE_HASH", knob)
+            out = str(tmp_path / f"o{knob}.bin")
+            assert main(["cmp", "--binary-output", "--cmpout", out]
+                        + args + paths) == 0
+            outs.append(open(out, "rb").read())
+        assert outs[0] == outs[1], args
