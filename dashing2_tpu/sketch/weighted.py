@@ -133,7 +133,10 @@ def _rows_kernel(hashes, lnw, *, kind: str, m: int, sub: int = 32):
             jnp.zeros((R, m), jnp.float32))
     ci = jnp.arange(nc, dtype=jnp.float32)
     (key, val, sid), _ = jax.lax.scan(body, init, (hs, ws, ci))
-    return key, val, sid
+    # ONE stacked output: each device->host pull over the remote tunnel
+    # pays a ~1-2 s fixed cost, so three separate fetches per flush
+    # tripled the weighted sketch wall
+    return jnp.stack([key, val, sid])
 
 
 _ROW_L = 2048
@@ -141,8 +144,11 @@ _ROW_L = 2048
 
 def _row_batch_R(m: int) -> int:
     """Rows per device call, bounding the (R, sub, m) f32 draw
-    intermediates to ~32 MB."""
-    return max(8, min(256, (1 << 18) // max(m, 1)))
+    intermediates to ~128 MB. Bigger batches mean FEWER flushes: every
+    flush costs a dispatch + a pulled (3, R, m) result over the remote
+    tunnel's ~1-2 s fixed per-transfer latency, which dominated the
+    weighted sketch wall at the old 32 MB cap."""
+    return max(8, min(1024, (1 << 20) // max(m, 1)))
 
 
 def _sketch_stream(kind: str, hashes: np.ndarray, lnw: np.ndarray, m: int,
@@ -179,9 +185,10 @@ def _sketch_many_streams(kind: str, streams: List[np.ndarray],
         nonlocal fill
         if fill == 0:
             return
-        key, val, sid = _rows_kernel(jnp.asarray(rows_h),
-                                     jnp.asarray(rows_w), kind=kind, m=m)
-        key, val, sid = np.asarray(key), np.asarray(val), np.asarray(sid)
+        kvs = np.asarray(_rows_kernel(jnp.asarray(rows_h),
+                                      jnp.asarray(rows_w), kind=kind,
+                                      m=m))
+        key, val, sid = kvs[0], kvs[1], kvs[2]
         for r in range(fill):
             i = rows_item[r]
             better = key[r] < sigs_key[i]
