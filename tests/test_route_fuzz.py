@@ -79,3 +79,37 @@ def test_swar_vs_xla_route(cfg_idx, m):
         # relative tolerance only
         np.testing.assert_allclose(av[fin], bv[fin], rtol=max(tol, 2e-6),
                                    atol=tol * 1e5)
+
+
+@pytest.mark.parametrize("m", [128, 66])
+@pytest.mark.parametrize("cfg_idx", range(len(CONFIGS)))
+def test_pull_pack_knob_fuzz_byte_identical(cfg_idx, m, monkeypatch):
+    """The round-5 transfer knobs (u16 counts pull + byte-packed
+    trapezoid + upper-only) are BYTE-identical to the plain f32 route
+    across the whole config grid: SIMILARITY configs engage the packed
+    counts routes, the other measures exercise the exclusion guards,
+    and panel configs (nq > 0) the packed panel path."""
+    kind_opts, n, nq, ties = CONFIGS[cfg_idx]
+    res1 = _mkres(cfg_idx * 13 + m, n, m, nq, ties)
+    res2 = _mkres(cfg_idx * 13 + m, n, m, nq, ties)
+    opts = Dashing2DistOptions(sketchsize=m, **kind_opts)
+    monkeypatch.setenv("DASHING2_TPU_KERNEL", "swar")
+    monkeypatch.setenv("DASHING2_TPU_MULTICHIP", "0")
+    upper = nq == 0
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "0")
+    ref = dict(pairwise_matrix(opts, res1, upper_only=upper))
+    monkeypatch.setenv("DASHING2_TPU_PULL_COUNTS", "force")
+    monkeypatch.setenv("DASHING2_TPU_PACK_PULL", "1")
+    monkeypatch.setenv("DASHING2_TPU_UPPER", "force")
+    got = dict(pairwise_matrix(opts, res2, upper_only=upper))
+    assert ref.keys() == got.keys()
+    for k in ref:
+        a, b = np.asarray(ref[k]), np.asarray(got[k])
+        if upper:
+            # the f32 route returns full blocks; the packed route
+            # zeros the lower-left — compare the upper trapezoids
+            cols = a.shape[1]
+            mask = np.arange(cols)[None, :] >= k
+            a = np.where(mask, a, 0)
+            b = np.where(mask, b, 0)
+        assert np.array_equal(a, b, equal_nan=True), k
