@@ -162,6 +162,14 @@ def load_oph_lib() -> Optional[ctypes.CDLL]:
             c.POINTER(c.c_uint64),
             c.POINTER(c.c_uint64), c.c_int64, c.c_int64,
             c.POINTER(c.c_uint64)]
+        lib.hash_rows_native128.restype = c.c_int64
+        lib.hash_rows_native128.argtypes = [
+            c.POINTER(c.c_ubyte), c.c_int64, c.c_int64,
+            c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+            c.c_uint64, c.c_uint64,
+            c.c_int32, c.c_uint64, c.c_uint64,
+            c.POINTER(c.c_uint64), c.c_int64,
+            c.POINTER(c.c_uint64), c.POINTER(c.c_uint64)]
         lib.reg2sig_nibble.restype = None
         lib.reg2sig_nibble.argtypes = [
             c.POINTER(c.c_uint64), c.c_int64, c.c_uint64,

@@ -101,6 +101,9 @@ struct Params {
     int64_t fs_len = 0;
     int64_t vspan = 0;       // validity-window length (span for spaced,
                              // k otherwise); npos = L - vspan + 1
+    uint64_t xormask2 = 0;   // hi-word seed mask (u128 maskfn,
+                             // enums.h:144-148)
+    bool want_hi = false;    // DNA128: also retain masked hi words
 };
 
 struct RowScratch {
@@ -117,6 +120,7 @@ struct RowScratch {
     std::vector<uint64_t> wvmax, lvmax; // per-position sliding maxima
     std::vector<uint64_t> vals;         // generic modes: per-pos codes
     std::vector<uint64_t> hashed;       // generic modes: scrambled keys
+    std::vector<uint64_t> hashed_hi;    // DNA128 want_hi: masked hi words
     std::vector<uint8_t> cln;           // invalid-substituted codes
     std::vector<uint8_t> ccl;           // complement indices (rolling)
     uint64_t ids[kBlock + 8];
@@ -468,6 +472,7 @@ static int64_t compute_values(const Params& p, const uint8_t* row,
         const uint64_t himask =
             hb <= 0 ? 0 : (hb >= 64 ? kU64Max : ((1ULL << hb) - 1));
         s.hashed.resize(npos);   // reused as the lo-word buffer here
+        if (p.want_hi) s.hashed_hi.resize(npos);
         for (int64_t i = 0; i < npos; ++i) {
             const int64_t q = Lk - i;
             uint64_t flo = window2(s.fwd_packed.data(), q) & lomask;
@@ -485,6 +490,7 @@ static int64_t compute_values(const Params& p, const uint8_t* row,
             }
             s.vals[i] = (hi >> 1) ^ lo;
             s.hashed[i] = lo;
+            if (p.want_hi) s.hashed_hi[i] = hi;
         }
     }
     // scramble keys: maskfn(key) = WangHash(key ^ xormask); seed 0
@@ -497,6 +503,12 @@ static int64_t compute_values(const Params& p, const uint8_t* row,
             const uint64_t xm = p.xormask;
             for (int64_t i = 0; i < npos; ++i)
                 h[i] = wanghash(h[i] ^ xm);
+            if (p.want_hi) {
+                uint64_t* hh = s.hashed_hi.data();
+                const uint64_t xm2 = p.xormask2;
+                for (int64_t i = 0; i < npos; ++i)
+                    hh[i] = wanghash(hh[i] ^ xm2);
+            }
         }
     } else {
         s.hashed.resize(npos);
@@ -893,7 +905,8 @@ void oph_rows_native(const uint8_t* codes, int64_t R, int64_t L,
 // (measured 475 s to screen 32 MB of queries; this path is ~0.1 s).
 // out capacity must be >= R * (L - vspan + 1); returns the count.
 static int64_t hash_row_compact(const Params& p, const uint8_t* row,
-                                RowScratch& s, uint64_t* out) {
+                                RowScratch& s, uint64_t* out,
+                                uint64_t* out_hi = nullptr) {
     const int64_t vspan = p.vspan > 0 ? p.vspan : p.k;
     const bool clean = memchr(row, kInvalid, (size_t)p.L) == nullptr;
     if (!clean) {
@@ -925,9 +938,24 @@ static int64_t hash_row_compact(const Params& p, const uint8_t* row,
         if (p.fs_len && std::binary_search(
                 p.filterset, p.filterset + p.fs_len, h))
             continue;
+        if (out_hi) out_hi[nout] = s.hashed_hi[i];
         out[nout++] = h;
     }
     return nout;
+}
+
+// u128 screening/counting hash entry: DNA128 full keys, masked per
+// word (u128 maskfn, enums.h:144-148). Writes compacted (hi', lo')
+// into out_hi/out_lo; returns the count.
+static int64_t hash_rows128_impl(const uint8_t* codes, int64_t R,
+                                 int64_t L, const Params& base,
+                                 uint64_t* out_hi, uint64_t* out_lo) {
+    RowScratch s;
+    int64_t total = 0;
+    for (int64_t r = 0; r < R; ++r)
+        total += hash_row_compact(base, codes + r * L, s,
+                                  out_lo + total, out_hi + total);
+    return total;
 }
 
 // Fused reg2sig + nibble pack for the --fastcmp 0.5 --bbit-sigs
@@ -1031,6 +1059,25 @@ int64_t hash_rows_native(const uint8_t* codes, int64_t R, int64_t L,
     for (int64_t r = 0; r < R; ++r)
         total += hash_row_compact(p, codes + r * L, s, out + total);
     return total;
+}
+
+// C ABI for hash_rows128_impl (mode is implicitly DNA128).
+int64_t hash_rows_native128(const uint8_t* codes, int64_t R, int64_t L,
+                            int32_t k, int32_t w, int32_t canon,
+                            int32_t seed_is_zero,
+                            uint64_t xormask, uint64_t xormask2_hi,
+                            int32_t downsample, uint64_t ds_threshold,
+                            uint64_t ds_salt,
+                            const uint64_t* filterset, int64_t fs_len,
+                            uint64_t* out_hi, uint64_t* out_lo) {
+    Params p{codes, R, L, k, w, canon != 0, seed_is_zero != 0,
+             downsample != 0, xormask, 0, ds_threshold, ds_salt,
+             0, L, 0, nullptr, nullptr,
+             MODE_DNA128, 4, 2, nullptr, 0, nullptr,
+             filterset, fs_len, k};
+    p.xormask2 = xormask2_hi;
+    p.want_hi = true;
+    return hash_rows128_impl(codes, R, L, p, out_hi, out_lo);
 }
 
 // File-driver entry: sketch `nitems` path groups straight from disk.

@@ -758,6 +758,59 @@ def _native_hash_codes_list(lib, codes_list, hkw: dict,
     return np.concatenate(parts)
 
 
+def _native_hash_codes_list128(lib, codes_list, hkw: dict,
+                               xormask2_hi: int,
+                               filterset: Optional[np.ndarray] = None
+                               ) -> np.ndarray:
+    """u128 variant of _native_hash_codes_list: compact FULL masked
+    (hi', lo') keys for the exact-set counting stream (the u128 maskfn
+    of enums.h:144-148; same minimizer/downsample/filterset gating as
+    _hash_chunk_batch128, which probes the masked low word)."""
+    import ctypes
+
+    from .. import u128 as U
+    k = hkw["k"]
+    ds = hkw["downsample_threshold"] < (1 << 64) - 1
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    fs_p, fs_len = u64p(), 0
+    if filterset is not None and len(filterset):
+        filterset = np.ascontiguousarray(filterset, np.uint64)
+        fs_p, fs_len = filterset.ctypes.data_as(u64p), len(filterset)
+    buckets: dict = {}
+    for c in codes_list:
+        if len(c) < k:
+            continue
+        L = 256
+        while L < len(c):
+            L <<= 1
+        buckets.setdefault(L, []).append(c)
+    parts: List[np.ndarray] = []
+    for L, recs in sorted(buckets.items()):
+        rcap = max(1, (32 << 20) // L)
+        for s in range(0, len(recs), rcap):
+            grp = recs[s:s + rcap]
+            rows = np.full((len(grp), L), K.INVALID, np.uint8)
+            for r, c in enumerate(grp):
+                rows[r, :len(c)] = c
+            npos = L - k + 1
+            out_hi = np.empty(len(grp) * npos, np.uint64)
+            out_lo = np.empty(len(grp) * npos, np.uint64)
+            cnt = lib.hash_rows_native128(
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                len(grp), L, k, hkw["w"], int(hkw["canon"]),
+                int(hkw["seed_is_zero"]), hkw["xormask"],
+                xormask2_hi & 0xFFFFFFFFFFFFFFFF, int(ds),
+                hkw["downsample_threshold"] & 0xFFFFFFFFFFFFFFFF,
+                DOWNSAMPLE_SALT, fs_p, fs_len,
+                out_hi.ctypes.data_as(u64p),
+                out_lo.ctypes.data_as(u64p))
+            parts.append(U.from_words(out_hi[:cnt], out_lo[:cnt]))
+    from .. import u128 as U2
+    if not parts:
+        return np.zeros(0, U2.U128)
+    return np.concatenate(parts)
+
+
 def _auto_device_engine() -> str:
     """Device OPH engine for 'auto' dispatch on an accelerator backend.
 
@@ -1188,7 +1241,8 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
         # (structured arrays, like the exact sets — the reference's
         # mmer_edit_distance_f<u128_t>, wcompare.cpp:85)
         from .. import u128 as U
-        seq128 = hkw["use128"]
+        seq128 = (hkw["use128"] and not hkw["rolling"]
+                  and not hkw["spacing_offsets"])
         acc: List[List[np.ndarray]] = [[] for _ in range(n)]
         for chunks, ids in prefetch(_iter_chunk_batches(
                 opts, items_iter(), chunk_len, rows_per_batch)):
@@ -1239,6 +1293,7 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
     # __uint128_t sorted sets (wcompare.cpp:28-51,111); register
     # sketches keep the documented low-word truncation
     exact128 = (hkw["use128"]
+                and not hkw["rolling"] and not hkw["spacing_offsets"]
                 and kres in (KmerSketchResultType.FULL_MMER_SET,
                              KmerSketchResultType.FULL_MMER_COUNTDICT))
     from .. import u128 as U
@@ -1317,22 +1372,27 @@ def _sketch_fastx_core(opts: Dashing2Options, groups: Sequence[str],
     # the device path (the native hasher emits the masked low word
     # only). DASHING2_TPU_NATIVE_HASH=0 pins the device route (tests).
     natlib = None
-    if not exact128 \
-            and os.environ.get("DASHING2_TPU_NATIVE_HASH", "1") != "0" \
+    if os.environ.get("DASHING2_TPU_NATIVE_HASH", "1") != "0" \
             and _native_oph_supported(hkw, use_fs):
         from .. import native as _nat
         try:
             natlib = _nat.load_oph_lib()
         except Exception:
             natlib = None
-        if natlib is not None and not hasattr(natlib,
-                                              "hash_rows_native"):
+        if natlib is not None and not hasattr(
+                natlib, "hash_rows_native128" if exact128
+                else "hash_rows_native"):
             natlib = None
     if natlib is not None:
         for i, item in enumerate(items_iter()):
-            hv = _native_hash_codes_list(
-                natlib, item.codes, hkw,
-                filterset=fs if use_fs else None)
+            if exact128:
+                hv = _native_hash_codes_list128(
+                    natlib, item.codes, hkw, opts.xormask2_hi,
+                    filterset=fs if use_fs else None)
+            else:
+                hv = _native_hash_codes_list(
+                    natlib, item.codes, hkw,
+                    filterset=fs if use_fs else None)
             if pool is not None:
                 pending.append((i, pool.submit(_count_one, hv)))
                 while len(pending) > 2 * opts.nthreads:

@@ -258,3 +258,21 @@ def test_presketched_mmerseq64_loader(tmp_path):
         assert tail("b.tsv") == tail("a.tsv")
     finally:
         os.chdir(cwd)
+
+
+def test_u128_native_hash_matches_device(tmp_path, monkeypatch):
+    """The native u128 counting hasher (hash_rows_native128) is
+    byte-identical to the device _hash_chunk_batch128 path across
+    set/countdict/minimizer configs."""
+    paths = _write_corpus(tmp_path, n=4, length=2500, seed=23)
+    for args in (["--set", "-k", "40", "--long-kmers"],
+                 ["--countdict", "-k", "40", "--long-kmers"],
+                 ["--set", "-k", "40", "-w", "60", "--long-kmers"]):
+        outs = []
+        for knob in ("1", "0"):
+            monkeypatch.setenv("DASHING2_TPU_NATIVE_HASH", knob)
+            out = str(tmp_path / f"u{knob}.bin")
+            assert main(["cmp", "--binary-output", "--cmpout", out]
+                        + args + paths) == 0
+            outs.append(open(out, "rb").read())
+        assert outs[0] == outs[1], args
